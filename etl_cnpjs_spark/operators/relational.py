@@ -1,0 +1,90 @@
+"""Relational operator library.
+
+Covers the reference's relational core — the 5-table star join with
+IN-list filters and wide projection (QUERY_FINAL,
+ETLCNPJFinalEmpresaEstabelecimentos.py:191-234) — plus the standard
+operator families the reference delegates to SQLite (joins, filters,
+projection) and the ones it lacks entirely (aggregation, windows, set ops;
+SURVEY.md §2.2).
+
+Scale posture (100 TB):
+- Star joins: bounded dims are wrapped in ``broadcast()`` — the Spark
+  replacement for the reference's secondary-index nested loops
+  (etl.py:176-182). Fact-to-fact joins stay shuffle joins; AQE promotes /
+  splits skew at runtime.
+- IN-list filters are plain ``isin`` so Catalyst pushes them into the
+  parquet scan (PushedFilters) — the reference runs them as bytecode
+  residuals after the index seek.
+- Dedup-keep-latest is a window rank, the shuffle-once formulation: one
+  hash partition by key, no self-join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def star_join(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, Column | str, bool]],
+    how: str = "inner",
+) -> DataFrame:
+    """Join a fact table against dimension tables.
+
+    ``dims`` is a sequence of (dim_df, join_condition_or_key, broadcast?).
+    Mirrors QUERY_FINAL's shape (etl.py:213-222): inner equi-joins only,
+    orphan fact rows silently dropped (the reference never enforces FKs —
+    PRAGMA foreign_keys=OFF, etl.py:169).
+    """
+    out = fact
+    for dim, on, bcast in dims:
+        right = F.broadcast(dim) if bcast else dim
+        out = out.join(right, on=on, how=how)
+    return out
+
+
+def filter_in_lists(df: DataFrame, in_lists: dict[str, Iterable]) -> DataFrame:
+    """Conjunctive IN-list predicates (etl.py:223-233).
+
+    Duplicate literals are fine — IN has set semantics (the reference's
+    CNAE list holds 53 literals, 50 distinct; SURVEY.md §2.1 O15).
+    isin() compiles to an In predicate that Catalyst pushes to the scan.
+    """
+    cond = None
+    for col_name, values in in_lists.items():
+        c = F.col(col_name).isin(list(values))
+        cond = c if cond is None else (cond & c)
+    return df.filter(cond) if cond is not None else df
+
+
+def dedup_exact(df: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
+    """Exact dedup. Full-row: DISTINCT (hash aggregate on all columns —
+    map-side partial, one shuffle). Keyed: use dedup_keep_latest for a
+    deterministic survivor."""
+    if keys is None:
+        return df.distinct()
+    return df.dropDuplicates(list(keys))
+
+
+def dedup_keep_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """Keyed dedup with a deterministic survivor: row_number over
+    (partitionBy keys, orderBy order_by) == 1. ``order_by`` must be a total
+    order within key (include a unique tiebreaker) or the survivor is
+    nondeterministic. One shuffle on ``keys``; no join."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    rn = F.row_number().over(w)
+    return df.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k. orderBy(...).limit(k) compiles to TakeOrderedAndProject:
+    per-partition heaps + a k-row merge on the driver — no global sort, no
+    full shuffle. ``order_by`` should be a total order for determinism."""
+    return df.orderBy(*order_by).limit(k)

@@ -1,0 +1,13 @@
+"""Plan registry — importing this package registers every query.
+
+Modules register plans via @register(name, oracle=...) into
+registry.QUERIES; __spark_entry__.py re-exports that dict as the driver
+contract.
+"""
+
+from etl_cnpjs_spark.plans.registry import QUERIES, QuerySpec, register  # noqa: F401
+
+# Import order == SURVEY.md §2 inventory order; each import populates QUERIES.
+from etl_cnpjs_spark.plans import relational  # noqa: E402,F401
+
+__all__ = ["QUERIES", "QuerySpec", "register"]
