@@ -1,0 +1,130 @@
+"""Near-duplicate detection machinery (north_star: dedup).
+
+Three scale regimes, all shuffle-disciplined:
+
+- Exact / fingerprint dedup: hash-groupBy on a 16-byte digest
+  (plans/text.py::text_fingerprint) — shuffles digests, not documents.
+- MinHash + LSH banding: per-doc signature computed *inside the row*
+  (higher-order expressions over the shingle array — no explode, no
+  Python), then one explode of B band keys per doc and an equi-join on
+  (band, key). Only candidate pairs ever meet; the exact-Jaccard verify
+  touches candidates only. This is the textbook MMDS banding scheme
+  re-expressed as DataFrame ops.
+- SimHash: 64-bit signature from token hashes, candidates via 16-bit
+  band equality (pigeonhole: hamming ≤ 3 ⇒ some 16-bit quarter equal),
+  verified by bit_count(xor) hamming distance.
+
+Everything is deterministic: xxhash64 (fixed seed 42) for signatures —
+so the LSH candidate set is reproducible run-to-run and across clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _seeded_hash(seed: int):
+    # NB: must return a ONE-parameter lambda — F.transform interprets a
+    # two-parameter lambda as (element, index), so binding the seed via a
+    # default argument would silently hash with the array index instead.
+    return lambda s: F.xxhash64(F.lit(seed), s)
+
+
+def minhash_signature(shingles_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as an array<long>: sig[j] = min over shingles of
+    xxhash64(j, shingle). Computed per-row via transform/array_min — the
+    whole signature costs one pass over the shingle array, no shuffle."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles_col, _seeded_hash(j)))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def lsh_band_keys(sig_col: Column, bands: int, rows: int) -> Column:
+    """Band keys: hash of each contiguous ``rows``-slice of the signature.
+    Two docs collide in band b iff their signatures agree on that slice —
+    P(collide | jaccard=j) = 1-(1-j^rows)^bands."""
+    return F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.element_at(sig_col, b * rows + r + 1) for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+
+
+def candidate_pairs(
+    df: DataFrame, id_col: str, band_keys_col: str, left: str = "i", right: str = "j"
+) -> DataFrame:
+    """Distinct id pairs (left < right) sharing ≥1 band bucket. One
+    explode (B rows/doc) + one self-equi-join on the bucket key — the only
+    shuffle in the LSH path, keyed by band hash (uniform, unskewed)."""
+    buckets = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.col(band_keys_col)).alias("__band", "__key"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__key") == F.col("b.__key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias(left), F.col("b.__id").alias(right))
+        .distinct()
+    )
+
+
+def exact_jaccard(
+    pairs: DataFrame, docs: DataFrame, id_col: str, set_col: str, left: str = "i", right: str = "j"
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs: join the two element arrays back
+    and compute |∩|/|∪| per row (array_intersect inside codegen). Cost is
+    O(candidates), not O(n²)."""
+    la = docs.select(F.col(id_col).alias(left), F.col(set_col).alias("__sa"))
+    lb = docs.select(F.col(id_col).alias(right), F.col(set_col).alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    union = F.size(F.col("__sa")) + F.size(F.col("__sb")) - inter
+    return (
+        pairs.join(la, left)
+        .join(lb, right)
+        .select(left, right, (inter / union).alias("jaccard"))
+    )
+
+
+# SimHash: 64-bit signature. For each bit position i, sum +1/-1 votes of
+# every token's hash bit i; bit i of the signature is the sign. Pure
+# nested higher-order expression — per-row, JVM-side, deterministic.
+_SIMHASH_EXPR = """
+aggregate(
+  sequence(0, 63),
+  0L,
+  (acc, i) -> acc + IF(
+    aggregate({toks}, 0L,
+      (a, t) -> a + IF((shiftright(xxhash64(t), i) & 1L) = 1L, 1L, -1L)) > 0L,
+    shiftleft(1L, i), 0L)
+)
+"""
+
+
+def simhash(tokens_col_sql: str) -> Column:
+    """64-bit SimHash of a token array (pass the column as a SQL fragment,
+    e.g. ``"toks"``)."""
+    return F.expr(_SIMHASH_EXPR.format(toks=tokens_col_sql))
+
+
+def simhash_band_keys(sim_col: Column, bands: int = 4) -> Column:
+    """Split the 64-bit signature into ``bands`` equal bit-slices. Docs at
+    hamming distance ≤ bands-1 share at least one identical slice."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.xxhash64(F.lit(b), F.shiftright(sim_col, b * width).bitwiseAND(F.lit(mask)))
+            for b in range(bands)
+        ]
+    )

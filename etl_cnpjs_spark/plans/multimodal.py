@@ -1,0 +1,105 @@
+"""Multimodal-column plans (north_star): image/audio/video as opaque
+``binary`` columns with typed metadata.
+
+The testdata has no binary media, so the binary column is synthesized
+from document text (UTF-8 bytes) — the *plumbing* is the product here:
+binary schema, content hashing, Arrow-batched decode over mapInPandas,
+frame-sample fanout. The actual media decode is STUBBED deterministically
+(no image/audio libs in this environment): etl_cnpjs_spark/operators/
+multimodal.py marks the real-decoder seam with NotImplementedError and
+substitutes a deterministic fake feature extractor, so every downstream
+shape (schema, batch handling, partitioning) is real and tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_cnpjs_spark.catalog import table
+from etl_cnpjs_spark.operators.multimodal import decode_features_map_in_pandas
+from etl_cnpjs_spark.plans.registry import register
+
+
+def _with_blob(df: DataFrame) -> DataFrame:
+    """Synthesize the opaque media column: blob = UTF-8 bytes of text."""
+    return df.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("blob"),
+        F.col("source").alias("media_source"),
+    )
+
+
+@register(
+    "mm_meta",
+    oracle="""
+    SELECT doc_id,
+           source                     AS media_source,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text)               AS content_sha256,
+           substr(sha256(text), 1, 16) AS content_id
+    FROM documents
+    -- DuckDB 1.0's sha256 binds VARCHAR only; the blob here is exactly the
+    -- UTF-8 bytes of text, so hashing the VARCHAR is byte-identical to
+    -- Spark's sha2(blob, 256).
+    """,
+    tags=("north_star", "multimodal"),
+)
+def mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary column: byte length +
+    content-addressed identity (sha256). At 100 TB this is the dedup /
+    partition / lineage key layer for media lakes — computed JVM-side in
+    one scan, no decode."""
+    d = _with_blob(table(spark, sf_dir, "documents"))
+    sha = F.sha2(F.col("blob"), 256)
+    return d.select(
+        "doc_id",
+        "media_source",
+        F.length("blob").alias("n_bytes"),
+        sha.alias("content_sha256"),
+        F.substring(sha, 1, 16).alias("content_id"),
+    )
+
+
+@register(
+    "mm_decode",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))                        AS n_bytes,
+           octet_length(encode(text)) % 640                  AS width,
+           (octet_length(encode(text)) * 7) % 480            AS height,
+           1 + octet_length(encode(text)) % 120              AS n_frames
+    FROM documents
+    """,
+    tags=("north_star", "multimodal", "udf"),
+)
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode over mapInPandas: blob → (width, height,
+    n_frames). The decode itself is the deterministic STUB (real decoder
+    seam raises NotImplementedError; see operators/multimodal.py) — the
+    Spark-side contract (binary in via Arrow, typed struct out, batch
+    iteration, executor-side libs) is exactly the real one."""
+    d = _with_blob(table(spark, sf_dir, "documents"))
+    return decode_features_map_in_pandas(d)
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(0, (octet_length(encode(text)) % 120) // 10),
+             i -> i * 10)) AS frame_idx
+    FROM documents
+    """,
+    tags=("north_star", "multimodal"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling fanout: every 10th frame index per media blob
+    (n_frames stubbed from byte length). sequence+explode — a narrow op,
+    no shuffle; at scale the decode UDF runs *after* this fanout so each
+    task decodes only its sampled frames."""
+    d = _with_blob(table(spark, sf_dir, "documents"))
+    n_frames = F.length("blob") % 120  # stub: fake frame count (see mm_decode)
+    idx = F.sequence(F.lit(0), n_frames, F.lit(10))
+    return d.select("doc_id", F.explode(idx).alias("frame_idx"))

@@ -1,0 +1,163 @@
+"""Similarity-search plans over `embeddings` (north_star).
+
+All scores are exact doubles, bit-identical to DuckDB (see
+operators/similarity.py) — every plan here carries a full oracle,
+including the IVF approximate path (the approximation is in the
+*algorithm*, which the oracle re-derives exactly, not in the arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_cnpjs_spark.catalog import table
+from etl_cnpjs_spark.operators.similarity import cosine, sql_cosine, vec_double
+from etl_cnpjs_spark.plans.registry import register
+
+TOP_K = 10
+NEAR_DUP_TAU = 0.4  # this corpus's embeddings are near-orthogonal (max
+# pairwise cos ≈ 0.51 at sf0.01); 0.4 keeps the plan's output non-trivial.
+CENTROID_MOD = 97  # deterministic coarse quantizer: vec_id % 97 == 0
+N_PROBE = 2
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", vec_double(F.col("embedding")).alias("v"))
+
+
+_SQL_VECS = "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"
+
+
+@register(
+    "sim_topk",
+    oracle=f"""
+    WITH n AS ({_SQL_VECS}),
+    q AS (SELECT v AS qv, vec_id AS qid FROM n ORDER BY vec_id LIMIT 1)
+    SELECT n.vec_id, n.label, {sql_cosine("n.v", "q.qv")} AS cos_sim
+    FROM n, q
+    WHERE n.vec_id <> q.qid
+    ORDER BY cos_sim DESC, n.vec_id
+    LIMIT {TOP_K}
+    """,
+    tags=("north_star", "similarity"),
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for one query vector (the lowest vec_id):
+    broadcast the single query row, scan once, TakeOrderedAndProject heap.
+    The exact-ANN baseline; linear in corpus size at any scale."""
+    n = _vecs(spark, sf_dir)
+    q = (
+        n.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("v").alias("qv"), F.col("vec_id").alias("qid"))
+    )
+    scored = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", "label", cosine(F.col("v"), F.col("qv")).alias("cos_sim"))
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOP_K)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH n AS ({_SQL_VECS})
+    SELECT a.vec_id AS i, b.vec_id AS j, {sql_cosine("a.v", "b.v")} AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {sql_cosine("a.v", "b.v")} >= {NEAR_DUP_TAU}
+    """,
+    tags=("north_star", "similarity", "dedup"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ τ over all pairs i<j.
+
+    Brute-force O(n²) is the *test-scale baseline and oracle anchor* only;
+    at 100 TB this exact shape is what sim_topk_ivf's bucketing replaces
+    (prune to same-centroid pairs), with identical per-pair arithmetic."""
+    n = _vecs(spark, sf_dir)
+    a = n.select(F.col("vec_id").alias("i"), F.col("v").alias("va"))
+    b = n.select(F.col("vec_id").alias("j"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("i") < F.col("j"))
+        .select("i", "j", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= NEAR_DUP_TAU)
+    )
+
+
+_SQL_IVF = f"""
+    WITH n AS ({_SQL_VECS}),
+    c AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id % {CENTROID_MOD} = 0),
+    assign AS (
+      SELECT vec_id, label, v, cid FROM (
+        SELECT n.vec_id, n.label, n.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {sql_cosine("n.v", "c.cv")} DESC, c.cid) AS rn
+        FROM n, c) t
+      WHERE rn = 1
+    ),
+    q AS (SELECT v AS qv, vec_id AS qid FROM n ORDER BY vec_id LIMIT 1),
+    probes AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               ROW_NUMBER() OVER (ORDER BY {sql_cosine("q.qv", "c.cv")} DESC, c.cid) AS rn
+        FROM c, q) t
+      WHERE rn <= {N_PROBE}
+    )
+    SELECT a.vec_id, a.label, a.cid, {sql_cosine("a.v", "q.qv")} AS cos_sim
+    FROM assign a JOIN probes p ON a.cid = p.cid, q
+    WHERE a.vec_id <> q.qid
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT {TOP_K}
+"""
+
+
+@register("sim_topk_ivf", oracle=_SQL_IVF, tags=("north_star", "similarity", "ann"))
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic coarse centroids
+    (vec_id % CENTROID_MOD == 0), nearest-centroid assignment (broadcast
+    centroids — no shuffle), probe the query's N_PROBE nearest buckets.
+
+    The scale path for ANN: assignment is one broadcast-join pass; a probe
+    touches |corpus|·nprobe/|centroids| vectors instead of all. The oracle
+    re-derives the same algorithm, so this approximate plan still
+    hash-matches exactly."""
+    n = _vecs(spark, sf_dir)
+    c = n.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(cosine(F.col("v"), F.col("cv"))), F.asc("cid")
+    )
+    assign = (
+        n.crossJoin(F.broadcast(c))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "v", "cid")
+    )
+    q = (
+        n.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("v").alias("qv"), F.col("vec_id").alias("qid"))
+    )
+    probes = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc(cosine(F.col("qv"), F.col("cv"))), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("rn") <= N_PROBE)
+        .select("cid")
+    )
+    return (
+        assign.join(F.broadcast(probes), "cid")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", "label", "cid", cosine(F.col("v"), F.col("qv")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )

@@ -1,0 +1,222 @@
+"""Text-analysis plans (north_star): stats, token counting, quality
+scoring, language ID, fingerprinting — over the `documents` table.
+
+Everything is Catalyst higher-order expressions (functions/text.py) — the
+100 TB posture for text: no Python UDFs, no vocabulary shuffle; every
+metric computes inside the row in whole-stage codegen, so the stage is a
+single scan with zero exchanges.
+
+Each plan has an exact DuckDB oracle: the heuristics are deliberately
+defined over engine-portable primitives (token membership counts, integer
+ratios, md5) so the correctness gate can hash-match them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_cnpjs_spark.catalog import table
+from etl_cnpjs_spark.functions.text import (
+    char_count_no_ws,
+    normalized_text,
+    token_overlap_count,
+    tokens,
+)
+from etl_cnpjs_spark.plans.registry import register
+
+STOPWORDS = ["the", "a", "of", "and", "is", "to", "in"]
+
+# marker vocabularies for the n-gram/stopword language heuristic
+_LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "los", "las", "una", "es"],
+    "fr": ["le", "la", "les", "des", "est"],
+}
+_CJK = "[一-鿿]"
+
+_SQL_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+def _sql_hits(vocab: list[str]) -> str:
+    lits = ",".join(f"'{w}'" for w in vocab)
+    return f"len(list_filter({_SQL_TOKS}, t -> t IN ({lits})))"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text)                                  AS n_chars_raw,
+           length(regexp_replace(text, '\\s+', '', 'g')) AS n_chars,
+           len({_SQL_TOKS})                              AS n_tokens,
+           len(list_distinct({_SQL_TOKS}))               AS n_distinct_tokens,
+           length(regexp_replace(text, '\\s+', '', 'g'))
+             / len({_SQL_TOKS})                          AS avg_token_len
+    FROM documents
+    """,
+    tags=("north_star", "text"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document size/token statistics in one codegen stage."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        char_count_no_ws(F.col("text")).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (char_count_no_ws(F.col("text")) / F.size(toks)).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+'))                    AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))  AS re_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT)                      AS bpe_est_tokens
+    FROM documents
+    """,
+    tags=("north_star", "text"),
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex lexer
+    (word-or-single-punct — a tokenizer-shaped superset of whitespace),
+    and the chars/4 estimator used for quick budget accounting."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)).alias(
+            "re_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).alias("bpe_est_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           len({_SQL_TOKS}) AS n_tokens,
+           {_sql_hits(STOPWORDS)} / len({_SQL_TOKS}) AS stopword_ratio,
+           list_sum(list_transform({_SQL_TOKS}, t -> length(t)))
+             / len({_SQL_TOKS})                      AS mean_token_len,
+           len(list_distinct({_SQL_TOKS}))
+             / len({_SQL_TOKS})                      AS distinct_ratio,
+           CASE
+             WHEN len({_SQL_TOKS}) >= 20
+                  AND len(list_distinct({_SQL_TOKS})) / len({_SQL_TOKS}) >= 0.2
+               THEN 'good'
+             WHEN len({_SQL_TOKS}) >= 5 THEN 'fair'
+             ELSE 'junk'
+           END AS quality
+    FROM documents
+    """,
+    tags=("north_star", "text"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length / stopword ratio / vocabulary
+    diversity — the standard pretraining-corpus filters, as pure column
+    math (compare: Gopher/C4-style rules)."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    mean_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n
+    quality = (
+        F.when((n >= 20) & ((n_distinct / n) >= 0.2), "good")
+        .when(n >= 5, "fair")
+        .otherwise("junk")
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (token_overlap_count(toks, STOPWORDS) / n).alias("stopword_ratio"),
+        mean_len.alias("mean_token_len"),
+        (n_distinct / n).alias("distinct_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def _lang_sql() -> str:
+    hits = {lang: _sql_hits(vocab) for lang, vocab in _LANG_MARKERS.items()}
+    return f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {hits["en"]} AS en_hits, {hits["de"]} AS de_hits,
+           {hits["es"]} AS es_hits, {hits["fr"]} AS fr_hits,
+           CASE
+             WHEN regexp_matches(text, '{_CJK}') THEN 'zh'
+             WHEN {hits["en"]} = 0 AND {hits["de"]} = 0
+                  AND {hits["es"]} = 0 AND {hits["fr"]} = 0 THEN 'und'
+             WHEN {hits["en"]} >= greatest({hits["de"]}, {hits["es"]}, {hits["fr"]}) THEN 'en'
+             WHEN {hits["de"]} >= greatest({hits["es"]}, {hits["fr"]}) THEN 'de'
+             WHEN {hits["es"]} >= {hits["fr"]} THEN 'es'
+             ELSE 'fr'
+           END AS predicted_lang
+    FROM documents
+    """
+
+
+@register("text_lang_id", oracle=_lang_sql(), tags=("north_star", "text"))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (CJK-script check + per-language stopword
+    hit counts, fixed precedence on ties). Deterministic by construction —
+    the oracle re-derives the identical decision procedure."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    hits = {lang: token_overlap_count(toks, vocab) for lang, vocab in _LANG_MARKERS.items()}
+    predicted = (
+        F.when(F.col("text").rlike(_CJK), "zh")
+        .when(
+            (hits["en"] == 0) & (hits["de"] == 0) & (hits["es"] == 0) & (hits["fr"] == 0), "und"
+        )
+        .when(hits["en"] >= F.greatest(hits["de"], hits["es"], hits["fr"]), "en")
+        .when(hits["de"] >= F.greatest(hits["es"], hits["fr"]), "de")
+        .when(hits["es"] >= hits["fr"], "es")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits["en"].alias("en_hits"),
+        hits["de"].alias("de_hits"),
+        hits["es"].alias("es_hits"),
+        hits["fr"].alias("fr_hits"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))      AS fp_content,
+           md5(array_to_string(
+                 list_sort(list_distinct(string_split_regex(trim(text), '\s+'))),
+                 ' '))                                                  AS fp_bag,
+           substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 8)
+                                                                        AS fp_short
+    FROM documents
+    """,
+    tags=("north_star", "text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of whitespace-normalized content (exact
+    dedup key robust to formatting) + md5 of the sorted token bag
+    (order-insensitive near-exact key). md5 is engine-portable, so both
+    fingerprints oracle-match bit-for-bit; grouping by fp_* is the
+    shuffle-light exact-dedup path at scale (16-byte keys, not documents)."""
+    d = table(spark, sf_dir, "documents")
+    norm = normalized_text(F.col("text"))
+    bag = F.array_join(F.array_sort(F.array_distinct(tokens(F.col("text")))), " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fp_content"),
+        F.md5(bag).alias("fp_bag"),
+        F.substring(F.md5(norm), 1, 8).alias("fp_short"),
+    )

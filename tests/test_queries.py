@@ -40,4 +40,7 @@ def test_contract_shape():
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert all(callable(f) for f in q.values())
-    assert all(isinstance(s, str) and s.strip().upper().startswith("SELECT") for s in o.values())
+    assert all(
+        isinstance(s, str) and s.strip().upper().startswith(("SELECT", "WITH"))
+        for s in o.values()
+    )
