@@ -83,6 +83,59 @@ def dedup_keep_latest(
     return df.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
 
 
+def join_asof(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    payload: Sequence[str],
+) -> DataFrame:
+    """As-of join: each left row picks the latest right row with
+    right_time <= left_time for the same key (inner semantics — unmatched
+    left rows drop).
+
+    Scalable union-merge formulation: tag both sides, union, ONE shuffle on
+    the key, one sort by (time, side), then carry the most recent payload
+    forward with last(ignorenulls) over an unbounded-preceding window.
+    Never builds the naive (left × right-history) join, so cost is
+    O((|L|+|R|) log) per key regardless of history depth — this is the
+    standard streaming/temporal formulation (cf. KDB asof / Flink temporal
+    join), expressed in pure DataFrame ops.
+
+    ``right`` must be unique per (key, right_time) — pre-dedup with
+    dedup_keep_latest for deterministic payloads.
+    """
+    lcols = left.columns
+    # side=0 sorts right rows first at equal timestamps: a left row at
+    # exactly right_time matches it (>= semantics)
+    r = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_time).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    l = left.select(
+        F.col(left_key).alias("__k"),
+        F.col(left_time).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload],
+        *lcols,
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l).select(
+        "*", *[F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__c_{c}") for c in payload]
+    )
+    out = carried.filter((F.col("__side") == 1) & F.col(f"__c_{payload[0]}").isNotNull())
+    return out.select(*lcols, *[F.col(f"__c_{c}").alias(f"matched_{c}") for c in payload])
+
+
 def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
     """Global top-k. orderBy(...).limit(k) compiles to TakeOrderedAndProject:
     per-partition heaps + a k-row merge on the driver — no global sort, no

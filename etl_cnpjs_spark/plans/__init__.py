@@ -14,5 +14,6 @@ from etl_cnpjs_spark.plans import text  # noqa: E402,F401
 from etl_cnpjs_spark.plans import dedup  # noqa: E402,F401
 from etl_cnpjs_spark.plans import similarity  # noqa: E402,F401
 from etl_cnpjs_spark.plans import multimodal  # noqa: E402,F401
+from etl_cnpjs_spark.plans import streaming  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "register"]

@@ -22,6 +22,7 @@ from etl_cnpjs_spark.catalog import table
 from etl_cnpjs_spark.operators.relational import (
     dedup_keep_latest,
     filter_in_lists,
+    join_asof,
     star_join,
     top_k,
 )
@@ -336,6 +337,43 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         (li.l_orderkey == o.o_orderkey)
         & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
     ).select("o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH o1 AS (
+      SELECT o_custkey, o_orderdate, o_orderkey FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders) t
+      WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           o.o_orderkey  AS matched_o_orderkey,
+           o.o_orderdate AS matched_o_orderdate
+    FROM events e
+    ASOF JOIN o1 o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the customer's most recent order at
+    event time. Right side pre-deduped per (custkey, orderdate) for a
+    deterministic payload. Spark side is the union-merge formulation
+    (operators/relational.py::join_asof — one shuffle, no history fanout);
+    oracle uses DuckDB's native ASOF JOIN — same semantics, two engines,
+    two completely different physical strategies."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    o1 = dedup_keep_latest(orders, ["o_custkey", "o_orderdate"], [F.desc("o_orderkey")])
+    return join_asof(
+        ev, o1,
+        left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        payload=["o_orderkey", "o_orderdate"],
+    )
 
 
 # --- aggregations ----------------------------------------------------------

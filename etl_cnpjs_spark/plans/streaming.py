@@ -1,0 +1,73 @@
+"""Streaming-shaped plans over `events`, registered in their batch form
+(the driver's oracle runs batch SQL; TESTDATA is static parquet).
+
+The SAME transforms execute under Structured Streaming — readStream →
+withWatermark → transform → writeStream — in tests/test_streaming.py.
+That is the contract: batch and stream share one definition, so the
+oracle that validates the batch form validates the streaming semantics
+for all on-time data (late-data handling is watermark-dependent and
+exercised in the streaming tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_cnpjs_spark.catalog import table
+from etl_cnpjs_spark.plans.registry import register
+from etl_cnpjs_spark.streaming.windows import session_windows, tumbling_counts
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000)
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-min event-time windows (batch form of the streaming
+    aggregation — identical transform runs under readStream with
+    withWatermark('ts', '1 hour'); see streaming/windows.py)."""
+    return tumbling_counts(table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts)                        AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE   AS session_end,
+           COUNT(*)                       AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+    tags=("streaming", "window", "session"),
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-min-gap sessionization via Spark's native
+    session_window (mergeable, streaming-state capable). The oracle
+    re-derives session semantics with the lag/cumsum formulation:
+    new session when ts - prev >= gap (session end is exclusive),
+    end = last event + gap."""
+    return session_windows(table(spark, sf_dir, "events"))

@@ -1,0 +1,64 @@
+"""Windowed event-time aggregations, batch/stream agnostic.
+
+Both transforms run unchanged on a batch DataFrame (the oracle-checked
+form in plans/streaming.py) and on a streaming DataFrame behind
+``withWatermark`` (tests/test_streaming.py). Decimal accumulation keeps
+sums exact and engine-portable (see plans/registry.py).
+
+Late data: in streaming execution, callers apply
+``df.withWatermark("ts", <delay>)`` before these transforms; events later
+than the watermark are dropped by the engine and windows finalize once the
+watermark passes their end — semantics the batch form trivially satisfies
+(batch sees all data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(27,6)"
+
+TUMBLING_WINDOW = "10 minutes"
+SESSION_GAP = "30 minutes"
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """10-minute tumbling windows per event_type: count + exact value sum.
+    window().start is epoch-aligned — floor(epoch/600)*600, which is what
+    the DuckDB oracle mirrors with make_timestamp."""
+    return (
+        events.groupBy(F.window("ts", TUMBLING_WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap.
+    session_window() is Spark's native mergeable session operator (works
+    under streaming state management); its semantics — start = min(ts),
+    end = max(ts) + gap, new session when the gap is reached (end is
+    exclusive) — are re-derived by the oracle's lag/cumsum SQL."""
+    return (
+        events.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
