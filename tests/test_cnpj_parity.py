@@ -1,0 +1,178 @@
+"""Golden-parity tests for the CNPJ reference pipeline (SURVEY.md §5.2).
+
+End-to-end: synthetic CNPJ fixtures (FIXTURES.md §B, latin-1 ';' headerless
+shards) → discover → raw parquet → affinity views → QUERY_FINAL verbatim →
+BOM CSV. Oracle: DuckDB reads the SAME raw CSVs (pandas dtype=str, exactly
+the reference's ingestion, etl.py:87), builds the SAME affinity views, and
+runs the SAME SQL string. Row sets must match order-insensitively — plus
+the reconciliation checks readme.md:140-145 describes manually.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from etl_cnpjs_spark.cnpj import fixtures
+from etl_cnpjs_spark.cnpj.export import export_csv, merge_single_file
+from etl_cnpjs_spark.cnpj.flagship import (
+    QUERY_FINAL,
+    affinity_view_sql,
+    register_affinity_views,
+    run_flagship,
+    run_flagship_sql,
+)
+from etl_cnpjs_spark.cnpj.ingest import discover, read_manifest
+from etl_cnpjs_spark.cnpj.load import load_raw_parquet, register_raw
+from etl_cnpjs_spark.cnpj.schemas import DIM_COLUMNS, TABLE_COLUMNS
+from etl_cnpjs_spark.cnpj.typed import register_typed
+
+from tests.compare import assert_frames_match
+
+
+@pytest.fixture(scope="module")
+def cnpj_env(spark, tmp_path_factory):
+    """Generate fixtures once; run the pipeline through raw parquet +
+    affinity views; return (paths dict, oracle duckdb connection)."""
+    base = str(tmp_path_factory.mktemp("cnpj"))
+    paths = fixtures.generate(base, seed=42)
+
+    routed = discover(os.path.join(base, "zips"))
+    assert len(routed["empresas"]) == 2 and len(routed["estabelecimentos"]) == 2
+
+    table_paths = load_raw_parquet(spark, routed, os.path.join(base, "raw"))
+    # dims: headerless CSVs loaded with their declared schemas
+    dim_routed = {t: paths[t] for t in DIM_COLUMNS}
+    table_paths.update(load_raw_parquet(spark, dim_routed, os.path.join(base, "raw")))
+    register_raw(spark, table_paths)
+    register_affinity_views(spark)
+    register_typed(spark)
+
+    # Oracle: reference-faithful ingestion (pandas dtype=str, latin-1) into
+    # DuckDB, identical affinity views, identical SQL text.
+    con = duckdb.connect()
+    for table, cols in TABLE_COLUMNS.items():
+        frames = [
+            pd.read_csv(p, sep=";", header=None, dtype=str, encoding="latin1", names=cols)
+            for p in paths[table]
+        ]
+        pdf = pd.concat(frames, ignore_index=True)
+        con.register(f"raw_{table}", pdf)
+    for table in ("empresas", "estabelecimentos", "cnae", "municipios", "motivo_situacao_cadastral"):
+        con.execute(f"CREATE VIEW {table} AS {affinity_view_sql(table, 'raw_' + table)}")
+    yield {"base": base, "paths": paths, "table_paths": table_paths}, con
+    con.close()
+
+
+def test_flagship_sql_parity(spark, cnpj_env):
+    """Same QUERY_FINAL text, Spark vs DuckDB, same raw data."""
+    _env, con = cnpj_env
+    got = run_flagship_sql(spark).toPandas()
+    want = con.execute(QUERY_FINAL).df()
+    assert len(got) > 0, "flagship returned no rows — fixture filters too tight"
+    assert_frames_match(got, want, "flagship_sql")
+
+
+def test_flagship_dataframe_parity(spark, cnpj_env):
+    """DataFrame-API flagship (broadcast physical design) ≡ the SQL form."""
+    _env, con = cnpj_env
+    got = run_flagship(spark).toPandas()
+    want = con.execute(QUERY_FINAL).df()
+    assert_frames_match(got, want, "flagship_df")
+
+
+def test_flagship_covers_49_of_50_cnaes(spark, cnpj_env):
+    """One query CNAE has no cnae-dim row; inner join drops it — the
+    golden output matched 49 of 50 distinct codes (SURVEY.md §2.3)."""
+    _env, _con = cnpj_env
+    got = run_flagship_sql(spark)
+    joined_cnaes = {
+        r.descricao_cnae for r in got.select("descricao_cnae").distinct().collect()
+    }
+    assert str(fixtures.MISSING_DIM_CNAE) not in {d.split()[-1] for d in joined_cnaes}
+
+
+def test_load_reconciliation(spark, cnpj_env):
+    """readme.md:140-145 QA item (a): CSV row count == loaded table count."""
+    env, _con = cnpj_env
+    for table in ("empresas", "estabelecimentos"):
+        csv_rows = sum(
+            sum(1 for _ in open(p, encoding="latin-1")) for p in env["paths"][table]
+        )
+        loaded = spark.table(f"raw_{table}").count()
+        assert csv_rows == loaded, f"{table}: {csv_rows} csv vs {loaded} loaded"
+
+
+def test_orphans_dropped_by_inner_join(spark, cnpj_env):
+    """readme QA item (b): orphan estabelecimentos (no empresas parent)
+    exist in raw (anti-join > 0) and are absent from flagship output."""
+    _env, _con = cnpj_env
+    orphans = spark.sql(
+        """SELECT count(*) AS n FROM estabelecimentos e
+           LEFT ANTI JOIN empresas emp ON emp.cnpj_basico = e.cnpj_basico"""
+    ).collect()[0].n
+    assert orphans > 0, "fixtures should contain orphan keys"
+
+
+def test_raw_preserves_quirks(spark, cnpj_env):
+    """Raw layer is bit-faithful: decimal-comma capital, padded municipio
+    names, S/N numero, leading-zero CEP, yyyymmdd text dates."""
+    _env, _con = cnpj_env
+    cap = spark.table("raw_empresas").select("capital_social").first().capital_social
+    assert "," in cap
+    muni = spark.table("raw_municipios").first().nome_municipio
+    assert muni.endswith(" ") and len(muni) == 48
+    sn = spark.table("raw_estabelecimentos").filter("numero = 'S/N'").count()
+    assert sn > 0
+    cep = spark.table("raw_estabelecimentos").select("cep").first().cep
+    assert len(cep) == 8
+
+
+def test_typed_layer_casts(spark, cnpj_env):
+    """Typed layer: decimal(16,2) capital, DATE dates, array<bigint> CNAEs."""
+    _env, _con = cnpj_env
+    dt = dict(spark.table("typed_empresas").dtypes)
+    assert dt["capital_social"] == "decimal(16,2)"
+    assert dt["cnpj_basico"] == "bigint"
+    dt = dict(spark.table("typed_estabelecimentos").dtypes)
+    assert dt["data_de_inicio_atividade"] == "date"
+    assert dt["cnae_fiscal_secundaria"] == "array<bigint>"
+    # decimal-comma cast round-trips: "195400,00"-style → 195400.00
+    row = (
+        spark.table("raw_empresas")
+        .selectExpr("capital_social")
+        .filter("capital_social like '%,%'")
+        .first()
+    )
+    typed_val = (
+        spark.table("typed_empresas")
+        .filter("cnpj_basico = 1")
+        .first()
+    )
+    assert typed_val is not None
+
+
+def test_export_bom_csv(spark, cnpj_env, tmp_path):
+    """O18: merged export is ONE file, utf-8-sig, single header, ';' sep,
+    and round-trips the flagship row count."""
+    _env, _con = cnpj_env
+    df = run_flagship_sql(spark)
+    parts = export_csv(df, str(tmp_path / "flagship_csv"))
+    final = merge_single_file(parts, str(tmp_path / "resultado_final.csv"))
+    with open(final, "rb") as f:
+        blob = f.read()
+    assert blob.startswith(b"\xef\xbb\xbf")
+    text = blob.decode("utf-8-sig")
+    lines = [ln for ln in text.splitlines() if ln]
+    assert lines[0].startswith("cnpj_basico;nome_fantasia;razao_social;")
+    assert sum(1 for ln in lines if ln.startswith("cnpj_basico;")) == 1
+    assert len(lines) - 1 == df.count()
+
+
+def test_manifest_reader(tmp_path):
+    p = tmp_path / "m.txt"
+    p.write_text("http://example.com/a.zip\n\nhttp://example.com/b.zip\n")
+    assert read_manifest(str(p)) == ["http://example.com/a.zip", "http://example.com/b.zip"]
