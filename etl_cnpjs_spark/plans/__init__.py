@@ -9,6 +9,7 @@ from etl_cnpjs_spark.plans.registry import QUERIES, QuerySpec, register  # noqa:
 
 # Import order == SURVEY.md §2 inventory order; each import populates QUERIES.
 from etl_cnpjs_spark.plans import relational  # noqa: E402,F401
+from etl_cnpjs_spark.plans import sinks  # noqa: E402,F401
 from etl_cnpjs_spark.plans import functions  # noqa: E402,F401
 from etl_cnpjs_spark.plans import text  # noqa: E402,F401
 from etl_cnpjs_spark.plans import dedup  # noqa: E402,F401

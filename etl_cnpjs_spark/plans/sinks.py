@@ -1,0 +1,82 @@
+"""Sink plans — write-then-read-back round trips.
+
+A sink has no result set of its own, so each plan materializes a
+deterministic slice through the sink and returns the read-back DataFrame;
+the oracle computes the same slice directly. Equality therefore proves the
+round trip is lossless (schema + values), which is the sink property worth
+testing — the reference's equivalent guarantee is "what to_csv wrote,
+read_csv returns" (O6/O18) and "what to_sql appended, SELECT returns"
+(O10).
+
+CSV is the deliberately lossy-looking case: everything becomes text on
+disk; the read-back declares the schema (never infers — SURVEY.md §1.2)
+and must still reproduce bit-identical doubles (Java's shortest-round-trip
+double formatting guarantees this).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_cnpjs_spark.catalog import table
+from etl_cnpjs_spark.plans.registry import register
+from etl_cnpjs_spark.sources.sinks import sink_csv, sink_parquet
+
+# Small deterministic slice: one nation's customers (joins not needed —
+# sinks are about the write path, not the plan above them).
+_SLICE_SQL = """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_nationkey IN (3, 7) AND c_acctbal > 0
+"""
+
+
+def _slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.filter(c.c_nationkey.isin(3, 7) & (c.c_acctbal > 0))
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    )
+
+
+@register("sink_parquet", oracle=_SLICE_SQL)
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9-analog: parquet out, parquet back; schema travels in the footer."""
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_parquet_"), "slice.parquet")
+    sink_parquet(_slice(spark, sf_dir), out)
+    return spark.read.parquet(out)
+
+
+@register("sink_csv_bom", oracle=_SLICE_SQL)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6/O18-analog: ';' CSV with header out, declared-schema read back."""
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_csv_"), "slice_csv")
+    sink_csv(_slice(spark, sf_dir), out)
+    return (
+        spark.read.schema(
+            "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+        )
+        .option("sep", ";")
+        .option("header", "true")
+        .csv(out)
+    )
+
+
+@register("sink_table", oracle=_SLICE_SQL)
+def sink_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10-analog: saveAsTable into the session catalog (external table —
+    data lands in a temp dir, not the warehouse), read via spark.table.
+    Unique name per run so concurrent or repeated runs never collide."""
+    tmp = tempfile.mkdtemp(prefix="sink_table_")
+    name = "sink_rt_" + os.path.basename(tmp).removeprefix("sink_table_")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        _slice(spark, sf_dir)
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", os.path.join(tmp, "data"))
+        .saveAsTable(name)
+    )
+    return spark.table(name)
