@@ -1,0 +1,55 @@
+"""Connected components via iterative min-label propagation — the
+clustering step that turns near-dup *pairs* into dedup *groups*.
+
+The reference has no graph surface; this is north_star machinery (a
+training-data pipeline dedups by cluster, keeping one canonical doc per
+component). Algorithm = the standard MapReduce/Pregel min-label loop
+(cf. GraphX ConnectedComponents, Kiveris et al. "Connected Components in
+MapReduce and Beyond"):
+
+    label(v) ← v
+    repeat: label(v) ← min(label(v), min over neighbors u of label(u))
+
+Each round is one shuffle (edge-join + min-groupBy). Rounds needed =
+graph diameter (near-dup clusters are dense, so 2-4 in practice); the
+loop is a *driver* loop but every iteration's work is fully distributed —
+the driver only sees the one-row convergence count. Lineage is truncated
+per round with localCheckpoint, or the plan tree grows exponentially.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(node) × (src, dst) → (node, component) with component = min node id
+    reachable. Singletons map to themselves. Deterministic."""
+    both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = nodes.select(F.col("node"), F.col("node").alias("component"))
+    for _ in range(max_iter):
+        # neighbor's current component, propagated across each edge
+        prop = (
+            both.join(labels, both.src == labels.node)
+            .select(F.col("dst").alias("node"), F.col("component"))
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

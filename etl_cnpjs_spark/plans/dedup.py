@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from etl_cnpjs_spark.catalog import table
 from etl_cnpjs_spark.functions.text import shingles, tokens
+from etl_cnpjs_spark.operators.graph import connected_components
 from etl_cnpjs_spark.operators.dedup import (
     candidate_pairs,
     exact_jaccard,
@@ -116,6 +117,55 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = candidate_pairs(signed, "doc_id", "bk")
     verified = exact_jaccard(cands, signed, "doc_id", "sh")
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+# Dedup clustering: near-dup pairs → connected components → one canonical
+# doc per cluster. The oracle re-derives components with a recursive CTE
+# (transitive closure + min reachable id) over the same exact-Jaccard pairs.
+_SQL_CLUSTER = (
+    "WITH RECURSIVE "
+    + _SQL_SHINGLES.strip().removeprefix("WITH")
+    + f"""
+  , ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+  sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+  p AS (
+    SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  pairs AS (
+    SELECT i, j FROM p
+    JOIN sz s1 ON p.i = s1.doc_id JOIN sz s2 ON p.j = s2.doc_id
+    WHERE inter / (s1.n + s2.n - inter) >= {JACCARD_THRESHOLD}
+  ),
+  edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+  reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+  ),
+  comp AS (SELECT a, least(a, min(b)) AS component FROM reach GROUP BY a)
+  SELECT d2.doc_id, coalesce(c.component, d2.doc_id) AS component
+  FROM documents d2 LEFT JOIN comp c ON d2.doc_id = c.a
+"""
+)
+
+
+@register("dedup_cluster", oracle=_SQL_CLUSTER, tags=("north_star", "dedup", "graph"))
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: exact-Jaccard near-dup pairs → connected
+    components (operators/graph.py min-label loop) → (doc_id, component)
+    for EVERY document; component = min doc_id of the near-dup cluster,
+    singletons keep their own id. Downstream dedup keeps
+    doc_id == component — one canonical doc per cluster, the step that
+    turns pair detection into an actual corpus dedup."""
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    labels = connected_components(
+        d.select(F.col("doc_id").alias("node")),
+        pairs.select(F.col("i").alias("src"), F.col("j").alias("dst")),
+    )
+    return labels.select(F.col("node").alias("doc_id"), "component")
 
 
 SIMHASH_MAX_HAMMING = 5  # planted near-dups land ≤ 5 on this corpus;
