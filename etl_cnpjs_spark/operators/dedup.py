@@ -43,16 +43,26 @@ def minhash_signature(shingles_col: Column, num_hashes: int = 16) -> Column:
     )
 
 
-def lsh_band_keys(sig_col: Column, bands: int, rows: int) -> Column:
-    """Band keys: hash of each contiguous ``rows``-slice of the signature.
+def minhash_band_keys(shingles_col: Column, bands: int, rows: int) -> Column:
+    """Band keys straight from the shingle array: key[b] = xxhash64(b,
+    sig[b·rows], …, sig[b·rows+rows-1]) with sig[j] the j-seeded min-hash.
     Two docs collide in band b iff their signatures agree on that slice —
-    P(collide | jaccard=j) = 1-(1-j^rows)^bands."""
-    return F.array(
-        *[
-            F.xxhash64(F.lit(b), *[F.element_at(sig_col, b * rows + r + 1) for r in range(rows)])
-            for b in range(bands)
+    P(collide | jaccard=j) = 1-(1-j^rows)^bands.
+
+    Built per-band rather than via an intermediate signature column on
+    purpose: referencing a signature Column object B×R times would embed
+    B×R *copies* of the full signature expression in the plan (Catalyst
+    collapses adjacent Projects and higher-order exprs get no
+    subexpression elimination), turning O(H) array passes per row into
+    O(H²). This form evaluates each seeded min-hash exactly once."""
+    keys = []
+    for b in range(bands):
+        mins = [
+            F.array_min(F.transform(shingles_col, _seeded_hash(b * rows + r)))
+            for r in range(rows)
         ]
-    )
+        keys.append(F.xxhash64(F.lit(b), *mins))
+    return F.array(*keys)
 
 
 def candidate_pairs(
@@ -99,14 +109,24 @@ def exact_jaccard(
 # SimHash: 64-bit signature. For each bit position i, sum +1/-1 votes of
 # every token's hash bit i; bit i of the signature is the sign. Pure
 # nested higher-order expression — per-row, JVM-side, deterministic.
+# Structured so each token is hashed exactly ONCE (inner transform), then
+# folded into a 64-counter array in a single pass; the naive per-bit form
+# (aggregate over 64 bits, each re-aggregating all tokens) costs 64
+# xxhash evaluations per token and is ~20× slower, same signature.
 _SIMHASH_EXPR = """
 aggregate(
-  sequence(0, 63),
+  zip_with(
+    aggregate(
+      transform({toks}, t -> xxhash64(t)),
+      array_repeat(0L, 64),
+      (acc, h) -> zip_with(acc, sequence(0, 63),
+                           (a, i) -> a + IF((shiftright(h, i) & 1L) = 1L, 1L, -1L))
+    ),
+    sequence(0, 63),
+    (c, i) -> IF(c > 0L, shiftleft(1L, i), 0L)
+  ),
   0L,
-  (acc, i) -> acc + IF(
-    aggregate({toks}, 0L,
-      (a, t) -> a + IF((shiftright(xxhash64(t), i) & 1L) = 1L, 1L, -1L)) > 0L,
-    shiftleft(1L, i), 0L)
+  (acc, b) -> acc | b
 )
 """
 

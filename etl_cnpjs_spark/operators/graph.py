@@ -28,7 +28,12 @@ def connected_components(
 ) -> DataFrame:
     """(node) × (src, dst) → (node, component) with component = min node id
     reachable. Singletons map to themselves. Deterministic."""
-    both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Materialize the (possibly expensive) edge plan once — the loop
+    # re-reads it every iteration, and without the barrier each round
+    # would recompute the full upstream pair-detection job.
+    both = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
     labels = nodes.select(F.col("node"), F.col("node").alias("component"))
     for _ in range(max_iter):
         # neighbor's current component, propagated across each edge

@@ -28,8 +28,7 @@ from etl_cnpjs_spark.operators.graph import connected_components
 from etl_cnpjs_spark.operators.dedup import (
     candidate_pairs,
     exact_jaccard,
-    lsh_band_keys,
-    minhash_signature,
+    minhash_band_keys,
     simhash,
     simhash_band_keys,
 )
@@ -68,9 +67,17 @@ _SQL_EXACT_JACCARD = (
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) with non-empty distinct 3-gram shingles, materialized
+    via localCheckpoint: every dedup plan references this frame from 2-4
+    branches of a self-join, and without a barrier Spark re-tokenizes and
+    re-shingles the corpus once per branch (higher-order exprs are outside
+    codegen/CSE). At cluster scale the same role is played by
+    persist(DISK_ONLY) or a staged parquet write."""
     d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", shingles(tokens(F.col("text"))).alias("sh")).filter(
-        F.size("sh") > 0
+    return (
+        d.select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .localCheckpoint()
     )
 
 
@@ -112,7 +119,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed = docs.select(
         "doc_id",
         "sh",
-        lsh_band_keys(minhash_signature(F.col("sh"), 16), bands=8, rows=2).alias("bk"),
+        minhash_band_keys(F.col("sh"), bands=8, rows=2).alias("bk"),
     )
     cands = candidate_pairs(signed, "doc_id", "bk")
     verified = exact_jaccard(cands, signed, "doc_id", "sh")
@@ -185,10 +192,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine-specific hash (xxhash64) → rows-only driver check;
     cross-checked against Jaccard ground truth in tests."""
     d = table(spark, sf_dir, "documents")
-    signed = (
+    # Materialize the signature before banding: simhash_band_keys refers
+    # to the sig column 8 times, and CollapseProject would otherwise
+    # inline 8 full copies of the signature aggregate into the plan.
+    sigs = (
         d.select("doc_id", tokens(F.col("text")).alias("toks"))
         .select("doc_id", simhash("toks").alias("sig"))
-        .select("doc_id", "sig", simhash_band_keys(F.col("sig"), bands=8).alias("bk"))
+        .localCheckpoint()
+    )
+    signed = sigs.select(
+        "doc_id", "sig", simhash_band_keys(F.col("sig"), bands=8).alias("bk")
     )
     cands = candidate_pairs(signed, "doc_id", "bk")
     sa = signed.select(F.col("doc_id").alias("i"), F.col("sig").alias("__siga"))
