@@ -16,5 +16,6 @@ from etl_cnpjs_spark.plans import dedup  # noqa: E402,F401
 from etl_cnpjs_spark.plans import similarity  # noqa: E402,F401
 from etl_cnpjs_spark.plans import multimodal  # noqa: E402,F401
 from etl_cnpjs_spark.plans import streaming  # noqa: E402,F401
+from etl_cnpjs_spark.plans import extended  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "register"]

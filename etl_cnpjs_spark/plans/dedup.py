@@ -116,11 +116,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification guarantees output ⊆ exact, and banding recall on this
     corpus is 100% (asserted by tests/test_dedup_recall.py)."""
     docs = _doc_shingles(spark, sf_dir)
+    # Second barrier after the signature: candidate_pairs self-joins this
+    # frame (two branches), so an unmaterialized bk would run the 16
+    # min-hash array passes twice.
     signed = docs.select(
         "doc_id",
         "sh",
         minhash_band_keys(F.col("sh"), bands=8, rows=2).alias("bk"),
-    )
+    ).localCheckpoint()
     cands = candidate_pairs(signed, "doc_id", "bk")
     verified = exact_jaccard(cands, signed, "doc_id", "sh")
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
