@@ -1,0 +1,60 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (SURVEY.md §4) asserted from `explain` output, so a future edit
+that silently de-optimizes a plan — loses a pushed filter, widens a scan,
+adds a shuffle — fails CI, not the 100 TB run.
+
+What each assertion pins:
+- flagship: IN-list filters reach the parquet scan (PushedFilters), all
+  four dimension joins broadcast, and the whole star runs shuffle-free.
+- column pruning: a 3-column projection reads a 3-column ReadSchema.
+- bucketed join: co-located layout ⇒ no Exchange anywhere in the plan.
+- partial aggregation: groupBy aggregates run map-side (partial_*) before
+  the shuffle.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from etl_cnpjs_spark.plans import QUERIES
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_flagship_pushdown_broadcast_no_shuffle(spark, sf_dir):
+    plan = explain_str(QUERIES["flagship"].fn(spark, sf_dir))
+    assert "PushedFilters: [In(l_partkey" in plan, "IN-list must reach the scan"
+    # formatted explain names each node in the tree and again in the
+    # detail section — 4 broadcast joins appear as 8 mentions
+    assert plan.count("BroadcastHashJoin Inner") == 4, "all four dims must broadcast"
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan, "star join must be shuffle-free"
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = explain_str(QUERIES["sample_hash"].fn(spark, sf_dir))
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>" in plan
+    assert "Exchange" not in plan, "scan+filter+project must not shuffle"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    plan = explain_str(QUERIES["join_bucketed"].fn(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed co-located join must not shuffle"
+    assert "SelectedBucketsCount" in plan, "scan must be bucket-aware"
+
+
+def test_groupby_aggregates_map_side(spark, sf_dir):
+    plan = explain_str(QUERIES["agg_count_by"].fn(spark, sf_dir))
+    assert "partial_count" in plan, "aggregation must combine map-side"
+
+
+def test_filter_pushdown_on_filter_plans(spark, sf_dir):
+    plan = explain_str(QUERIES["filter_range"].fn(spark, sf_dir))
+    assert "PushedFilters: [" in plan and "GreaterThan" in plan or "IsNotNull" in plan
