@@ -20,6 +20,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_cnpjs_spark.catalog import table
 from etl_cnpjs_spark.plans.registry import register
@@ -61,6 +62,37 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("sep", ";")
         .option("header", "true")
         .csv(out)
+    )
+
+
+@register(
+    "sink_partitioned",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_nationkey
+    FROM customer WHERE c_nationkey IN (3, 7)
+    """,
+)
+def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning — the Spark
+    answer to the reference's `idx_estab_uf` secondary index
+    (etl.py:181, SURVEY.md §4.1): write customer partitioned by
+    c_nationkey, read back with a nationkey predicate, and the scan
+    touches ONLY the two matching directories (PartitionFilters in the
+    plan, asserted by tests/test_plans.py). At 100 TB this is the
+    difference between scanning 25 partitions and 2."""
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_part_"), "customer_by_nation")
+    (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+        .write.mode("overwrite")
+        .partitionBy("c_nationkey")
+        .parquet(out)
+    )
+    df = spark.read.parquet(out).filter(F.col("c_nationkey").isin(3, 7))
+    # partition column comes back from the directory name as the narrowest
+    # inferred type — restore the source's int for schema parity
+    return df.select(
+        "c_custkey", "c_name", "c_acctbal", F.col("c_nationkey").cast("int").alias("c_nationkey")
     )
 
 

@@ -55,6 +55,14 @@ def test_groupby_aggregates_map_side(spark, sf_dir):
     assert "partial_count" in plan, "aggregation must combine map-side"
 
 
+def test_partition_pruning_reaches_scan(spark, sf_dir):
+    plan = explain_str(QUERIES["sink_partitioned"].fn(spark, sf_dir))
+    assert "PartitionFilters: [c_nationkey" in plan
+    # the predicate moved entirely into partition pruning — no residual
+    # Filter node, no pushed data filter
+    assert "Filter (" not in plan
+
+
 def test_filter_pushdown_on_filter_plans(spark, sf_dir):
     plan = explain_str(QUERIES["filter_range"].fn(spark, sf_dir))
     assert "PushedFilters: [" in plan and "GreaterThan" in plan or "IsNotNull" in plan

@@ -51,6 +51,80 @@ def test_stream_tumbling_matches_batch(spark, sf_dir, events_dir):
     assert streamed == batch
 
 
+def test_watermark_drops_late_data(spark, events_dir, tmp_path):
+    """An event arriving in a later micro-batch, stamped far behind the
+    advanced watermark, must be DROPPED from the windowed aggregate —
+    the late-data semantics SURVEY.md §7.3-8 calls out. Two staged
+    micro-batches (append mode, per-file trigger): batch 1 advances the
+    watermark to max(ts)-10s; batch 2's straggler sits hours earlier."""
+    import pandas as pd
+
+    src = str(tmp_path / "late_src")
+    ck = str(tmp_path / "late_ck")
+    schema = "ts timestamp, user_id bigint, value double"  # watermark needs TIMESTAMP, not NTZ
+    on_time = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    ["2024-01-01 10:00:01", "2024-01-01 10:00:02", "2024-01-01 12:00:00"]
+                ),
+                "user_id": [1, 2, 1],
+                "value": [1.0, 2.0, 4.0],
+            }
+        ),
+        schema,
+    )
+    late = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(["2024-01-01 10:00:03"]),  # hours behind wm
+                "user_id": [3],
+                "value": [8.0],
+            }
+        ),
+        schema,
+    )
+    on_time.coalesce(1).write.mode("overwrite").parquet(src)  # one file = one deterministic micro-batch
+
+    def agg(stream_df):
+        return (
+            stream_df.withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.sum("value").alias("sv"))
+            .select(F.col("w.start").alias("ws"), "sv")
+        )
+
+    out = str(tmp_path / "late_out")
+
+    def run_once():
+        q = (
+            agg(
+                spark.readStream.schema(on_time.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # second run: the straggler arrives after the watermark advanced
+    late.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got = {r.ws: r.sv for r in spark.read.parquet(out).collect()}
+    # the 10:00 window finalized with only the on-time events; the late
+    # straggler (value=8.0) was dropped, not merged and not re-emitted
+    # append mode emits only finalized windows: exactly the on-time
+    # 10:00 window (1.0+2.0); had the straggler NOT been dropped it would
+    # have re-opened that window and flushed an 8.0 row in run 2
+    assert list(got.values()) == [3.0]
+
+
 def test_stateful_running_totals(spark, sf_dir, events_dir):
     batch = {
         r.user_id: (r.n_events, r.total_value)
