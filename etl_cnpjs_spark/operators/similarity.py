@@ -123,6 +123,97 @@ def all_pairs_cosine_blocked(
     return tasks.mapInPandas(score, "i bigint, j bigint, cos_sim double")
 
 
+def knn_join_blocked(
+    vecs, id_col: str, vec_col: str, k: int, block_target: int = 256
+):
+    """k-NN self-join: every vector → its k nearest neighbors by cosine.
+    Same blocked layout as all_pairs_cosine_blocked, but each task emits
+    only the LOCAL top-k per query vector against the paired block
+    (n·NB·k candidate rows total instead of n²), and a single window pass
+    takes the global top-k. That two-stage shape (local heap → global
+    merge) is what keeps the shuffle linear in n at cluster scale —
+    building the kNN graph for embedding dedup/clustering without ever
+    materializing the full pair matrix. Arithmetic is the same
+    bit-deterministic sequential fold as the oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n_rows = vecs.count()
+    nb = max(1, -(-n_rows // block_target))
+    blocks = (
+        vecs.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            (F.col(id_col) % nb).alias("__blk"),
+        )
+        .groupBy("__blk")
+        .agg(F.collect_list(F.struct("__id", "__v")).alias("__vs"))
+    )
+    a = blocks.select(F.col("__blk").alias("ba"), F.col("__vs").alias("va"))
+    b = blocks.select(F.col("__blk").alias("bb"), F.col("__vs").alias("vb"))
+    tasks = a.join(b, F.col("ba") <= F.col("bb"))
+
+    def _seq_dot(A, B):
+        acc = np.zeros((A.shape[0], B.shape[0]))
+        for d in range(A.shape[1]):
+            acc += np.multiply.outer(A[:, d], B[:, d])
+        return acc
+
+    def _seq_norm(A):
+        acc = np.zeros(A.shape[0])
+        for d in range(A.shape[1]):
+            acc += A[:, d] * A[:, d]
+        return np.sqrt(acc)
+
+    def _local_topk(ids_q, ids_c, cos):
+        # per query row, local top-k column indices (score desc, id asc)
+        kk = min(k, cos.shape[1])
+        out_i, out_j, out_c = [], [], []
+        order = np.lexsort((ids_c[None, :].repeat(cos.shape[0], 0), -cos), axis=1)[:, :kk]
+        rows = np.arange(cos.shape[0])[:, None].repeat(kk, 1)
+        sel = cos[rows, order]
+        keep = sel > -np.inf
+        out_i.append(ids_q[rows[keep]])
+        out_j.append(ids_c[order[keep]])
+        out_c.append(sel[keep])
+        return out_i, out_j, out_c
+
+    def score(batches):
+        for pdf in batches:
+            acc_i, acc_j, acc_c = [], [], []
+            for row in pdf.itertuples(index=False):
+                ia = np.array([r["__id"] for r in row.va], dtype=np.int64)
+                ib = np.array([r["__id"] for r in row.vb], dtype=np.int64)
+                A = np.array([r["__v"] for r in row.va], dtype=np.float64)
+                B = np.array([r["__v"] for r in row.vb], dtype=np.float64)
+                cos = _seq_dot(A, B) / np.multiply.outer(_seq_norm(A), _seq_norm(B))
+                if row.ba == row.bb:
+                    np.fill_diagonal(cos, -np.inf)  # never own neighbor
+                    i1, j1, c1 = _local_topk(ia, ib, cos)
+                    acc_i += i1; acc_j += j1; acc_c += c1
+                else:
+                    i1, j1, c1 = _local_topk(ia, ib, cos)
+                    i2, j2, c2 = _local_topk(ib, ia, cos.T)
+                    acc_i += i1 + i2; acc_j += j1 + j2; acc_c += c1 + c2
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate(acc_i) if acc_i else np.array([], dtype=np.int64),
+                    "j": np.concatenate(acc_j) if acc_j else np.array([], dtype=np.int64),
+                    "cos_sim": np.concatenate(acc_c) if acc_c else np.array([]),
+                }
+            )
+
+    cands = tasks.mapInPandas(score, "i bigint, j bigint, cos_sim double")
+    w = Window.partitionBy("i").orderBy(F.desc("cos_sim"), F.asc("j"))
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("i", "j", "cos_sim", "rn")
+    )
+
+
 # DuckDB twins (same math, same accumulation order):
 SQL_VEC = "embedding::DOUBLE[]"
 

@@ -88,7 +88,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle), count intersections per pair, filter ≥ 0.8. Integer/integer
     division gives identical doubles in both engines — no rounding."""
     docs = _doc_shingles(spark, sf_dir)
-    e = docs.select("doc_id", F.explode("sh").alias("s"))
+    # join on xxhash64(shingle) longs, not the ~25-byte shingle strings:
+    # same postings, ~3× smaller shuffle keys. A collision would need two
+    # distinct shingles at the same 64-bit hash inside one doc pair —
+    # P ≈ (docs·shingles)²/2⁶⁴ ≈ 1e-9 at sf0.1 — and the oracle's string
+    # join would catch it.
+    e = docs.select(
+        "doc_id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("s")
+    )
     a, b = e.alias("a"), e.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -176,6 +183,36 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("i").alias("src"), F.col("j").alias("dst")),
     )
     return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+# Canonical-corpus step: keep exactly one doc per component (the min
+# doc_id), i.e. the actual OUTPUT of dedup — the reference never gets
+# here; a training pipeline always does.
+_SQL_CANONICAL = (
+    _SQL_CLUSTER.replace(
+        "SELECT d2.doc_id, coalesce(c.component, d2.doc_id) AS component\n  FROM documents d2 LEFT JOIN comp c ON d2.doc_id = c.a",
+        "SELECT d2.doc_id, d2.lang, len(d2.text) AS text_len\n"
+        "  FROM documents d2 LEFT JOIN comp c ON d2.doc_id = c.a\n"
+        "  WHERE coalesce(c.component, d2.doc_id) = d2.doc_id",
+    )
+)
+
+
+@register("dedup_canonical", oracle=_SQL_CANONICAL, tags=("north_star", "dedup"))
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself: cluster near-dups, keep the min-id
+    doc per component, return surviving (doc_id, lang, text_len). This is
+    the operator a pipeline actually ships — detection (pairs) and
+    clustering (components) exist to feed it. Survivor filter is
+    doc_id == component: one semi-join-shaped filter, no extra shuffle
+    beyond the clustering."""
+    d = table(spark, sf_dir, "documents")
+    labels = dedup_cluster(spark, sf_dir)
+    keep = labels.filter(F.col("doc_id") == F.col("component")).select("doc_id")
+    return (
+        d.join(keep, "doc_id", "left_semi")
+        .select("doc_id", "lang", F.length("text").cast("bigint").alias("text_len"))
+    )
 
 
 SIMHASH_MAX_HAMMING = 5  # planted near-dups land ≤ 5 on this corpus;

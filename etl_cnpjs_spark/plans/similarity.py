@@ -15,6 +15,7 @@ from etl_cnpjs_spark.catalog import table
 from etl_cnpjs_spark.operators.similarity import (
     all_pairs_cosine_blocked,
     cosine,
+    knn_join_blocked,
     sql_cosine,
     vec_double,
 )
@@ -93,6 +94,36 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_pairs_cosine_blocked(
         n.select("vec_id", "v"), "vec_id", "v", NEAR_DUP_TAU
     )
+
+
+KNN_K = 5
+
+
+@register(
+    "sim_knn_join",
+    oracle=f"""
+    WITH n AS ({_SQL_VECS}),
+    p AS (
+      SELECT a.vec_id AS i, b.vec_id AS j, {sql_cosine("a.v", "b.v")} AS cos_sim
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    ),
+    r AS (
+      SELECT i, j, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY i ORDER BY cos_sim DESC, j) AS INT) AS rn
+      FROM p)
+    SELECT i, j, cos_sim, rn FROM r WHERE rn <= {KNN_K}
+    """,
+    tags=("north_star", "similarity", "knn"),
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN self-join (every vector → its 5 nearest neighbors): blocked
+    local-top-k + one global window merge
+    (operators/similarity.py::knn_join_blocked). The kNN-graph builder
+    for embedding-space dedup/clustering — shuffle is n·NB·k candidate
+    rows, never the n² pair matrix; the oracle re-derives it from the
+    full cross join."""
+    n = _vecs(spark, sf_dir)
+    return knn_join_blocked(n.select("vec_id", "v"), "vec_id", "v", KNN_K)
 
 
 _SQL_IVF = f"""
