@@ -211,6 +211,75 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_struct",
+    oracle="""
+    SELECT c_custkey,
+           c_nationkey                                   AS nk,
+           round(c_acctbal, 2)                           AS bal,
+           ((c_nationkey, c_acctbal) < (7, 0.0))         AS below,
+           ((c_nationkey, c_acctbal) = (c_nationkey, c_acctbal)) AS self_eq
+    FROM customer
+    """,
+    tags=("fn", "struct"),
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct surface: build struct<nationkey,acctbal> per row,
+    read fields back, and use Spark's lexicographic struct comparison —
+    the DuckDB oracle mirrors it with tuple comparison. Structs are the
+    unit of nesting every multimodal/metadata column uses (mm_meta's
+    typed metadata is a struct); this pins field access + ordering
+    semantics."""
+    c = table(spark, sf_dir, "customer")
+    s = F.struct(F.col("c_nationkey").alias("nk"), F.col("c_acctbal").alias("bal"))
+    probe = F.struct(F.lit(7).alias("nk"), F.lit(0.0).alias("bal"))
+    return c.select(
+        "c_custkey",
+        s.getField("nk").alias("nk"),
+        F.round(s.getField("bal"), 2).alias("bal"),
+        (s < probe).alias("below"),
+        (s == s).alias("self_eq"),
+    )
+
+
+@register(
+    "scan_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))                 AS n_bytes,
+           hex(encode(text))                          AS content_hex
+    FROM documents
+    WHERE doc_id < 50
+    """,
+    tags=("source", "binary", "north_star"),
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `binaryFile` source — how raw media (images/audio/shards)
+    enters the engine at scale: one row per file with (path, length,
+    content: binary). Stages a deterministic 50-doc slice as .bin files,
+    reads them back through the format, recovers the id from the
+    filename, and fingerprints the bytes. The oracle recomputes length +
+    prefix from the source table — proving the file round trip is
+    byte-faithful. At 100 TB: binaryFile parallelizes per-file;
+    maxBytesPerTrigger/pathGlobFilter control batch size."""
+    import os
+    import tempfile
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    out = tempfile.mkdtemp(prefix="binfiles_")
+    for r in d.select("doc_id", "text").collect():  # 50 rows, driver-side stage
+        with open(os.path.join(out, f"doc_{r.doc_id:06d}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    files = spark.read.format("binaryFile").load(out)
+    return files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.hex("content").alias("content_hex"),
+    )
+
+
+@register(
     "join_full",
     oracle="""
     SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,

@@ -125,6 +125,30 @@ def test_watermark_drops_late_data(spark, events_dir, tmp_path):
     assert list(got.values()) == [3.0]
 
 
+def test_stream_dedup_matches_batch_distinct(spark, sf_dir, events_dir):
+    """Streaming deduplication: dropDuplicates on (user_id, event_type)
+    over the event stream must emit exactly the batch-distinct key set —
+    the streaming face of the dedup_exact operator. (State here is
+    unbounded; production pairs this with dropDuplicatesWithinWatermark
+    to bound it — same plan shape.)"""
+    batch = {
+        (r.user_id, r.event_type)
+        for r in table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    stream_src = spark.readStream.schema(spark.read.parquet(events_dir).schema).parquet(
+        events_dir
+    )
+    deduped = stream_src.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    _run_to_memory(deduped, "t_dedup", "append")
+    got = {(r.user_id, r.event_type) for r in spark.table("t_dedup").collect()}
+    assert got == batch
+
+
 def test_stateful_running_totals(spark, sf_dir, events_dir):
     batch = {
         r.user_id: (r.n_events, r.total_value)
