@@ -211,6 +211,139 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_argmax",
+    oracle="""
+    SELECT c_nationkey,
+           max(c_acctbal)  AS max_bal,
+           (SELECT t.c_name FROM customer t
+             WHERE t.c_nationkey = c.c_nationkey
+             ORDER BY t.c_acctbal DESC, t.c_custkey DESC LIMIT 1) AS richest,
+           (SELECT t.c_name FROM customer t
+             WHERE t.c_nationkey = c.c_nationkey
+             ORDER BY t.c_acctbal ASC, t.c_custkey ASC LIMIT 1)  AS poorest
+    FROM customer c
+    GROUP BY c_nationkey
+    """,
+    tags=("agg", "argmax"),
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max/arg-min aggregates: the name of the customer with the
+    highest/lowest balance per nation, via max_by/min_by over a
+    (value, unique-key) struct — the struct tiebreak makes the argmax
+    total (max_by alone is nondeterministic under value ties, which the
+    driver's hash would catch). One shuffle, map-side partials."""
+    c = table(spark, sf_dir, "customer")
+    by_hi = F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+    # min_by on (bal, -key): ties on bal resolve to the SMALLEST key,
+    # mirroring the oracle's ASC, ASC order
+    by_lo = F.struct(F.col("c_acctbal"), (-F.col("c_custkey")).alias("nk"))
+    return c.groupBy("c_nationkey").agg(
+        F.max("c_acctbal").alias("max_bal"),
+        F.max_by("c_name", by_hi).alias("richest"),
+        F.min_by("c_name", by_lo).alias("poorest"),
+    )
+
+
+@register(
+    "profile_table",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey, o_totalprice,
+             nullif(o_orderpriority, '1-URGENT') AS prio
+      FROM orders)
+    SELECT CAST(count(*) AS BIGINT)                  AS n_rows,
+           CAST(count(prio) AS BIGINT)               AS prio_filled,
+           CAST(count(*) - count(prio) AS BIGINT)    AS prio_nulls,
+           (count(*) - count(prio)) / count(*)       AS prio_null_rate,
+           CAST(count(DISTINCT prio) AS BIGINT)      AS prio_distinct,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS key_distinct
+    FROM s
+    """,
+    tags=("profile", "qa"),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling / reconciliation aggregate — the readme's manual QA
+    (`readme.md:140-145`: count parity, null/inconsistency checks) as one
+    engine pass: row count, per-column filled/null counts, null rate,
+    distinct cardinalities. `nullif` derives a genuinely nullable column
+    so the null arithmetic is exercised. One job, no joins; at 100 TB
+    swap exact distincts for approx_count_distinct."""
+    o = table(spark, sf_dir, "orders")
+    s = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio"),
+    )
+    n, filled = F.count(F.lit(1)), F.count("prio")
+    return s.agg(
+        n.alias("n_rows"),
+        filled.alias("prio_filled"),
+        (n - filled).alias("prio_nulls"),
+        ((n - filled) / n).alias("prio_null_rate"),
+        F.count_distinct("prio").alias("prio_distinct"),
+        F.count_distinct("o_orderkey").alias("key_distinct"),
+    )
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INT)  AS quartile,
+           percent_rank() OVER w          AS pct_rank,
+           cume_dist() OVER w             AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "rank"),
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile quartiles + percent_rank + cume_dist
+    per priority class — the quality-score bucketing shape (split a
+    corpus into quality quartiles per source). Total order via
+    (totalprice, orderkey); the rank fractions are integer-derived
+    divisions, bit-identical across engines."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255                       AS lo_byte,
+           l_orderkey | 4096                      AS set_bit,
+           xor(l_orderkey, l_linenumber::BIGINT)  AS xored,
+           l_orderkey << 2                        AS shl,
+           l_orderkey >> 3                        AS shr,
+           CAST(bit_count(l_orderkey) AS INT)     AS popcount
+    FROM lineitem
+    """,
+    tags=("fn", "bitwise"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise kernel (hash/bucket/bitmap machinery: SimHash hamming,
+    salt mixing, bloom-filter style bucketing all reduce to these)."""
+    l = table(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).alias("lo_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("set_bit"),
+        k.bitwiseXOR(F.col("l_linenumber").cast("bigint")).alias("xored"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+@register(
     "fn_struct",
     oracle="""
     SELECT c_custkey,
