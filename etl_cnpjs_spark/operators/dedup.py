@@ -31,6 +31,39 @@ def _seeded_hash(seed: int):
     return lambda s: F.xxhash64(F.lit(seed), s)
 
 
+def jaccard_pairs(
+    docs: DataFrame, id_col: str, set_col: str, threshold: float
+) -> DataFrame:
+    """Exact set-Jaccard pairs (i<j, jaccard ≥ threshold) via posting-list
+    self-join: explode the element sets (hashed to 8-byte keys for the
+    shuffle), equi-join postings, count intersections per pair, scale by
+    set sizes. The one shuffle is keyed by element hash. Shared by the
+    dedup_ngram_jaccard plan and the hypothesis property test (which
+    checks it against an independent brute-force implementation)."""
+    d = docs.select(F.col(id_col).alias("__id"), F.col(set_col).alias("__sh")).filter(
+        F.size("__sh") > 0
+    )
+    e = d.select(
+        "__id", F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("s")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("i"), F.col("b.__id").alias("j"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz = d.select("__id", F.size("__sh").alias("n"))
+    s1 = sz.select(F.col("__id").alias("i"), F.col("n").alias("n1"))
+    s2 = sz.select(F.col("__id").alias("j"), F.col("n").alias("n2"))
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        pairs.join(s1, "i")
+        .join(s2, "j")
+        .select("i", "j", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_signature(shingles_col: Column, num_hashes: int = 16) -> Column:
     """MinHash signature as an array<long>: sig[j] = min over shingles of
     xxhash64(j, shingle). Computed per-row via transform/array_min — the

@@ -28,6 +28,7 @@ from etl_cnpjs_spark.operators.graph import connected_components
 from etl_cnpjs_spark.operators.dedup import (
     candidate_pairs,
     exact_jaccard,
+    jaccard_pairs,
     minhash_band_keys,
     simhash,
     simhash_band_keys,
@@ -98,31 +99,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shingles, equi-join on shingle (the one shuffle, keyed by
     shingle), count intersections per pair, filter ≥ 0.8. Integer/integer
     division gives identical doubles in both engines — no rounding."""
+    # posting join on xxhash64(shingle) longs, not the ~25-byte shingle
+    # strings: same postings, ~3× smaller shuffle keys (collision
+    # P ≈ (docs·shingles)²/2⁶⁴ ≈ 1e-9 at sf0.1; the oracle's string join
+    # would catch one).
     docs = _doc_shingles(spark, sf_dir)
-    # join on xxhash64(shingle) longs, not the ~25-byte shingle strings:
-    # same postings, ~3× smaller shuffle keys. A collision would need two
-    # distinct shingles at the same 64-bit hash inside one doc pair —
-    # P ≈ (docs·shingles)²/2⁶⁴ ≈ 1e-9 at sf0.1 — and the oracle's string
-    # join would catch it.
-    e = docs.select(
-        "doc_id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("s")
-    )
-    a, b = e.alias("a"), e.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sz = docs.select("doc_id", F.size("sh").alias("n"))
-    s1 = sz.select(F.col("doc_id").alias("i"), F.col("n").alias("n1"))
-    s2 = sz.select(F.col("doc_id").alias("j"), F.col("n").alias("n2"))
-    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
-    return (
-        pairs.join(s1, "i")
-        .join(s2, "j")
-        .select("i", "j", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    return jaccard_pairs(docs, "doc_id", "sh", JACCARD_THRESHOLD)
 
 
 @register("dedup_minhash", oracle=_SQL_EXACT_JACCARD, tags=("north_star", "dedup", "lsh"))

@@ -413,6 +413,82 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_regexp",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract_all(text, '[A-Za-z]+')                AS words,
+           len(regexp_extract_all(text, '[0-9]+'))              AS n_numbers,
+           regexp_matches(text, '^[A-Z]')                       AS starts_upper,
+           regexp_replace(text, '[0-9]+', '#', 'g')             AS masked
+    FROM documents WHERE doc_id < 200
+    """,
+    tags=("fn", "regexp"),
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp kernel over document text: extract-all (tokenizer
+    machinery), match-count, anchor test, global replace. All JVM-side;
+    at 100 TB regex cost is linear per row and the usual advice is to
+    hoist shared patterns into one pass (as the text_quality plan
+    does)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit("[A-Za-z]+"), 0).alias("words"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias("n_numbers"),
+        F.col("text").rlike("^[A-Z]").alias("starts_upper"),
+        F.regexp_replace("text", "[0-9]+", "#").alias("masked"),
+    )
+
+
+# Deterministic dirty CSV: row 2 has too few fields, row 4 too many —
+# exactly the failure modes of hand-maintained government CSV drops.
+_DIRTY_ROWS = [
+    "1;alice;10.5",
+    "2;bob",  # short row → nulls + corrupt record captured
+    "3;carol;7.25",
+    "4;dave;1.0;EXTRA",  # long row → corrupt record captured
+    "5;erin;3.5",
+]
+
+
+@register(
+    "scan_csv_permissive",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'alice', 10.5, NULL),
+      (2, 'bob',   NULL, '2;bob'),
+      (3, 'carol', 7.25, NULL),
+      (4, 'dave',  1.0,  '4;dave;1.0;EXTRA'),
+      (5, 'erin',  3.5,  NULL)
+    ) AS t(id, name, score, corrupt)
+    """,
+    tags=("source", "csv", "quality"),
+)
+def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row tolerance — the reality of >20 GB hand-published
+    CSVs (the reference ingests them blind, etl.py:87; we surface the
+    damage instead of silently mangling it). PERMISSIVE mode parses what
+    it can, nulls what it can't, and captures each bad line verbatim in
+    a corrupt-record column, so a quality gate can count/quarantine them
+    (mode=DROPMALFORMED/FAILFAST are the other two postures). The oracle
+    states the expected parse outcome row by row."""
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.mkdtemp(prefix="dirty_csv_"), "dirty.csv")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(_DIRTY_ROWS) + "\n")
+    df = spark.read.csv(
+        path,
+        sep=";",
+        schema="id int, name string, score double, corrupt string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="corrupt",
+    )
+    return df
+
+
+@register(
     "join_full",
     oracle="""
     SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,

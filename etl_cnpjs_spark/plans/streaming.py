@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_cnpjs_spark.catalog import table
 from etl_cnpjs_spark.plans.registry import register
-from etl_cnpjs_spark.streaming.windows import session_windows, tumbling_counts
+from etl_cnpjs_spark.streaming.windows import (
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
 
 
 @register(
@@ -36,6 +40,34 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — identical transform runs under readStream with
     withWatermark('ts', '1 hour'); see streaming/windows.py)."""
     return tumbling_counts(table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS s0
+      FROM events),
+    x AS (
+      SELECT event_type, value,
+             unnest([s0 - 300, s0]) AS ws
+      FROM e)
+    SELECT make_timestamp(ws * 1000000) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+    FROM x
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-min/5-min windows: every event counted in the 2 windows
+    covering it. The oracle expands membership explicitly (each event →
+    window starts s0-300 and s0, width/slide = 2) — the same expansion
+    Spark's window() performs internally."""
+    return sliding_counts(table(spark, sf_dir, "events"))
 
 
 @register(

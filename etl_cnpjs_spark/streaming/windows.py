@@ -42,6 +42,31 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
     )
 
 
+SLIDING_WINDOW = "10 minutes"
+SLIDING_SLIDE = "5 minutes"
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in exactly
+    width/slide = 2 windows (Spark expands them in-place, no shuffle
+    beyond the aggregation's)."""
+    return (
+        events.groupBy(
+            F.window("ts", SLIDING_WINDOW, SLIDING_SLIDE).alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def session_windows(events: DataFrame) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap.
     session_window() is Spark's native mergeable session operator (works

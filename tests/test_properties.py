@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis): engine operators vs independent
+pure-Python implementations on GENERATED inputs — not just the fixed
+testdata corpora. The reference has no tests at all (SURVEY.md §5.1);
+this is the strongest correctness posture we can take locally: the
+distributed implementation and a 10-line sequential one must agree on
+arbitrary inputs, including the degenerate shapes (empty docs, all-equal
+docs, singleton corpora) that fixed fixtures never cover.
+
+Spark jobs are slow per example, so examples are few but each carries a
+whole generated corpus.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_cnpjs_spark.functions.text import shingles, tokens
+from etl_cnpjs_spark.operators.dedup import jaccard_pairs
+from etl_cnpjs_spark.operators.graph import connected_components
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+_doc = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=10).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=10)
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_corpus)
+def test_jaccard_pairs_match_bruteforce(spark, docs):
+    expected = set()
+    for (i, a), (j, b) in itertools.combinations(enumerate(docs), 2):
+        sa, sb = _py_shingles(a), _py_shingles(b)
+        if sa and sb and len(sa & sb) / len(sa | sb) >= 0.8:
+            expected.add((i, j))
+    sdf = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    ).select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
+    got = {
+        (r.i, r.j)
+        for r in jaccard_pairs(sdf, "doc_id", "sh", 0.8).collect()
+    }
+    assert got == expected
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=15
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges)
+def test_connected_components_match_union_find(spark, edges):
+    nodes = list(range(10))
+    parent = {v: v for v in nodes}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize: component = min reachable node id
+    expected = {}
+    for v in nodes:
+        root = find(v)
+        expected.setdefault(root, []).append(v)
+    truth = {v: min(members) for root, members in expected.items() for v in members}
+
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+    edf = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "src long, dst long"
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(ndf, edf).collect()
+    }
+    assert got == truth
