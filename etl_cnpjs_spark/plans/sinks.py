@@ -96,6 +96,34 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sink_compact",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)      AS n_rows,
+           CAST(4 AS BIGINT)             AS n_files,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum
+    FROM customer WHERE c_nationkey IN (3, 7) AND c_acctbal > 0
+    """,
+)
+def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the maintenance pass every long-lived
+    100 TB table needs (streaming/append writers leave thousands of tiny
+    files; scan cost is per-file). Rewrite the slice into exactly 4
+    target files (repartition(4); in production: maxRecordsPerFile or
+    AQE-coalesced rewrite), then PROVE both properties from the read
+    side: row/values survive (count + key checksum) and the layout is 4
+    files (distinct input_file_name — metadata the oracle pins as a
+    literal)."""
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_compact_"), "compacted")
+    _slice(spark, sf_dir).repartition(4).write.parquet(out)
+    back = spark.read.parquet(out).withColumn("__f", F.input_file_name())
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("__f").alias("n_files"),
+        F.sum("c_custkey").alias("key_sum"),
+    )
+
+
 @register("sink_table", oracle=_SLICE_SQL)
 def sink_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O10-analog: saveAsTable into the session catalog (external table —

@@ -149,6 +149,47 @@ def test_stream_dedup_matches_batch_distinct(spark, sf_dir, events_dir):
     assert got == batch
 
 
+def test_stream_stream_interval_join(spark, sf_dir, events_dir):
+    """Stream-stream inner join with an event-time interval: each click
+    joined to the same user's purchases within the next 10 minutes.
+    Both sides carry watermarks (required: the interval + watermark bound
+    how long click state is retained — unbounded joins never GC). Result
+    must equal the identical batch join."""
+    ev = table(spark, sf_dir, "events")
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    buys_b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("bu"), F.col("ts").alias("bts"), F.col("event_id").alias("bid")
+    )
+    cond = (
+        (F.col("cu") == F.col("bu"))
+        & (F.col("bts") >= F.col("cts"))
+        & (F.col("bts") <= F.col("cts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    batch = {
+        (r.cid, r.bid) for r in clicks_b.join(buys_b, cond).select("cid", "bid").collect()
+    }
+
+    src = spark.readStream.schema(spark.read.parquet(events_dir).schema).parquet(events_dir)
+    clicks_s = (
+        src.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("cid"))
+        .withWatermark("cts", "1 hour")
+    )
+    buys_s = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("bu"), F.col("ts").alias("bts"), F.col("event_id").alias("bid"))
+        .withWatermark("bts", "1 hour")
+    )
+    _run_to_memory(
+        clicks_s.join(buys_s, cond).select("cid", "bid"), "t_ssjoin", "append"
+    )
+    got = {(r.cid, r.bid) for r in spark.table("t_ssjoin").collect()}
+    assert got == batch
+    assert batch, "fixture should produce at least one click→purchase pair"
+
+
 def test_stateful_running_totals(spark, sf_dir, events_dir):
     batch = {
         r.user_id: (r.n_events, r.total_value)
