@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_cnpjs_spark.catalog import table
+from etl_cnpjs_spark.functions.text import tokens
 from etl_cnpjs_spark.plans.registry import register
 
 _QS = (0.25, 0.5, 0.75, 0.95)
@@ -409,6 +410,146 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         F.col("length").alias("n_bytes"),
         F.hex("content").alias("content_hex"),
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT c_nationkey,
+           list_sort(list(DISTINCT c_mktsegment))  AS segments,
+           CAST(len(list(c_custkey)) AS INT)       AS n_members,
+           list_sort(list(c_custkey))[1:5]         AS first_keys
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("agg", "collect"),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates: per-group value lists/sets. collect_list
+    order is partition-order-dependent, so every exposed collection is
+    canonicalized (sort_array / slice of sorted) — the same determinism
+    rule the registry mandates for float sums. At 100 TB collect into
+    bounded slices only (here: top-5 keys), never unbounded lists."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.count("c_custkey").cast("int").alias("n_members"),
+        F.slice(F.sort_array(F.collect_list("c_custkey")), 1, 5).alias("first_keys"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END                              AS price_band,
+           coalesce(nullif(o_orderpriority, '1-URGENT'), 'URGENT!') AS prio_norm,
+           least(o_totalprice, 150000.0)                    AS capped,
+           greatest(o_totalprice, 50000.0)                  AS floored,
+           (o_orderstatus = 'F')                            AS is_final
+    FROM orders
+    """,
+    tags=("fn", "conditional"),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional kernel: when/otherwise chains (the engine's CASE —
+    also the no-model-dependency classifier shape text analysis uses),
+    nullif/coalesce normalization, least/greatest clamping."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")), F.lit("URGENT!")
+        ).alias("prio_norm"),
+        F.least(F.col("o_totalprice"), F.lit(150000.0)).alias("capped"),
+        F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("floored"),
+        (F.col("o_orderstatus") == "F").alias("is_final"),
+    )
+
+
+@register(
+    "text_ngram_freq",
+    oracle=r"""
+    WITH t AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''),
+    f AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok)
+    SELECT tok, freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS INT) AS rank
+    FROM f
+    ORDER BY freq DESC, tok
+    LIMIT 50
+    """,
+    tags=("text", "north_star"),
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by frequency — the first pass of
+    every tokenizer/BPE build and stop-token selection (including the
+    stop-shingle pruning SCALE.md prescribes for exact dedup). Explode →
+    count (map-side partials) → TakeOrdered top-k: the shuffle carries
+    (token, partial count), never documents."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.filter(F.trim("text") != "").select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    f = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    return (
+        f.select("tok", "freq", F.row_number().over(w).alias("rank"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id)
+    SELECT user_id, t_signup, t_click, t_buy,
+           (t_signup IS NOT NULL AND t_click > t_signup AND t_buy > t_click)
+             AS converted
+    FROM f
+    WHERE t_signup IS NOT NULL
+    """,
+    tags=("events", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: earliest signup → click → purchase per user, and
+    whether they happened in order — the conditional-aggregation shape
+    (min over CASE) that computes an entire multi-stage funnel in ONE
+    shuffle, instead of chained self-joins per stage."""
+    ev = table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    f = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_buy"),
+    )
+    return f.filter(F.col("t_signup").isNotNull()).select(
+        "user_id",
+        "t_signup",
+        "t_click",
+        "t_buy",
+        (
+            F.col("t_signup").isNotNull()
+            & (F.col("t_click") > F.col("t_signup"))
+            & (F.col("t_buy") > F.col("t_click"))
+        ).alias("converted"),
     )
 
 
