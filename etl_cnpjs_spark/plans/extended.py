@@ -414,6 +414,69 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_null_safe",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pk,
+                      o_totalprice
+               FROM orders),
+         d AS (SELECT DISTINCT nullif(o_orderpriority, '1-URGENT') AS pk,
+                      upper(coalesce(nullif(o_orderpriority, '1-URGENT'), 'urgent')) AS label
+               FROM orders)
+    SELECT o.o_orderkey, o.o_totalprice, d.label
+    FROM o JOIN d ON o.pk IS NOT DISTINCT FROM d.pk
+    """,
+    tags=("join", "null_safe"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — exactly the join the
+    reference's null-heavy CNPJ dims need when code columns are blank
+    (a plain inner join erases those rows, SURVEY.md §1.2's orphan
+    semantics). eqNullSafe keys still hash-partition normally; a
+    NULL-heavy key is a skew key like any other (salt it)."""
+    o_t = table(spark, sf_dir, "orders")
+    o = o_t.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pk"),
+        "o_totalprice",
+    )
+    d = (
+        o_t.select(F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pk"))
+        .distinct()
+        .select("pk", F.upper(F.coalesce(F.col("pk"), F.lit("urgent"))).alias("label"))
+    )
+    return o.join(d, o.pk.eqNullSafe(d.pk)).select("o_orderkey", "o_totalprice", "label")
+
+
+@register(
+    "agg_stats_advanced",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6)                    AS qty_sd,
+           round(var_samp(l_quantity), 6)                       AS qty_var,
+           round(corr(l_quantity, l_extendedprice), 6)          AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 6)    AS qty_price_cov
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group: stddev/variance/correlation/
+    covariance — quality-signal machinery (outlier thresholds, feature
+    correlation screens). Both engines use single-pass co-moment
+    updates; results are rounded to 6 dp because update order differs
+    across partitions (same convention as fn_math's libm rounding)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_sd"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("qty_price_cov"),
+    )
+
+
+@register(
     "agg_collect",
     oracle="""
     SELECT c_nationkey,

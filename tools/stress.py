@@ -1,0 +1,116 @@
+"""Scaling headroom measurement: replicate sf0.1 inputs K× (shifted keys,
+so join/dedup structure is preserved) and time the two headline plan
+shapes — the flagship star join and MinHash-LSH near-dup detection —
+at 1× and K×. Near-linear growth is the claim SCALE.md makes; this
+script is how the numbers in its "measured scaling" table were produced.
+
+Usage: python tools/stress.py [K]   (default K=10; writes nothing
+outside /tmp, prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_cnpjs_spark.catalog import table  # noqa: E402
+from etl_cnpjs_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+KEY_STRIDE = 100_000_000
+
+
+def replicate(df, key_cols: list[str], k: int):
+    parts = []
+    for i in range(k):
+        p = df
+        for c in key_cols:
+            p = p.withColumn(c, F.col(c) + i * KEY_STRIDE)
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def timed(fn):
+    t0 = time.time()
+    n = fn()
+    return round(time.time() - t0, 2), n
+
+
+def flagship_shape(lineitem, orders, customer, nation, region):
+    """Same star join + IN-lists as plans/relational.py::flagship."""
+    return (
+        lineitem.filter(F.col("l_partkey").isin(*range(1, 200, 4)))
+        .join(orders.filter(F.col("o_orderstatus").isin("F", "P")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.filter(F.col("c_nationkey").isin(3, 7, 19))),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_orderkey", "l_extendedprice", "c_name", "n_name", "r_name")
+    )
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("stress")
+    tmp = tempfile.mkdtemp(prefix="stress_")
+
+    li, od = table(spark, SF_DIR, "lineitem"), table(spark, SF_DIR, "orders")
+    cu, na, re_ = (table(spark, SF_DIR, t) for t in ("customer", "nation", "region"))
+    docs = table(spark, SF_DIR, "documents")
+
+    # stage replicated inputs as parquet so scans (not the union plan)
+    # feed the measurement, mirroring real table layout
+    replicate(li, ["l_orderkey"], k).write.mode("overwrite").parquet(f"{tmp}/lineitem")
+    replicate(od, ["o_orderkey"], k).write.mode("overwrite").parquet(f"{tmp}/orders")
+    replicate(docs, ["doc_id"], k).write.mode("overwrite").parquet(f"{tmp}/documents")
+    li_k = spark.read.parquet(f"{tmp}/lineitem")
+    od_k = spark.read.parquet(f"{tmp}/orders")
+    docs_k = spark.read.parquet(f"{tmp}/documents")
+
+    from etl_cnpjs_spark.functions.text import shingles, tokens
+    from etl_cnpjs_spark.operators.dedup import (
+        candidate_pairs,
+        exact_jaccard,
+        minhash_band_keys,
+    )
+
+    def minhash_pairs(d):
+        sh = (
+            d.select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
+            .filter(F.size("sh") > 0)
+            .localCheckpoint()
+        )
+        signed = sh.select(
+            "doc_id", "sh", minhash_band_keys(F.col("sh"), 8, 2).alias("bk")
+        ).localCheckpoint()
+        cands = candidate_pairs(signed, "doc_id", "bk")
+        return exact_jaccard(cands, signed, "doc_id", "sh").filter(
+            F.col("jaccard") >= 0.8
+        )
+
+    t1, n1 = timed(lambda: flagship_shape(li, od, cu, na, re_).count())
+    tk, nk = timed(lambda: flagship_shape(li_k, od_k, cu, na, re_).count())
+    d1, m1 = timed(lambda: minhash_pairs(docs).count())
+    dk, mk = timed(lambda: minhash_pairs(docs_k).count())
+
+    print(json.dumps({
+        "k": k,
+        "flagship_1x_sec": t1, "flagship_kx_sec": tk, "flagship_ratio": round(tk / t1, 1),
+        "flagship_rows": [n1, nk],
+        "minhash_1x_sec": d1, "minhash_kx_sec": dk, "minhash_ratio": round(dk / d1, 1),
+        "minhash_pairs": [m1, mk],
+    }))
+
+
+if __name__ == "__main__":
+    main()
