@@ -214,6 +214,53 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_MAX_EDITS = 2
+_BLOCK_PREFIX = 17  # on this corpus's zero-padded 9-digit names a short
+# prefix is one giant block (every "Customer#000…" collides → O(n²));
+# 17 fixes all but the last digit → blocks of ≤10 — block-key
+# selectivity IS the tuning knob of this op
+
+
+@register(
+    "dedup_fuzzy_names",
+    oracle=f"""
+    SELECT a.c_custkey AS i, b.c_custkey AS j,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edits
+    FROM customer a JOIN customer b
+      ON substr(a.c_name, 1, {_BLOCK_PREFIX}) = substr(b.c_name, 1, {_BLOCK_PREFIX})
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_EDITS}
+    """,
+    tags=("north_star", "dedup", "fuzzy"),
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage: near-identical entity names within
+    edit distance ≤ 2 — THE dedup problem of a company registry (the
+    reference's razao_social/nome_fantasia columns carry typo'd
+    duplicates it never detects). Naive form is O(n²) levenshtein; the
+    blocking key (name prefix) turns it into per-block self-joins —
+    same candidate-pruning discipline as LSH banding, with the classic
+    recall caveat (edits inside the prefix escape the block; production
+    stacks a second blocking pass, e.g. phonetic or sorted-neighborhood,
+    exactly like multi-band LSH)."""
+    c = table(spark, sf_dir, "customer")
+    n = c.select("c_custkey", "c_name", F.substring("c_name", 1, _BLOCK_PREFIX).alias("blk"))
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("i"),
+            F.col("b.c_custkey").alias("j"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("edits"),
+        )
+        .filter(F.col("edits") <= FUZZY_MAX_EDITS)
+    )
+
+
 SIMHASH_MAX_HAMMING = 5  # planted near-dups land ≤ 5 on this corpus;
 # random pairs bottom out at 6 (frequency-weighted signature)
 
