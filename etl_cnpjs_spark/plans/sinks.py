@@ -96,6 +96,62 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("scan_json", oracle=_SLICE_SQL)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source round trip: write the slice as JSONL, read back
+    with a DECLARED schema (never inferred — inference costs a full
+    extra pass at 100 TB and can flip types between runs). Doubles
+    survive via shortest-round-trip formatting, same guarantee as the
+    CSV sink."""
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_json_"), "slice_json")
+    _slice(spark, sf_dir).write.json(out)
+    return spark.read.schema(
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+    ).json(out)
+
+
+@register(
+    "udf_grouped_map",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey))
+                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_nationkey), 6)
+             AS bal_z
+    FROM customer
+    """,
+    tags=("udf", "grouped_map"),
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-nation z-score normalization of
+    account balance — whole-group-at-once Python (each group arrives as
+    ONE pandas DataFrame over Arrow), the surface for group-local model
+    scoring/fitting that window functions can't express. The oracle is
+    the window-function formulation; round(6) absorbs summation-order
+    drift between pandas and SQL aggregation. Scale caveat: a group must
+    fit one worker's memory — partition-by keys need bounded
+    cardinality-per-key (salt or pre-aggregate otherwise)."""
+    import pandas as pd
+
+    c = table(spark, sf_dir, "customer")
+
+    def zscore(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bal = pdf["c_acctbal"]
+        z = (bal - bal.mean()) / bal.std(ddof=1)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_nationkey": pdf["c_nationkey"],
+                "bal_z": z.round(6),
+            }
+        )
+
+    return (
+        c.select("c_custkey", "c_nationkey", "c_acctbal")
+        .groupBy("c_nationkey")
+        .applyInPandas(zscore, "c_custkey bigint, c_nationkey int, bal_z double")
+    )
+
+
 @register(
     "sink_compact",
     oracle="""
