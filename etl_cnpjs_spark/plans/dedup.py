@@ -267,16 +267,17 @@ SIMHASH_MAX_HAMMING = 5  # planted near-dups land ≤ 5 on this corpus;
 
 @register("dedup_simhash", oracle=None, tags=("north_star", "dedup", "lsh"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequency-weighted SimHash(64-bit) near-dup pairs: band on 8-bit
-    slices (pigeonhole: hamming ≤ 7 ⇒ some slice equal, so recall at the
-    ≤ 5 threshold is guaranteed, not probabilistic), verify
-    hamming = bit_count(xor) ≤ 5. The full token list (not the distinct
-    set) feeds the signature — frequency weighting is what separates
-    near-dups from unrelated docs on low-vocabulary corpora. 8-bit bands
-    over-generate candidates vs 16-bit; the verify join prunes them —
-    the standard recall/candidate-volume tradeoff, chosen for recall.
-    Engine-specific hash (xxhash64) → rows-only driver check;
-    cross-checked against Jaccard ground truth in tests."""
+    """Frequency-weighted SimHash(64-bit) near-dup pairs: band on 10-bit
+    slices (pigeonhole: hamming ≤ 5 ⇒ some one of 6 slices untouched ⇒
+    shared bucket — recall at the ≤ 5 threshold is guaranteed, not
+    probabilistic), verify hamming = bit_count(xor) ≤ 5. The full token
+    list (not the distinct set) feeds the signature — frequency
+    weighting is what separates near-dups from unrelated docs on
+    low-vocabulary corpora. Band count is the recall/candidate-volume
+    dial: B must exceed the hamming threshold, and every band beyond
+    that only multiplies candidates. Engine-specific hash (xxhash64) →
+    rows-only driver check; cross-checked against Jaccard ground truth
+    in tests."""
     d = table(spark, sf_dir, "documents")
     # Materialize the signature before banding: simhash_band_keys refers
     # to the sig column 8 times, and CollapseProject would otherwise
@@ -286,8 +287,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", simhash("toks").alias("sig"))
         .localCheckpoint()
     )
+    # 6 bands of 10 bits: pigeonhole needs B ≥ h+1 = 6 slices for the
+    # hamming ≤ 5 threshold (5 bands measurably loses pairs; 8 bands of
+    # 8 bits doubles the candidate volume for zero extra recall — the 4
+    # unsliced top bits don't weaken the guarantee, since extra
+    # differences there never break a slice equality).
     signed = sigs.select(
-        "doc_id", "sig", simhash_band_keys(F.col("sig"), bands=8).alias("bk")
+        "doc_id", "sig", simhash_band_keys(F.col("sig"), bands=6).alias("bk")
     )
     cands = candidate_pairs(signed, "doc_id", "bk")
     sa = signed.select(F.col("doc_id").alias("i"), F.col("sig").alias("__siga"))
