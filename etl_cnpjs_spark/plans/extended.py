@@ -617,6 +617,37 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_hash_digest",
+    oracle="""
+    SELECT doc_id,
+           md5(text)                                  AS content_md5,
+           sha256(text)                               AS content_sha256,
+           to_base64(encode(text))                    AS content_b64,
+           octet_length(encode(text))                 AS n_bytes
+    FROM documents WHERE doc_id < 100
+    """,
+    tags=("fn", "digest", "north_star"),
+)
+def fn_hash_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressing digests: md5 / sha-256 / base64 over document
+    bytes — dedup manifests, cache keys, and shard integrity checks all
+    key on these. JVM-side, one pass; unlike xxhash64 these are
+    standardized, so the DuckDB oracle reproduces them exactly (the
+    cross-engine portability xxhash plans give up)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    blob = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.md5(blob).alias("content_md5"),
+        F.sha2(blob, 256).alias("content_sha256"),
+        # Spark's base64 is MIME-flavored (CRLF every 76 chars); strip to
+        # the canonical unwrapped form DuckDB (and most tooling) emits
+        F.regexp_replace(F.base64(blob), "[\\r\\n]", "").alias("content_b64"),
+        F.octet_length(blob).alias("n_bytes"),
+    )
+
+
+@register(
     "fn_regexp",
     oracle=r"""
     SELECT doc_id,

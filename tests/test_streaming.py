@@ -190,6 +190,51 @@ def test_stream_stream_interval_join(spark, sf_dir, events_dir):
     assert batch, "fixture should produce at least one click→purchase pair"
 
 
+def test_foreachbatch_custom_sink(spark, sf_dir, events_dir, tmp_path):
+    """foreachBatch — the escape hatch for sinks Structured Streaming
+    lacks natively (JDBC upsert, MERGE, multi-table writes): each
+    micro-batch arrives as a normal batch DataFrame plus a batch id for
+    idempotence. Here: per-batch event-type counts appended parquet,
+    re-aggregated at the end; total must reconcile with the batch
+    count — the exactly-once-per-batch contract."""
+    out = str(tmp_path / "fb_out")
+    expected = {
+        r.event_type: r.n
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    def sink(batch_df, batch_id: int):
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    src = spark.readStream.schema(spark.read.parquet(events_dir).schema).parquet(
+        events_dir
+    )
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "fb_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_type: r.total
+        for r in spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    assert got == expected
+
+
 def test_stateful_running_totals(spark, sf_dir, events_dir):
     batch = {
         r.user_id: (r.n_events, r.total_value)
