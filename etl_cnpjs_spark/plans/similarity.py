@@ -126,6 +126,37 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_blocked(n.select("vec_id", "v"), "vec_id", "v", KNN_K)
 
 
+@register(
+    "embedding_centroids",
+    oracle=f"""
+    WITH n AS ({_SQL_VECS}),
+    u AS (
+      SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+      FROM n)
+    SELECT label, CAST(pos AS INT) AS pos,
+           round(sum(x) / count(*), 6) AS centroid
+    FROM u GROUP BY label, pos
+    """,
+    tags=("north_star", "similarity", "centroid"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors — the training primitive behind IVF
+    coarse quantizers and k-means (one iteration = assign + THIS).
+    Dimension-wise mean via posexplode → groupBy(label, pos): the
+    shuffle carries (label, pos, partial sums), n·dim small rows, and
+    map-side partial aggregation collapses them before the wire. Output
+    stays long-form (label, pos, value) — rebuilding arrays is a
+    presentation step, not a compute one. round(6) absorbs
+    partition-order float-sum drift (sum/count, same op order both
+    engines)."""
+    n = _vecs(spark, sf_dir)
+    u = n.select("label", F.posexplode("v").alias("pos0", "x"))
+    return (
+        u.groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("centroid"))
+    )
+
+
 _SQL_IVF = f"""
     WITH n AS ({_SQL_VECS}),
     c AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id % {CENTROID_MOD} = 0),
