@@ -19,7 +19,7 @@ near-duplicates. Three detectors:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_cnpjs_spark.catalog import table
@@ -219,17 +219,27 @@ _BLOCK_PREFIX = 17  # on this corpus's zero-padded 9-digit names a short
 # prefix is one giant block (every "Customer#000…" collides → O(n²));
 # 17 fixes all but the last digit → blocks of ≤10 — block-key
 # selectivity IS the tuning knob of this op
+_SN_WINDOW = 3  # sorted-neighborhood band width (pass 2)
 
 
 @register(
     "dedup_fuzzy_names",
     oracle=f"""
-    SELECT a.c_custkey AS i, b.c_custkey AS j,
-           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edits
-    FROM customer a JOIN customer b
-      ON substr(a.c_name, 1, {_BLOCK_PREFIX}) = substr(b.c_name, 1, {_BLOCK_PREFIX})
-     AND a.c_custkey < b.c_custkey
-    WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_EDITS}
+    WITH n AS (
+      SELECT c_custkey, c_name,
+             substr(c_name, 1, {_BLOCK_PREFIX}) AS blk,
+             ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rk
+      FROM customer),
+    cand AS (
+      SELECT a.c_custkey AS i, b.c_custkey AS j,
+             a.c_name AS na, b.c_name AS nb
+      FROM n a JOIN n b
+        ON a.c_custkey < b.c_custkey
+       AND (a.blk = b.blk OR abs(a.rk - b.rk) <= {_SN_WINDOW})
+    )
+    SELECT DISTINCT i, j, CAST(levenshtein(na, nb) AS INT) AS edits
+    FROM cand
+    WHERE levenshtein(na, nb) <= {FUZZY_MAX_EDITS}
     """,
     tags=("north_star", "dedup", "fuzzy"),
 )
@@ -237,27 +247,61 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy record linkage: near-identical entity names within
     edit distance ≤ 2 — THE dedup problem of a company registry (the
     reference's razao_social/nome_fantasia columns carry typo'd
-    duplicates it never detects). Naive form is O(n²) levenshtein; the
-    blocking key (name prefix) turns it into per-block self-joins —
-    same candidate-pruning discipline as LSH banding, with the classic
-    recall caveat (edits inside the prefix escape the block; production
-    stacks a second blocking pass, e.g. phonetic or sorted-neighborhood,
-    exactly like multi-band LSH)."""
+    duplicates it never detects). Naive form is O(n²) levenshtein; TWO
+    stacked blocking passes (multi-pass blocking, the record-linkage
+    analog of multi-band LSH) keep it near-linear:
+
+    - prefix block: names sharing the first {_BLOCK_PREFIX} chars —
+      catches edits in the tail;
+    - sorted neighborhood: names within {_SN_WINDOW} positions of each
+      other in global name order — catches edits the prefix block can't
+      see without scanning all pairs. One sort (a window over the full
+      table) + a narrow rank-band self-join.
+
+    Candidates from both passes union (DISTINCT), then one levenshtein
+    verify. Each pass alone has a documented recall hole; stacking is
+    the standard fix."""
     c = table(spark, sf_dir, "customer")
-    n = c.select("c_custkey", "c_name", F.substring("c_name", 1, _BLOCK_PREFIX).alias("blk"))
+    w = Window.orderBy("c_name", "c_custkey")
+    n = c.select(
+        "c_custkey",
+        "c_name",
+        F.substring("c_name", 1, _BLOCK_PREFIX).alias("blk"),
+        F.row_number().over(w).alias("rk"),
+    ).localCheckpoint()  # several self-join branches; rank once
     a, b = n.alias("a"), n.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
+    # NB: both passes are EQUI-joins — an OR of the two block predicates
+    # would force a cartesian nested-loop and undo the blocking.
+    prefix_pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("i"),
+        F.col("b.c_custkey").alias("j"),
+        F.col("a.c_name").alias("na"),
+        F.col("b.c_name").alias("nb"),
+    )
+    # rank-offset explode makes the ±window band an equi-join on rk
+    sn_pairs = (
+        a.select("*", F.explode(F.sequence(F.lit(1), F.lit(_SN_WINDOW))).alias("off"))
+        .join(b, F.col("a.rk") + F.col("off") == F.col("b.rk"))
         .select(
-            F.col("a.c_custkey").alias("i"),
-            F.col("b.c_custkey").alias("j"),
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("edits"),
+            F.least("a.c_custkey", "b.c_custkey").alias("i"),
+            F.greatest("a.c_custkey", "b.c_custkey").alias("j"),
+            F.when(F.col("a.c_custkey") < F.col("b.c_custkey"), F.col("a.c_name"))
+            .otherwise(F.col("b.c_name"))
+            .alias("na"),
+            F.when(F.col("a.c_custkey") < F.col("b.c_custkey"), F.col("b.c_name"))
+            .otherwise(F.col("a.c_name"))
+            .alias("nb"),
         )
+    )
+    cand = prefix_pairs.unionByName(sn_pairs).distinct()
+    return (
+        cand.select("i", "j", F.levenshtein("na", "nb").alias("edits"))
         .filter(F.col("edits") <= FUZZY_MAX_EDITS)
+        .distinct()
     )
 
 

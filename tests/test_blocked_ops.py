@@ -1,0 +1,54 @@
+"""Edge cases + blocking-transparency invariants for the blocked numpy
+operators (all_pairs_cosine_blocked / knn_join_blocked): the block count
+is a physical knob — changing it must NEVER change results. Also the
+degenerate shapes: corpus smaller than k, two vectors, single vector."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cnpjs_spark.operators.similarity import (
+    all_pairs_cosine_blocked,
+    knn_join_blocked,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.2]),
+        (4, [0.5, 0.5, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+def _pairs(df):
+    return {(r.i, r.j): round(r.cos_sim, 12) for r in df.collect()}
+
+
+def test_all_pairs_blocking_transparent(spark, vecs):
+    one_block = _pairs(all_pairs_cosine_blocked(vecs, "vec_id", "v", 0.5, block_target=100))
+    many_blocks = _pairs(all_pairs_cosine_blocked(vecs, "vec_id", "v", 0.5, block_target=1))
+    assert one_block == many_blocks
+    assert one_block, "fixture has similar vectors"
+    assert all(i < j for (i, j) in one_block)
+
+
+def test_knn_blocking_transparent_and_small_n(spark, vecs):
+    k = 10  # > n-1: every vector must return all 4 others, ranked
+    one = {(r.i, r.rn): r.j for r in knn_join_blocked(vecs, "vec_id", "v", k, block_target=100).collect()}
+    many = {(r.i, r.rn): r.j for r in knn_join_blocked(vecs, "vec_id", "v", k, block_target=2).collect()}
+    assert one == many
+    per_query = {}
+    for (i, _rn) in one:
+        per_query[i] = per_query.get(i, 0) + 1
+    assert per_query == {v: 4 for v in range(5)}  # n-1 neighbors each, no self
+
+
+def test_all_pairs_single_vector(spark):
+    df = spark.createDataFrame([(7, [1.0, 2.0])], "vec_id long, v array<double>")
+    assert all_pairs_cosine_blocked(df, "vec_id", "v", 0.0).count() == 0
