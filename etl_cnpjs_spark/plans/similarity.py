@@ -126,6 +126,53 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_blocked(n.select("vec_id", "v"), "vec_id", "v", KNN_K)
 
 
+@register("sim_topk_kmeans", oracle=None, tags=("north_star", "similarity", "ann", "ml"))
+def sim_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: pyspark.ml KMeans(16, seed
+    fixed) fits centroids, vectors are assigned by the model, the query
+    probes its 4 nearest centroid buckets, exact cosine ranks within
+    probes. Same layout as sim_topk_ivf but with learned (data-adaptive)
+    partitions — the production ANN shape; MLlib's KMeans is itself a
+    distributed Lloyd's iteration, so the trainer scales with the
+    corpus. KMeans assignment depends on model training internals →
+    rows-only driver check; tests/test_queries.py asserts evaluability
+    and the local ANN-recall test bounds quality."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    n = _vecs(spark, sf_dir).withColumn("features", array_to_vector(F.col("v")))
+    model = KMeans(k=16, seed=42, featuresCol="features", predictionCol="cid").fit(n)
+    assign = model.transform(n).select("vec_id", "label", "v", "cid")
+    q = (
+        assign.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("v").alias("qv"), F.col("vec_id").alias("qid"))
+    )
+    centroids = spark.createDataFrame(
+        [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())],
+        "cid int, cv array<double>",
+    )
+    probes = (
+        centroids.crossJoin(F.broadcast(q))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc(cosine(F.col("qv"), F.col("cv"))), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("rn") <= 4)
+        .select("cid")
+    )
+    return (
+        assign.join(F.broadcast(probes), "cid")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", "label", "cid", cosine(F.col("v"), F.col("qv")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 @register(
     "embedding_centroids",
     oracle=f"""

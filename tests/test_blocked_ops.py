@@ -52,3 +52,21 @@ def test_knn_blocking_transparent_and_small_n(spark, vecs):
 def test_all_pairs_single_vector(spark):
     df = spark.createDataFrame([(7, [1.0, 2.0])], "vec_id long, v array<double>")
     assert all_pairs_cosine_blocked(df, "vec_id", "v", 0.0).count() == 0
+
+
+def test_kmeans_ivf_recall_vs_exact(spark, sf_dir):
+    """Trained-quantizer ANN sanity: KMeans-IVF top-10 vs exact top-10.
+    This corpus's embeddings are near-orthogonal random vectors (max
+    pairwise cos ≈ 0.5), so cluster structure carries little neighbor
+    signal and expected recall is ≈ nprobe/k = 4/16 — the bound asserts
+    the mechanism works (non-trivial overlap, exact scoring inside
+    probes), not clustered-data recall, which random data cannot show."""
+    from etl_cnpjs_spark.plans import QUERIES
+
+    exact = [r.vec_id for r in QUERIES["sim_topk"].fn(spark, sf_dir).collect()]
+    got = QUERIES["sim_topk_kmeans"].fn(spark, sf_dir).collect()
+    assert len(got) == 10
+    sims = [r.cos_sim for r in got]
+    assert sims == sorted(sims, reverse=True)
+    overlap = len(set(exact) & {r.vec_id for r in got})
+    assert overlap >= 2, f"ANN recall below floor: {overlap}/10"
