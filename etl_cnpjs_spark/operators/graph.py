@@ -41,18 +41,24 @@ def connected_components(
     labels = both.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("component")
     )
-    for _ in range(max_iter):
+    def propagate(lbl: DataFrame) -> DataFrame:
         # neighbor's current component, propagated across each edge
-        prop = (
-            both.join(labels, both.src == labels.node)
-            .select(F.col("dst").alias("node"), F.col("component"))
+        prop = both.join(lbl, both.src == lbl.node).select(
+            F.col("dst").alias("node"), F.col("component")
         )
-        new_labels = (
-            labels.unionByName(prop)
+        return (
+            lbl.unionByName(prop)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
         )
+
+    for _ in range(max_iter):
+        # two propagation steps fused per materialization: labels travel
+        # 2 hops per checkpoint+convergence barrier, halving the number
+        # of driver round-trips (rounds needed = diameter/2) — at
+        # cluster scale the per-round barrier, not the shuffle volume,
+        # dominates small-graph CC cost.
+        new_labels = propagate(propagate(labels)).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
