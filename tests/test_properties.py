@@ -95,3 +95,41 @@ def test_connected_components_match_union_find(spark, edges):
         for r in connected_components(ndf, edf).collect()
     }
     assert got == truth
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_corpus)
+def test_minhash_lsh_precision_exact(spark, docs):
+    """LSH banding + exact-Jaccard verify: every emitted pair must be a
+    TRUE ≥-threshold pair (precision is deterministic — the verify step
+    guarantees it — unlike recall, which is probabilistic in the
+    banding). Checked against the pure-Python jaccard on generated
+    corpora."""
+    from etl_cnpjs_spark.operators.dedup import (
+        candidate_pairs,
+        exact_jaccard,
+        minhash_band_keys,
+    )
+
+    truth = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(docs), 2):
+        sa, sb = _py_shingles(a), _py_shingles(b)
+        if sa and sb:
+            truth[(i, j)] = len(sa & sb) / len(sa | sb)
+    sdf = (
+        spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+        .select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    signed = sdf.select(
+        "doc_id", "sh", minhash_band_keys(F.col("sh"), bands=8, rows=2).alias("bk")
+    )
+    cands = candidate_pairs(signed, "doc_id", "bk")
+    got = exact_jaccard(cands, signed, "doc_id", "sh").filter(F.col("jaccard") >= 0.8)
+    for r in got.collect():
+        assert truth.get((r.i, r.j), 0.0) >= 0.8, f"false positive: {(r.i, r.j)}"
+        assert abs(truth[(r.i, r.j)] - r.jaccard) < 1e-12
