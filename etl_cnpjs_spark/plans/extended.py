@@ -617,6 +617,40 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_timezone",
+    oracle="""
+    SELECT event_id,
+           ts - INTERVAL 3 HOUR                                   AS ts_local,
+           CAST(hour(ts - INTERVAL 3 HOUR) AS INT)                AS local_hour,
+           CAST(CAST(ts - INTERVAL 3 HOUR AS DATE) AS TIMESTAMP)  AS local_day,
+           ts                                                     AS ts_roundtrip
+    FROM events
+    """,
+    tags=("fn", "timezone"),
+)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time localization: UTC event timestamps → America/Sao_Paulo
+    local time (the reference's domain is Brazilian registry data), with
+    local hour/day derivation and a to_utc round trip. Spark side uses
+    the real tzdb API (`from_utc_timestamp`); the oracle states the
+    equivalent fixed −03:00 arithmetic — exact for this zone since
+    Brazil abolished DST in 2019 and the events corpus is 2024, and
+    deliberately independent of the oracle connection's TimeZone
+    setting (DuckDB's timezone() reads it; an offset expression
+    doesn't)."""
+    tz = "America/Sao_Paulo"
+    ev = table(spark, sf_dir, "events")
+    local = F.from_utc_timestamp("ts", tz)
+    return ev.select(
+        "event_id",
+        local.alias("ts_local"),
+        F.hour(local).alias("local_hour"),
+        F.date_trunc("day", local).alias("local_day"),
+        F.to_utc_timestamp(local, tz).alias("ts_roundtrip"),
+    )
+
+
+@register(
     "fn_hash_digest",
     oracle="""
     SELECT doc_id,
