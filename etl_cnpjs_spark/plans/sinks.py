@@ -153,6 +153,49 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_idempotent",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT)       AS n_rows,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum
+    FROM customer WHERE c_nationkey IN (3, 7)
+    GROUP BY c_nationkey
+    """,
+)
+def sink_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2's idempotency (skip-if-exists download, etl.py:61-63) in its
+    Spark-scale form: DYNAMIC partition overwrite. The same partitioned
+    load runs TWICE into one target; with partitionOverwriteMode=dynamic
+    each re-run replaces exactly the partitions it produces — no
+    duplication, no truncation of untouched partitions. The read-back
+    per-partition counts/checksums must equal a single clean load (the
+    oracle) — re-run safety proved by construction. This is the
+    recovery semantics a 1000-executor ingest needs: re-submit a failed
+    day's job without wiping the table."""
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_idem_"), "by_nation")
+    src = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(3, 7))
+        .select("c_custkey", "c_acctbal", "c_nationkey")
+    )
+    writer = (
+        src.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("c_nationkey")
+    )
+    writer.parquet(out)
+    writer.parquet(out)  # identical re-run: must be a no-op net effect
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("c_nationkey").cast("int").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").alias("key_sum"),
+        )
+    )
+
+
+@register(
     "sink_compact",
     oracle="""
     SELECT CAST(count(*) AS BIGINT)      AS n_rows,
