@@ -220,3 +220,69 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(bag).alias("fp_bag"),
         F.substring(F.md5(norm), 1, 8).alias("fp_short"),
     )
+
+
+_MIN_TOKENS = 10
+_MIN_DISTINCT_RATIO = 0.15
+_MIN_STOP_RATIO = 0.02
+
+
+@register(
+    "text_filter_pipeline",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             len({_SQL_TOKS})                                  AS n_tokens,
+             len(list_distinct({_SQL_TOKS}))
+               / greatest(len({_SQL_TOKS}), 1)                 AS distinct_ratio,
+             {_sql_hits(STOPWORDS)}
+               / greatest(len({_SQL_TOKS}), 1)                 AS stop_ratio
+      FROM documents)
+    SELECT doc_id, lang, n_tokens,
+           list_sort(
+             list_filter([
+               CASE WHEN n_tokens < {_MIN_TOKENS} THEN 'too_short' END,
+               CASE WHEN distinct_ratio < {_MIN_DISTINCT_RATIO} THEN 'repetitive' END,
+               CASE WHEN stop_ratio < {_MIN_STOP_RATIO} THEN 'no_stopwords' END
+             ], x -> x IS NOT NULL))                           AS reject_reasons,
+           (n_tokens >= {_MIN_TOKENS}
+            AND distinct_ratio >= {_MIN_DISTINCT_RATIO}
+            AND stop_ratio >= {_MIN_STOP_RATIO})               AS keep
+    FROM q
+    """,
+    tags=("north_star", "text", "pipeline"),
+)
+def text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus filter a cleaning pipeline actually ships (C4/Gopher
+    style): compose the quality signals into a keep/drop decision WITH
+    per-rule reject reasons — auditability is the point; a bare boolean
+    can't tell you which rule is eating your corpus. Pure column math,
+    one scan, no shuffle; downstream: `.filter("keep")` for the corpus,
+    `explode(reject_reasons)` + count for the rule report."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    safe_n = F.greatest(n, F.lit(1))
+    distinct_ratio = F.size(F.array_distinct(toks)) / safe_n
+    stop_ratio = token_overlap_count(toks, STOPWORDS) / safe_n
+    reasons = F.array_sort(
+        F.filter(
+            F.array(
+                F.when(n < _MIN_TOKENS, F.lit("too_short")),
+                F.when(distinct_ratio < _MIN_DISTINCT_RATIO, F.lit("repetitive")),
+                F.when(stop_ratio < _MIN_STOP_RATIO, F.lit("no_stopwords")),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        reasons.alias("reject_reasons"),
+        (
+            (n >= _MIN_TOKENS)
+            & (distinct_ratio >= _MIN_DISTINCT_RATIO)
+            & (stop_ratio >= _MIN_STOP_RATIO)
+        ).alias("keep"),
+    )
