@@ -1,20 +1,29 @@
-"""Near-dup plans over `documents` (north_star: dedup).
+"""Dedup plan family (north_star): detection → clustering → canonical
+corpus, over `documents`, plus fuzzy record linkage over entity names.
 
-Shared shape: output = (i, j, score) for document pairs i<j judged
-near-duplicates. Three detectors:
+Pair detectors — output (i, j, score) for pairs i<j:
+- dedup_ngram_jaccard — exact 3-gram-shingle Jaccard ≥ 0.8 via
+  posting-list self-join (hashed keys). The exact baseline and the
+  oracle for itself and MinHash. At 100 TB its posting lists explode on
+  common shingles — oracle-grade, not the production path.
+- dedup_minhash — MinHash(16)+LSH(8 bands × 2) candidates,
+  exact-Jaccard verified ≥ 0.8. Verification makes output ⊆ exact;
+  P(miss | j ≥ 0.8) = (1-0.64)^8 ≈ 3e-4 per pair — empirically
+  exhaustive on this corpus (tests assert equality with exact), so it
+  shares the exact oracle. Linear in docs × bands — the scale path.
+- dedup_simhash — frequency-weighted 64-bit SimHash, 6×10-bit bands
+  (pigeonhole-complete for hamming ≤ 5). Engine hash → rows-only check.
+- dedup_fuzzy_names — edit-distance linkage with two stacked blocking
+  passes (prefix + sorted neighborhood).
 
-- dedup_ngram_jaccard — exact 3-gram-shingle Jaccard ≥ 0.8 via shingle
-  self-join. O(total shingle postings) — the exact baseline, and the
-  oracle for itself and for MinHash.
-- dedup_minhash — MinHash(16)+LSH(8 bands × 2) candidates, exact-Jaccard
-  verified ≥ 0.8. Verification makes output ⊆ exact; with 8×2 banding,
-  P(miss | j ≥ 0.8) = (1-0.64)^8 ≈ 3e-4 per pair — on this corpus the
-  detector is empirically exhaustive (tests assert it equals the exact
-  result), so it shares the exact-Jaccard oracle. At 100 TB the shingle
-  self-join explodes (posting lists of common shingles) while LSH stays
-  linear in docs × bands — this is the scale path.
-- dedup_simhash — 64-bit SimHash, 16-bit-band candidates, hamming ≤ 12.
-  xxhash64-based signature has no DuckDB twin → rows-only check.
+From pairs to a deduplicated corpus:
+- dedup_cluster — connected components over near-dup pairs
+  (operators/graph.py), recursive-CTE oracle.
+- dedup_canonical — one surviving doc per component; the operator a
+  pipeline actually ships.
+
+Shingle and component frames are memoized per (session, sf_dir) — four
+plans share them; see _doc_shingles.
 """
 
 from __future__ import annotations
