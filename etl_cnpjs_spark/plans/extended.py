@@ -758,6 +758,67 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    """,
+    tags=("sql", "subquery"),
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — written as subqueries, executed
+    as joins: Catalyst decorrelates them into left-semi and left-anti
+    joins (tests/test_plans.py asserts both appear in the physical plan,
+    no nested-loop re-execution per row). The rewrite IS the scale
+    property: a naive correlated execution is O(rows × subquery)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("__sq_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__sq_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM __sq_customer c
+        WHERE EXISTS (SELECT 1 FROM __sq_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM __sq_orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        """
+    )
+
+
+@register(
+    "sql_scalar_subquery",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT max(o.o_totalprice) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS max_order
+    FROM customer c
+    WHERE c_nationkey = 3
+    """,
+    tags=("sql", "subquery"),
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-customer max order value):
+    Catalyst decorrelates to one aggregate over orders + a left outer
+    join — the subquery runs ONCE, not per outer row. NULL for
+    order-less customers survives the rewrite (outer join, not inner)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("__sq_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__sq_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT max(o.o_totalprice) FROM __sq_orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_order
+        FROM __sq_customer c
+        WHERE c_nationkey = 3
+        """
+    )
+
+
+@register(
     "join_full",
     oracle="""
     SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,

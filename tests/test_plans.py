@@ -63,6 +63,16 @@ def test_partition_pruning_reaches_scan(spark, sf_dir):
     assert "Filter (" not in plan
 
 
+def test_subqueries_decorrelate_to_joins(spark, sf_dir):
+    plan = explain_str(QUERIES["sql_exists_subquery"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, "EXISTS must decorrelate to a semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS must decorrelate to an anti join"
+    scalar = explain_str(QUERIES["sql_scalar_subquery"].fn(spark, sf_dir))
+    assert "HashAggregate" in scalar and "Join" in scalar, (
+        "scalar subquery must become aggregate + join, not per-row execution"
+    )
+
+
 def test_filter_pushdown_on_filter_plans(spark, sf_dir):
     plan = explain_str(QUERIES["filter_range"].fn(spark, sf_dir))
     assert "PushedFilters: [" in plan and "GreaterThan" in plan or "IsNotNull" in plan
