@@ -757,6 +757,51 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_HIST_LO, _HIST_HI, _HIST_BUCKETS = 0.0, 600000.0, 12
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+    SELECT CAST(least(floor((o_totalprice - {_HIST_LO})
+                      / (({_HIST_HI} - {_HIST_LO}) / {_HIST_BUCKETS})),
+                 {_HIST_BUCKETS - 1}) AS INT)            AS bucket,
+           {_HIST_LO} + CAST(least(floor((o_totalprice - {_HIST_LO})
+                      / (({_HIST_HI} - {_HIST_LO}) / {_HIST_BUCKETS})),
+                 {_HIST_BUCKETS - 1}) AS INT)
+               * (({_HIST_HI} - {_HIST_LO}) / {_HIST_BUCKETS}) AS bucket_lo,
+           CAST(count(*) AS BIGINT)                      AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "histogram", "profile"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound equi-width histogram of order values (12 buckets,
+    overflow clamped into the last) — the distribution profile behind
+    quality-threshold picking and skew diagnosis. Pure integer bucket
+    arithmetic (identical in both engines, no float rounding concerns in
+    the group keys) + one map-side-combined count shuffle. At 100 TB
+    bounds come from a prior approx-quantile pass, not a full min/max
+    scan."""
+    o = table(spark, sf_dir, "orders")
+    width = (_HIST_HI - _HIST_LO) / _HIST_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - _HIST_LO) / width),
+        F.lit(_HIST_BUCKETS - 1),
+    ).cast("int")
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.lit(_HIST_LO) + F.col("bucket") * width).alias("bucket_lo"),
+            "n",
+        )
+    )
+
+
 @register(
     "sql_exists_subquery",
     oracle="""
