@@ -886,3 +886,89 @@ def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
     )
+
+
+# Per-stratum keep thresholds over the 2^32 hash space: downsample the
+# dominant language (en ≈ 44% of the corpus), keep mid-size strata at
+# half, keep the tail whole — the corpus-rebalancing shape of a
+# training-data pipeline. Thresholds are exact powers-of-two fractions,
+# so both engines compare against identical bigints.
+_STRAT_EN = _MOD // 4  # en: keep 25%
+_STRAT_MID = _MOD // 2  # zh/es: keep 50%
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE (doc_id * {_KNUTH}) % {_MOD} <
+          CASE WHEN lang = 'en' THEN {_STRAT_EN}
+               WHEN lang IN ('zh', 'es') THEN {_STRAT_MID}
+               ELSE {_MOD} END
+    """,
+    tags=("sample", "north_star"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: per-class keep rates applied via
+    the same multiplicative key hash as sample_hash — the corpus
+    rebalancing step of a training pipeline (downsample the dominant
+    language, keep the rare ones). Keying on doc_id (not random()) makes
+    the split reproducible across runs AND engines, and the per-stratum
+    rate is just a CASE over the threshold — one scan, no shuffle, no
+    per-stratum passes. Spark's own sampleBy() is the seeded-random
+    equivalent; hash-based stratification is preferred at 100 TB because
+    re-runs and backfills select the same rows."""
+    d = table(spark, sf_dir, "documents")
+    threshold = (
+        F.when(F.col("lang") == "en", F.lit(_STRAT_EN))
+        .when(F.col("lang").isin("zh", "es"), F.lit(_STRAT_MID))
+        .otherwise(F.lit(_MOD))
+    )
+    return d.select("doc_id", "lang", "n_chars").filter(
+        (F.col("doc_id") * _KNUTH) % _MOD < threshold
+    )
+
+
+_RANGE_FRAME_US = 600_000_000  # 10 minutes in microseconds
+
+
+@register(
+    "window_range_frame",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT)                    AS cnt_10m,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w
+                AS DOUBLE)                                    AS sum_10m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {_RANGE_FRAME_US} PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "range", "events"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, count and sum of events in the
+    trailing 10 minutes up to and including each event — the per-row
+    rolling-window shape (rate limiting, burst detection, trailing
+    revenue) that a rows-based frame cannot express when events are
+    unevenly spaced. Ordering on integer epoch-micros makes the frame
+    bound exact integer arithmetic in both engines (ties = RANGE peers,
+    identical semantics), and the double sum goes through DECIMAL
+    accumulation per the registry rule. One shuffle on user_id, per-key
+    sort within partitions — the same cost envelope as any window plan."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_RANGE_FRAME_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("cnt_10m"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_10m"),
+    )

@@ -76,3 +76,18 @@ def test_subqueries_decorrelate_to_joins(spark, sf_dir):
 def test_filter_pushdown_on_filter_plans(spark, sf_dir):
     plan = explain_str(QUERIES["filter_range"].fn(spark, sf_dir))
     assert "PushedFilters: [" in plan and "GreaterThan" in plan or "IsNotNull" in plan
+
+
+def test_stratified_sample_prunes_and_never_shuffles(spark, sf_dir):
+    plan = explain_str(QUERIES["sample_stratified"].fn(spark, sf_dir))
+    assert "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>" in plan
+    assert "Exchange" not in plan, "per-stratum hash sample must stay scan+filter"
+
+
+def test_range_frame_window_is_one_shuffle(spark, sf_dir):
+    plan = explain_str(QUERIES["window_range_frame"].fn(spark, sf_dir))
+    assert "RangeFrame" in plan, "frame must be RANGE (time), not ROWS"
+    # formatted mode puts the partitioning on the Exchange's Arguments line
+    assert plan.count("hashpartitioning(user_id") == 1, (
+        "rolling window = exactly one shuffle on the partition key"
+    )
