@@ -972,3 +972,37 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_10m"),
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT user_id, event_type, cnt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type ASC) AS rk
+      FROM c)
+    SELECT user_id, event_type AS modal_type, cnt AS modal_cnt
+    FROM r WHERE rk = 1
+    """,
+    tags=("agg", "mode", "profile"),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent event_type per
+    user, ties broken by value order. Spark 4 has a mode() aggregate but
+    its tie-break is engine-arbitrary — cross-engine determinism needs
+    the explicit two-stage shape: count per (group, value) with map-side
+    combine (the only full-data shuffle), then a row_number pick over the
+    distinct-pairs frame, which is |groups|x|values| — tiny relative to
+    the input, so the second shuffle is noise at any scale."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), F.col("cnt").alias("modal_cnt"))
+    )
