@@ -467,6 +467,27 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_quantile",
+    oracle=None,  # KLL/GK vs t-digest sketches differ across engines
+    tags=("agg", "approx", "quantile"),
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of agg_quantile: approx_percentile with relative-error
+    accuracy 1/2000 — the 100 TB posture for percentiles (fixed-size
+    mergeable sketch, no per-group sort/spill). Engine sketches differ
+    (Spark GK vs DuckDB t-digest) → rows-only driver check;
+    tests/test_approx_accuracy.py bounds the error against the exact
+    sort-based agg_quantile instead."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(2000)).alias("qty_p50_approx"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(2000)).alias(
+            "price_p50_approx"
+        ),
+    )
+
+
+@register(
     "agg_rollup",
     oracle=f"""
     SELECT r_name, n_name,

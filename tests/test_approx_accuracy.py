@@ -1,0 +1,37 @@
+"""Accuracy bounds for the sketch-based aggregates (rows-only in the
+driver's compare): each approx op is held against its exact twin with
+the error tolerance the sketch advertises. This is the local correctness
+evidence the DuckDB oracle can't provide for engine-specific sketches.
+"""
+
+from __future__ import annotations
+
+from etl_cnpjs_spark.plans.registry import QUERIES
+
+
+def _by_key(df, key):
+    return {r[key]: r for r in df.collect()}
+
+
+def test_approx_distinct_within_hll_error(spark, sf_dir):
+    exact = _by_key(QUERIES["agg_count_distinct"].fn(spark, sf_dir), "o_orderstatus")
+    approx = _by_key(QUERIES["agg_approx_distinct"].fn(spark, sf_dir), "o_orderstatus")
+    assert exact.keys() == approx.keys()
+    for k, e in exact.items():
+        # rsd=0.02 ⇒ ~2% standard error; 4 sigma keeps the test stable
+        assert abs(approx[k]["approx_custs"] - e["n_custs"]) <= 0.08 * e["n_custs"], k
+
+
+def test_approx_quantile_within_rank_error(spark, sf_dir):
+    exact = _by_key(QUERIES["agg_quantile"].fn(spark, sf_dir), "l_returnflag")
+    approx = _by_key(QUERIES["agg_approx_quantile"].fn(spark, sf_dir), "l_returnflag")
+    assert exact.keys() == approx.keys()
+    for k, e in exact.items():
+        # GK accuracy 2000 ⇒ rank error ≤ 1/2000; bound in VALUE space via
+        # a loose relative tolerance (distributions here are near-uniform)
+        assert abs(approx[k]["qty_p50_approx"] - e["qty_p50"]) <= max(
+            0.02 * abs(e["qty_p50"]), 1.0
+        ), k
+        assert abs(approx[k]["price_p50_approx"] - e["price_median"]) <= max(
+            0.02 * abs(e["price_median"]), 1.0
+        ), k
