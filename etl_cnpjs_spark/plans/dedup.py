@@ -13,8 +13,8 @@ Pair detectors — output (i, j, score) for pairs i<j:
   shares the exact oracle. Linear in docs × bands — the scale path.
 - dedup_simhash — frequency-weighted 64-bit SimHash, 6×10-bit bands
   (pigeonhole-complete for hamming ≤ 5). Engine hash → rows-only check.
-- dedup_fuzzy_names — edit-distance linkage with two stacked blocking
-  passes (prefix + sorted neighborhood).
+- dedup_fuzzy_names — edit-distance linkage with three stacked blocking
+  passes (prefix + sorted neighborhood + reversed-key neighborhood).
 
 From pairs to a deduplicated corpus:
 - dedup_cluster — connected components over near-dup pairs
@@ -237,14 +237,16 @@ _SN_WINDOW = 3  # sorted-neighborhood band width (pass 2)
     WITH n AS (
       SELECT c_custkey, c_name,
              substr(c_name, 1, {_BLOCK_PREFIX}) AS blk,
-             ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rk
+             ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rk,
+             ROW_NUMBER() OVER (ORDER BY reverse(c_name), c_custkey) AS rk2
       FROM customer),
     cand AS (
       SELECT a.c_custkey AS i, b.c_custkey AS j,
              a.c_name AS na, b.c_name AS nb
       FROM n a JOIN n b
         ON a.c_custkey < b.c_custkey
-       AND (a.blk = b.blk OR abs(a.rk - b.rk) <= {_SN_WINDOW})
+       AND (a.blk = b.blk OR abs(a.rk - b.rk) <= {_SN_WINDOW}
+                          OR abs(a.rk2 - b.rk2) <= {_SN_WINDOW})
     )
     SELECT DISTINCT i, j, CAST(levenshtein(na, nb) AS INT) AS edits
     FROM cand
@@ -265,18 +267,24 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     - sorted neighborhood: names within {_SN_WINDOW} positions of each
       other in global name order — catches edits the prefix block can't
       see without scanning all pairs. One sort (a window over the full
-      table) + a narrow rank-band self-join.
+      table) + a narrow rank-band self-join;
+    - reversed-key sorted neighborhood: same band over reverse(name)
+      order — edits in the LEADING characters destroy both prefix-block
+      and forward-sort locality; reversing the key restores it (the
+      multi-key pass of classic sorted-neighborhood linkage).
 
-    Candidates from both passes union (DISTINCT), then one levenshtein
+    Candidates from all passes union (DISTINCT), then one levenshtein
     verify. Each pass alone has a documented recall hole; stacking is
     the standard fix."""
     c = table(spark, sf_dir, "customer")
     w = Window.orderBy("c_name", "c_custkey")
+    w2 = Window.orderBy(F.reverse(F.col("c_name")), F.col("c_custkey"))
     n = c.select(
         "c_custkey",
         "c_name",
         F.substring("c_name", 1, _BLOCK_PREFIX).alias("blk"),
         F.row_number().over(w).alias("rk"),
+        F.row_number().over(w2).alias("rk2"),
     ).localCheckpoint()  # several self-join branches; rank once
     a, b = n.alias("a"), n.alias("b")
     # NB: both passes are EQUI-joins — an OR of the two block predicates
@@ -291,22 +299,26 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.c_name").alias("na"),
         F.col("b.c_name").alias("nb"),
     )
-    # rank-offset explode makes the ±window band an equi-join on rk
-    sn_pairs = (
-        a.select("*", F.explode(F.sequence(F.lit(1), F.lit(_SN_WINDOW))).alias("off"))
-        .join(b, F.col("a.rk") + F.col("off") == F.col("b.rk"))
-        .select(
-            F.least("a.c_custkey", "b.c_custkey").alias("i"),
-            F.greatest("a.c_custkey", "b.c_custkey").alias("j"),
-            F.when(F.col("a.c_custkey") < F.col("b.c_custkey"), F.col("a.c_name"))
-            .otherwise(F.col("b.c_name"))
-            .alias("na"),
-            F.when(F.col("a.c_custkey") < F.col("b.c_custkey"), F.col("b.c_name"))
-            .otherwise(F.col("a.c_name"))
-            .alias("nb"),
+    # rank-offset explode makes the ±window band an equi-join on the rank
+    def sn_band(rank_col: str) -> DataFrame:
+        return (
+            a.select(
+                "*", F.explode(F.sequence(F.lit(1), F.lit(_SN_WINDOW))).alias("off")
+            )
+            .join(b, F.col(f"a.{rank_col}") + F.col("off") == F.col(f"b.{rank_col}"))
+            .select(
+                F.least("a.c_custkey", "b.c_custkey").alias("i"),
+                F.greatest("a.c_custkey", "b.c_custkey").alias("j"),
+                F.when(F.col("a.c_custkey") < F.col("b.c_custkey"), F.col("a.c_name"))
+                .otherwise(F.col("b.c_name"))
+                .alias("na"),
+                F.when(F.col("a.c_custkey") < F.col("b.c_custkey"), F.col("b.c_name"))
+                .otherwise(F.col("a.c_name"))
+                .alias("nb"),
+            )
         )
-    )
-    cand = prefix_pairs.unionByName(sn_pairs).distinct()
+
+    cand = prefix_pairs.unionByName(sn_band("rk")).unionByName(sn_band("rk2")).distinct()
     return (
         cand.select("i", "j", F.levenshtein("na", "nb").alias("edits"))
         .filter(F.col("edits") <= FUZZY_MAX_EDITS)
