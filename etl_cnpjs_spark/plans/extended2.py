@@ -1,0 +1,219 @@
+"""Second extended-surface batch: gap-based sessionization, full-frame
+value windows, URL parsing, weighted aggregates.
+
+The reference is strictly batch SPJ over the CNPJ registry
+(`ETLCNPJFinalEmpresaEstabelecimentos.py:191-234`) and has none of these
+(SURVEY.md §2.2 marks the categories ∅); they are standard pieces of a
+training-data / clickstream pipeline at 100 TB:
+
+- sessionization turns a raw event log into the per-session grain every
+  engagement metric needs — here the batch (deterministic, oracle-able)
+  twin of `stream_session`'s `session_window`;
+- first/last/nth over an unbounded frame is the "attribute of the whole
+  group, kept per row" shape (first-touch attribution, latest-state
+  decoration) that would otherwise cost a self-join;
+- URL parsing is the first step of web-corpus curation (host-level
+  dedup/filtering, e.g. C4);
+- weighted averages are how per-document quality scores roll up to
+  corpus level without letting short documents dominate.
+
+Determinism: all window orderings carry the unique-key tiebreaker; time
+arithmetic stays in bigint microseconds (`unix_micros` / `epoch_us` —
+identical ns→µs truncation on both engines, see catalog.table); double
+sums go through decimal accumulation per the registry convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_cnpjs_spark.catalog import table
+from etl_cnpjs_spark.plans.registry import register
+
+_DEC = "decimal(27,6)"
+
+# 6 hours in microseconds: events average one per ~10 h per user, so this
+# yields a mix of singleton and multi-event sessions at sf0.01.
+_SESSION_GAP_US = 21_600_000_000
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    tags=("events", "window", "sessionize"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after >6 h of user
+    inactivity. lag → flag → running sum assigns session ids in ONE
+    window pass, then per-session aggregation.
+
+    Physical shape: ONE exchange on user_id feeds both window passes
+    (lag, then the running sum) and the final groupBy(user_id,
+    session_seq) — hash(user_id) already clusters (user_id,
+    session_seq), so EnsureRequirements inserts no second exchange
+    (asserted in tests/test_plans.py). At 100 TB this is the scalable
+    alternative to collecting per-user event lists."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    gap = F.unix_micros(F.col("ts")) - prev_us
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(prev_us.isNull() | (gap > _SESSION_GAP_US), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn("session_seq", F.sum("is_new").over(wsum))
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER w AS last_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over the full-partition frame: decorate every
+    order with its customer's first, latest, and second order — the
+    first-touch-attribution shape. One shuffle + one sort; the unbounded
+    frame makes Spark evaluate the whole-partition answer once and
+    replicate it per row (no self-join, no second aggregate)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first_value(F.col("o_orderkey")).over(w).alias("first_order"),
+        F.last_value(F.col("o_orderkey")).over(w).alias("last_order"),
+        F.nth_value(F.col("o_orderkey"), 2).over(w).alias("second_order"),
+    )
+
+
+@register(
+    "fn_url",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey,
+             'https://shop.example.com/'
+               || lower(replace(o_orderpriority, ' ', '-'))
+               || '/' || CAST(o_orderkey AS VARCHAR)
+               || '?cust=' || CAST(o_custkey AS VARCHAR)
+               || '&status=' || o_orderstatus AS url
+      FROM orders)
+    SELECT o_orderkey, url,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]cust=([^&#]*)', 1) AS cust_param
+    FROM u
+    """,
+    tags=("fn", "url"),
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing kernel: build deterministic URLs, then split them back
+    into protocol / host / path / query-param with `parse_url` (JVM-side,
+    codegen). Host extraction is step one of web-corpus curation —
+    host-level dedup, blocklists, per-domain caps. The oracle mirrors
+    each part with anchored regexes, proving the extraction semantics
+    rather than echoing the same builtin."""
+    o = table(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://shop.example.com/"),
+        F.lower(F.regexp_replace(F.col("o_orderpriority"), " ", "-")),
+        F.lit("/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?cust="),
+        F.col("o_custkey").cast("string"),
+        F.lit("&status="),
+        F.col("o_orderstatus"),
+    )
+    d = o.select("o_orderkey", url.alias("url"))
+    return d.select(
+        "o_orderkey",
+        "url",
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("cust")).alias("cust_param"),
+    )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS {_DEC})) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE)
+             AS qty_weighted_price,
+           CAST(SUM(CAST(l_discount * l_extendedprice AS {_DEC})) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE)
+             AS price_weighted_discount,
+           CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "weighted"),
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted averages per group: quantity-weighted price and
+    price-weighted discount — the corpus-rollup shape (weighting
+    per-document quality by token count so short docs don't dominate).
+    One hash aggregate with map-side partials; numerator and denominator
+    accumulate in decimal so the result is order-insensitive and
+    bit-identical to the oracle."""
+    li = table(spark, sf_dir, "lineitem")
+    wsum = F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast(_DEC))
+    qsum = F.sum(F.col("l_quantity").cast(_DEC))
+    dsum = F.sum((F.col("l_discount") * F.col("l_extendedprice")).cast(_DEC))
+    psum = F.sum(F.col("l_extendedprice").cast(_DEC))
+    return li.groupBy("l_returnflag").agg(
+        (wsum.cast("double") / qsum.cast("double")).alias("qty_weighted_price"),
+        (dsum.cast("double") / psum.cast("double")).alias("price_weighted_discount"),
+        qsum.cast("double").alias("total_qty"),
+    )

@@ -91,3 +91,22 @@ def test_range_frame_window_is_one_shuffle(spark, sf_dir):
     assert plan.count("hashpartitioning(user_id") == 1, (
         "rolling window = exactly one shuffle on the partition key"
     )
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    # lag window + running-sum window + final groupBy all cluster on
+    # user_id: EnsureRequirements must satisfy the aggregate's
+    # ClusteredDistribution from the window's hash(user_id) partitioning
+    # instead of inserting a second shuffle on (user_id, session_seq).
+    plan = explain_str(QUERIES["events_sessionize"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "sessionization must be one shuffle end-to-end"
+    )
+
+
+def test_first_last_window_unbounded_frame_one_shuffle(spark, sf_dir):
+    plan = explain_str(QUERIES["window_first_last"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "unboundedfollowing" in plan.lower(), (
+        "first/last/nth must use the full-partition frame, not a self-join"
+    )
