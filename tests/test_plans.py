@@ -110,3 +110,42 @@ def test_first_last_window_unbounded_frame_one_shuffle(spark, sf_dir):
     assert "unboundedfollowing" in plan.lower(), (
         "first/last/nth must use the full-partition frame, not a self-join"
     )
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    # At 100 TB a selective dim-side filter should prune fact-side shuffle
+    # input BEFORE the join: Spark's InjectRuntimeFilter builds a bloom
+    # filter from the filtered creation side and applies might_contain()
+    # on the application side. The rule is pure SQL-conf driven (no Scala
+    # API needed) — thresholds here are lowered only because sf0.01 is
+    # below the default 10 MB creation-side cutoff.
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, "creation side must build the bloom filter"
+        assert "might_contain" in plan, "application side must probe it pre-shuffle"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
