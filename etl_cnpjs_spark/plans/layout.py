@@ -108,3 +108,119 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.join(
         o, (l.l_orderkey == o.o_orderkey) & (l["__salt"] == o["__salt"])
     ).select("l_orderkey", "l_linenumber", "l_extendedprice", "o_totalprice")
+
+
+# --- Z-order clustering -----------------------------------------------------
+#
+# Multi-dimensional clustering via bit-interleaved Z-values — the from-
+# first-principles analog of Delta/Iceberg `OPTIMIZE ZORDER BY (a, b)`.
+# A table sorted on ONE key skips files only for predicates on that key;
+# sorting by the interleaved Z-value clusters BOTH dimensions at once, so
+# file-level min/max stats prune range queries on either column. The
+# reference's nearest concept is its pair of single-column indexes
+# (ETLCNPJFinalEmpresaEstabelecimentos.py:178-180) — which, like a linear
+# sort, each serve exactly one dimension.
+
+_ZB = 10  # bits per normalized dimension (domain scaled to [0, 1024))
+_ZTILE_SHIFT = 2 * _ZB - 6  # keep top 3+3 interleaved bits -> 64 z-tiles
+_PROBE_LO, _PROBE_HI = 256, 511  # probe = one quarter of either domain
+
+
+def z_value_expr(xs: str, ys: str, bits: int = _ZB) -> str:
+    """Bit-interleave SQL expression, valid in BOTH Spark SQL and DuckDB
+    (`>> & <<` operators agree): x bits land on even positions, y on odd."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xs} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ys} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_Z_ORACLE = f"""
+    WITH base AS (SELECT l_orderkey AS x, l_partkey AS y FROM lineitem),
+    st AS (SELECT min(x) AS minx, max(x) AS maxx,
+                  min(y) AS miny, max(y) AS maxy FROM base),
+    norm AS (SELECT ((x - minx) * {2**_ZB}) // (maxx - minx + 1) AS xs,
+                    ((y - miny) * {2**_ZB}) // (maxy - miny + 1) AS ys
+             FROM base, st),
+    zed AS (SELECT xs, ys, {z_value_expr("xs", "ys")} AS z FROM norm)
+    SELECT z >> {_ZTILE_SHIFT} AS zbucket,
+           COUNT(*) AS n,
+           MIN(xs) AS min_xs, MAX(xs) AS max_xs,
+           MIN(ys) AS min_ys, MAX(ys) AS max_ys,
+           (MIN(xs) <= {_PROBE_HI} AND MAX(xs) >= {_PROBE_LO}) AS hit_x,
+           (MIN(ys) <= {_PROBE_HI} AND MAX(ys) >= {_PROBE_LO}) AS hit_y
+    FROM zed GROUP BY zbucket
+"""
+
+
+@register(
+    "layout_zorder",
+    oracle=_Z_ORACLE,
+    tags=("layout", "zorder"),
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering planner: normalize (l_orderkey, l_partkey) to
+    10-bit ranks, interleave to a 20-bit Z-value, group into 64 z-tiles
+    (the file grain), and report per-tile min/max of both dimensions plus
+    whether a quarter-domain probe on EACH dimension overlaps the tile.
+    Under Z-order a single-dimension probe overlaps ~probe_fraction of
+    tiles on its own axis (16/64 here) instead of all of them — the
+    tests write the tiles as real parquet files via repartitionByRange(z)
+    and re-derive the same skipping from file-level stats.
+
+    Physical shape: one tiny stats agg broadcast back over the scan, then
+    one hash aggregate on zbucket; the Z-arithmetic is pure codegen
+    (shift/mask), no UDF."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("x"), F.col("l_partkey").alias("y")
+    )
+    st = li.agg(
+        F.min("x").alias("minx"),
+        F.max("x").alias("maxx"),
+        F.min("y").alias("miny"),
+        F.max("y").alias("maxy"),
+    )
+    norm = li.crossJoin(F.broadcast(st)).selectExpr(
+        f"((x - minx) * {2**_ZB}) div (maxx - minx + 1) AS xs",
+        f"((y - miny) * {2**_ZB}) div (maxy - miny + 1) AS ys",
+    )
+    zed = norm.selectExpr("xs", "ys", f"{z_value_expr('xs', 'ys')} AS z")
+    return zed.selectExpr(f"z >> {_ZTILE_SHIFT} AS zbucket", "xs", "ys").groupBy("zbucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("xs").alias("min_xs"),
+        F.max("xs").alias("max_xs"),
+        F.min("ys").alias("min_ys"),
+        F.max("ys").alias("max_ys"),
+        ((F.min("xs") <= _PROBE_HI) & (F.max("xs") >= _PROBE_LO)).alias("hit_x"),
+        ((F.min("ys") <= _PROBE_HI) & (F.max("ys") >= _PROBE_LO)).alias("hit_y"),
+    )
+
+
+def zorder_write(spark: SparkSession, sf_dir: str, out: str, n_files: int = 32) -> None:
+    """Materialize the Z-ordered layout: range-partition by Z-value into
+    n_files contiguous z-runs, sort within, write parquet — exactly what
+    OPTIMIZE ZORDER does. Used by tests/test_zorder.py to prove file-level
+    skipping on both dimensions from read-side stats."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("x"), F.col("l_partkey").alias("y")
+    )
+    st = li.agg(
+        F.min("x").alias("minx"),
+        F.max("x").alias("maxx"),
+        F.min("y").alias("miny"),
+        F.max("y").alias("maxy"),
+    )
+    norm = li.crossJoin(F.broadcast(st)).selectExpr(
+        "x",
+        "y",
+        f"((x - minx) * {2**_ZB}) div (maxx - minx + 1) AS xs",
+        f"((y - miny) * {2**_ZB}) div (maxy - miny + 1) AS ys",
+    )
+    zed = norm.selectExpr("x", "y", "xs", "ys", f"{z_value_expr('xs', 'ys')} AS z")
+    (
+        zed.repartitionByRange(n_files, F.col("z"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
