@@ -1,0 +1,148 @@
+"""End-to-end corpus curation — the north-star composite pipeline.
+
+The TPC-H trio (plans/tpch.py) is the composite workload for the
+relational side; this is its twin for the training-data side: the full
+curation funnel a 100 TB text pipeline ships, as ONE plan with ONE
+oracle-checked summary:
+
+    documents
+      → quality filter        (C4/Gopher rules — text_filter_pipeline)
+      → exact dedup           (md5 content fingerprint, keep smallest id)
+      → near-dup removal      (3-gram Jaccard ≥ 0.8, keep-first greedy)
+      → per-(lang, source) funnel report + surviving token counts
+
+Near-dup drop rule (deterministic, single-pass): drop doc j when some
+pair (i, j), i < j, exists whose i survived exact dedup. This is the
+greedy "first occurrence wins" rule (same semantics family as streaming
+dedup), NOT transitive-closure canonicalization — that stronger form is
+`dedup_canonical`. Both are real pipeline choices; greedy is the cheap
+one (one anti-join instead of iterated connected components).
+
+Funnel counts are nested subsets computed as per-doc flags then ONE
+aggregation — at scale the report costs a single small shuffle on
+(lang, source) after the pair join; the expensive stage (shingle posting
+join) is shared machinery with the dedup family (memoized per session).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_cnpjs_spark.catalog import table
+from etl_cnpjs_spark.functions.text import normalized_text, token_overlap_count, tokens
+from etl_cnpjs_spark.operators.dedup import jaccard_pairs
+from etl_cnpjs_spark.plans.dedup import _SQL_SHINGLES, JACCARD_THRESHOLD, _doc_shingles
+from etl_cnpjs_spark.plans.registry import register
+from etl_cnpjs_spark.plans.text import (
+    _MIN_DISTINCT_RATIO,
+    _MIN_STOP_RATIO,
+    _MIN_TOKENS,
+    _SQL_TOKS,
+    STOPWORDS,
+    _sql_hits,
+)
+
+_ORACLE = (
+    _SQL_SHINGLES
+    + rf"""
+  , e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+  sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+  p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+  pairs AS (
+    SELECT i, j
+    FROM p JOIN sz s1 ON p.i = s1.doc_id JOIN sz s2 ON p.j = s2.doc_id
+    WHERE inter / (s1.n + s2.n - inter) >= {JACCARD_THRESHOLD}),
+  q AS (
+    SELECT doc_id, lang, source,
+           len({_SQL_TOKS}) AS n_tokens,
+           (len({_SQL_TOKS}) >= {_MIN_TOKENS}
+            AND len(list_distinct({_SQL_TOKS}))
+                  / greatest(len({_SQL_TOKS}), 1) >= {_MIN_DISTINCT_RATIO}
+            AND {_sql_hits(STOPWORDS)}
+                  / greatest(len({_SQL_TOKS}), 1) >= {_MIN_STOP_RATIO}) AS keep_q,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents),
+  ex AS (SELECT doc_id, (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS is_exact
+         FROM q WHERE keep_q),
+  drops AS (SELECT DISTINCT p2.j AS doc_id
+            FROM pairs p2 JOIN ex ON p2.i = ex.doc_id AND ex.is_exact),
+  fin AS (
+    SELECT q.lang, q.source, q.n_tokens, q.keep_q,
+           COALESCE(ex.is_exact, FALSE) AS is_exact,
+           (COALESCE(ex.is_exact, FALSE) AND drops.doc_id IS NULL) AS is_final
+    FROM q LEFT JOIN ex ON q.doc_id = ex.doc_id
+           LEFT JOIN drops ON q.doc_id = drops.doc_id)
+  SELECT lang, source,
+         COUNT(*) AS n_docs,
+         CAST(sum(CASE WHEN keep_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         CAST(sum(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         CAST(sum(CASE WHEN is_final THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+         CAST(sum(CASE WHEN is_final THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_final
+  FROM fin GROUP BY lang, source
+"""
+)
+
+
+@register("corpus_curate", oracle=_ORACLE, tags=("north_star", "text", "dedup", "pipeline"))
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filter → exact dedup → greedy near-dup drop → funnel
+    report. See module docstring for stage semantics."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    safe_n = F.greatest(n, F.lit(1))
+    keep_q = (
+        (n >= _MIN_TOKENS)
+        & (F.size(F.array_distinct(toks)) / safe_n >= _MIN_DISTINCT_RATIO)
+        & (token_overlap_count(toks, STOPWORDS) / safe_n >= _MIN_STOP_RATIO)
+    )
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n.alias("n_tokens"),
+        keep_q.alias("keep_q"),
+        F.md5(normalized_text(F.col("text"))).alias("fp"),
+    )
+
+    # exact dedup among quality survivors: smallest doc_id per fingerprint
+    ex = (
+        base.filter("keep_q")
+        .withColumn("is_exact", F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp")))
+        .select("doc_id", "is_exact")
+    )
+
+    # greedy near-dup drop: j goes when its smaller partner i survived
+    pairs = jaccard_pairs(_doc_shingles(spark, sf_dir), "doc_id", "sh", JACCARD_THRESHOLD)
+    drops = (
+        pairs.join(ex.filter("is_exact").withColumnRenamed("doc_id", "i"), "i")
+        .select(F.col("j").alias("doc_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+
+    fin = (
+        base.join(ex, "doc_id", "left")
+        .join(drops, "doc_id", "left")
+        .select(
+            "lang",
+            "source",
+            "n_tokens",
+            "keep_q",
+            F.coalesce("is_exact", F.lit(False)).alias("is_exact"),
+            (F.coalesce("is_exact", F.lit(False)) & F.col("__dropped").isNull()).alias(
+                "is_final"
+            ),
+        )
+    )
+    flag = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0))  # noqa: E731
+    return fin.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        flag("keep_q").alias("n_quality"),
+        flag("is_exact").alias("n_exact"),
+        flag("is_final").alias("n_final"),
+        F.sum(F.when(F.col("is_final"), F.col("n_tokens")).otherwise(0)).alias("tokens_final"),
+    )
