@@ -146,3 +146,108 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag("is_final").alias("n_final"),
         F.sum(F.when(F.col("is_final"), F.col("n_tokens")).otherwise(0)).alias("tokens_final"),
     )
+
+
+# --- corpus preparation kernels ---------------------------------------------
+
+# PII patterns kept to the RE2 ∩ Java-regex common subset (no lookaround,
+# no backrefs) so both engines compile them identically.
+_PII_EMAIL = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com or +1-555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(aug, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g')                       AS scrubbed,
+           CAST(len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(aug, '{_PII_PHONE}')) AS BIGINT) AS n_phones
+    FROM a
+    """,
+    tags=("north_star", "text", "pii"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction kernel — the compliance pass every training corpus
+    goes through before the tokenizer sees it. The synthetic corpus has
+    no PII, so the plan plants deterministic emails/phones first (same
+    build-then-process pattern as fn_url), then redacts with anchored
+    regexes and reports per-doc redaction counts (the audit metric).
+    All regexp work is JVM codegen; one scan, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    a = d.select("doc_id", aug.alias("aug"))
+    scrub = F.regexp_replace(
+        F.regexp_replace(F.col("aug"), _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return a.select(
+        "doc_id",
+        scrub.alias("scrubbed"),
+        F.size(F.regexp_extract_all("aug", F.lit(_PII_EMAIL), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("aug", F.lit(_PII_PHONE), F.lit(0))).cast("long").alias("n_phones"),
+    )
+
+
+_CHUNK_W = 16  # tokens per chunk
+_CHUNK_S = 12  # stride (4-token overlap)
+
+
+@register(
+    "doc_chunk",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    c AS (SELECT doc_id, toks, n,
+                 unnest(generate_series(1, n, {_CHUNK_S})) AS chunk_start
+          FROM s)
+    SELECT doc_id,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(len(list_slice(toks, chunk_start,
+                    least(chunk_start + {_CHUNK_W} - 1, n))) AS BIGINT) AS chunk_len,
+           array_to_string(list_slice(toks, chunk_start,
+                    least(chunk_start + {_CHUNK_W} - 1, n)), ' ') AS chunk_text
+    FROM c
+    """,
+    tags=("north_star", "text", "chunk"),
+)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window {W}, stride {S}) — how a
+    corpus becomes training/RAG samples. sequence() generates the chunk
+    starts per doc, explode fans them out, slice() cuts each window: all
+    codegen array expressions, no UDF, no shuffle; output grain is
+    (doc_id, chunk_start) so downstream joins stay key-addressable. At
+    100 TB the fan-out factor is n_tokens/stride ≈ constant per doc, so
+    the stage scales linearly with corpus size."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    s = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n")).filter("n > 0")
+    c = s.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(_CHUNK_S))).alias("chunk_start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_start"), _CHUNK_W)
+    return c.select(
+        "doc_id",
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
