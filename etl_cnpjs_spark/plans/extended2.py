@@ -217,3 +217,55 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dsum.cast("double") / psum.cast("double")).alias("price_weighted_discount"),
         qsum.cast("double").alias("total_qty"),
     )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    tags=("join", "cross"),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product — the grid-building shape (every region
+    × every nation; in a pipeline: every model × every eval slice).
+    Spark requires the explicit crossJoin() call precisely because the
+    blowup is quadratic; at scale the small side must broadcast
+    (BroadcastNestedLoopJoin) so only one side streams."""
+    from etl_cnpjs_spark.catalog import table as _t
+
+    r = _t(spark, sf_dir, "region").select("r_name")
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(F.broadcast(n))
+
+
+@register(
+    "agg_hll_sketch",
+    oracle=None,  # HLL sketch bytes are engine-specific; accuracy is
+    # bounded against exact counts in tests/test_approx_accuracy.py
+    tags=("agg", "sketch", "approx"),
+)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-priority HyperLogLog over
+    o_custkey (hll_sketch_agg), re-aggregated with hll_union_agg into a
+    grand-total estimate carried on every row. THE 100 TB distinct
+    pattern: sketch once at the finest grain (per partition/day), then
+    ANY rollup is a cheap sketch union — no second pass over raw data,
+    unlike exact countDistinct whose expansion can't be reused across
+    grains."""
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count_distinct("o_custkey").alias("exact_distinct"),
+    )
+    total = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total_distinct")
+    )
+    return (
+        per.select(
+            "o_orderpriority",
+            F.hll_sketch_estimate("sk").alias("est_distinct"),
+            "exact_distinct",
+        )
+        .crossJoin(F.broadcast(total))
+    )

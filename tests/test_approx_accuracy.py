@@ -35,3 +35,21 @@ def test_approx_quantile_within_rank_error(spark, sf_dir):
         assert abs(approx[k]["price_p50_approx"] - e["price_median"]) <= max(
             0.02 * abs(e["price_median"]), 1.0
         ), k
+
+
+def test_hll_sketch_rollup_accuracy(spark, sf_dir):
+    """Per-group HLL estimates and the union-merged total must sit within
+    HLL's expected error envelope (lgConfigK=12 → ~1.6% std error; allow
+    5%), and the merged total must match a direct exact distinct."""
+    from etl_cnpjs_spark.plans import QUERIES
+    from etl_cnpjs_spark.catalog import table
+
+    rows = QUERIES["agg_hll_sketch"].fn(spark, sf_dir).collect()
+    assert rows, "sketch plan must produce per-priority rows"
+    for r in rows:
+        assert abs(r.est_distinct - r.exact_distinct) / r.exact_distinct < 0.05
+    exact_total = (
+        table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    est_total = rows[0].est_total_distinct
+    assert abs(est_total - exact_total) / exact_total < 0.05

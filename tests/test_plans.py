@@ -149,3 +149,35 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_shuffled_hash_join_steerable(spark, sf_dir):
+    # Sort-merge is Spark's safe default (both sides spill-able), but for
+    # size-asymmetric big-big joins a shuffled hash join skips BOTH sort
+    # passes — at 100 TB that's the difference between 2 sorts of the
+    # fact table and none. The hint must actually steer the planner.
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        plan = (
+            li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ShuffledHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # and without the hint, the default stays sort-merge
+        plan2 = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
