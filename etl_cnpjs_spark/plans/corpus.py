@@ -31,8 +31,7 @@ from pyspark.sql import functions as F
 
 from etl_cnpjs_spark.catalog import table
 from etl_cnpjs_spark.functions.text import normalized_text, token_overlap_count, tokens
-from etl_cnpjs_spark.operators.dedup import jaccard_pairs
-from etl_cnpjs_spark.plans.dedup import _SQL_SHINGLES, JACCARD_THRESHOLD, _doc_shingles
+from etl_cnpjs_spark.plans.dedup import _SQL_SHINGLES, JACCARD_THRESHOLD, _exact_pairs
 from etl_cnpjs_spark.plans.registry import register
 from etl_cnpjs_spark.plans.text import (
     _MIN_DISTINCT_RATIO,
@@ -116,7 +115,7 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # greedy near-dup drop: j goes when its smaller partner i survived
-    pairs = jaccard_pairs(_doc_shingles(spark, sf_dir), "doc_id", "sh", JACCARD_THRESHOLD)
+    pairs = _exact_pairs(spark, sf_dir)
     drops = (
         pairs.join(ex.filter("is_exact").withColumnRenamed("doc_id", "i"), "i")
         .select(F.col("j").alias("doc_id"))

@@ -102,6 +102,23 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_pairs_cache: dict[tuple[int, str], DataFrame] = {}
+
+
+def _exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized exact-Jaccard pairs (same discipline as _doc_shingles):
+    four consumers (ngram plan, cluster/canonical edges, corpus_curate's
+    near-dup drop) otherwise re-run the posting self-join each."""
+    key = (id(spark), sf_dir)
+    cached = _pairs_cache.get(key)
+    if cached is None:
+        cached = jaccard_pairs(
+            _doc_shingles(spark, sf_dir), "doc_id", "sh", JACCARD_THRESHOLD
+        ).localCheckpoint()
+        _pairs_cache[key] = cached
+    return cached
+
+
 @register("dedup_ngram_jaccard", oracle=_SQL_EXACT_JACCARD, tags=("north_star", "dedup"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-Jaccard pairs via posting-list self-join: explode
@@ -112,8 +129,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # strings: same postings, ~3× smaller shuffle keys (collision
     # P ≈ (docs·shingles)²/2⁶⁴ ≈ 1e-9 at sf0.1; the oracle's string join
     # would catch one).
-    docs = _doc_shingles(spark, sf_dir)
-    return jaccard_pairs(docs, "doc_id", "sh", JACCARD_THRESHOLD)
+    return _exact_pairs(spark, sf_dir)
 
 
 @register("dedup_minhash", oracle=_SQL_EXACT_JACCARD, tags=("north_star", "dedup", "lsh"))
