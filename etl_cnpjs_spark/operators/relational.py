@@ -141,3 +141,42 @@ def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
     per-partition heaps + a k-row merge on the driver — no global sort, no
     full shuffle. ``order_by`` should be a total order for determinism."""
     return df.orderBy(*order_by).limit(k)
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    order_col: str,
+    gap_us: int,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap since
+    the user's previous event exceeds ``gap_us`` microseconds. lag → flag
+    → running-sum assigns session ids in one window pass over
+    (user, ts, order_col) — order_col breaks ts ties so the assignment is
+    a total order. Returns one row per (user, session_seq) with count,
+    bounds, and duration. One exchange end-to-end: the final groupBy
+    reuses the window's hash(user) partitioning (plan-asserted in
+    tests/test_plans.py)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    prev_us = F.unix_micros(F.lag(ts_col).over(w))
+    gap = F.unix_micros(F.col(ts_col)) - prev_us
+    flagged = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.when(prev_us.isNull() | (gap > gap_us), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn("session_seq", F.sum("is_new").over(wsum))
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )

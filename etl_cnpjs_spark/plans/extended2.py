@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_cnpjs_spark.catalog import table
+from etl_cnpjs_spark.operators.relational import sessionize
 from etl_cnpjs_spark.plans.registry import register
 
 _DEC = "decimal(27,6)"
@@ -78,28 +79,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted in tests/test_plans.py). At 100 TB this is the scalable
     alternative to collecting per-user event lists."""
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_us = F.unix_micros(F.lag("ts").over(w))
-    gap = F.unix_micros(F.col("ts")) - prev_us
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        F.when(prev_us.isNull() | (gap > _SESSION_GAP_US), F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("is_new"),
-    )
-    wsum = (
-        Window.partitionBy("user_id")
-        .orderBy("ts")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sess = flagged.withColumn("session_seq", F.sum("is_new").over(wsum))
-    return sess.groupBy("user_id", "session_seq").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
-    )
+    return sessionize(ev, "user_id", "ts", "event_id", _SESSION_GAP_US)
 
 
 @register(

@@ -26,6 +26,8 @@ from etl_cnpjs_spark.catalog import table
 from etl_cnpjs_spark.plans.registry import register
 from etl_cnpjs_spark.sources.sinks import sink_csv, sink_parquet
 
+_DEC = "decimal(27,6)"
+
 # Small deterministic slice: one nation's customers (joins not needed —
 # sinks are about the write path, not the plan above them).
 _SLICE_SQL = """
@@ -239,3 +241,48 @@ def sink_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .saveAsTable(name)
     )
     return spark.table(name)
+
+
+@register(
+    "agg_incremental",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(o_totalprice AS {_DEC})) AS DOUBLE) / count(*) AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "incremental", "sink"),
+)
+def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation — the nightly-pipeline state pattern: keep
+    per-group PARTIAL aggregates (count + decimal sum, both mergeable) as
+    a state table; when a delta arrives, aggregate ONLY the delta and
+    merge with the state by re-summing; derive non-mergeable metrics
+    (avg) at read time. The oracle is the full recompute over all data —
+    equivalence proved every run. At 100 TB the delta is one day's
+    partition, so the nightly cost is O(delta), not O(history). Here the
+    'history' is orders before 1999, the 'delta' everything after."""
+    o = table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).alias("s"),
+        )
+
+    state_dir = os.path.join(tempfile.mkdtemp(prefix="agg_incr_"), "state")
+    partial(o.filter(F.col("o_orderdate") < "1999-01-01")).write.parquet(state_dir)
+    state = spark.read.parquet(state_dir)
+    delta = partial(o.filter(F.col("o_orderdate") >= "1999-01-01"))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n_orders"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("s").cast("double").alias("total_price"),
+        (F.col("s").cast("double") / F.col("n_orders")).alias("avg_price"),
+    )

@@ -133,3 +133,56 @@ def test_minhash_lsh_precision_exact(spark, docs):
     for r in got.collect():
         assert truth.get((r.i, r.j), 0.0) >= 0.8, f"false positive: {(r.i, r.j)}"
         assert abs(truth[(r.i, r.j)] - r.jaccard) < 1e-12
+
+
+_GAP_US = 3_000_000  # 3 s gap for generated data
+
+_user_events = st.lists(
+    st.integers(min_value=0, max_value=30),  # event seconds
+    min_size=1,
+    max_size=12,
+)
+_event_log = st.dictionaries(
+    st.integers(min_value=0, max_value=3), _user_events, min_size=1, max_size=4
+)
+
+
+def _py_sessionize(times_s: list[int], gap_s: float) -> list[tuple[int, int, int]]:
+    """Sequential reference: (n_events, start, end) per session."""
+    out = []
+    cur = []
+    for t in sorted(times_s):
+        if cur and t - cur[-1] > gap_s:
+            out.append((len(cur), cur[0], cur[-1]))
+            cur = []
+        cur.append(t)
+    out.append((len(cur), cur[0], cur[-1]))
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(log=_event_log)
+def test_sessionize_matches_sequential(spark, log):
+    from etl_cnpjs_spark.operators.relational import sessionize
+
+    rows = [
+        (uid, i, t)
+        for uid, times in log.items()
+        for i, t in enumerate(times)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, secs long").select(
+        "user_id", "event_id", F.timestamp_seconds("secs").alias("ts")
+    )
+    got: dict[int, list[tuple[int, int, int]]] = {}
+    for r in sessionize(df, "user_id", "ts", "event_id", _GAP_US).collect():
+        got.setdefault(r.user_id, []).append(
+            (r.session_seq, r.n_events, int(r.session_start.timestamp()), int(r.session_end.timestamp()))
+        )
+    for uid, times in log.items():
+        expected = _py_sessionize(times, _GAP_US / 1_000_000)
+        sessions = sorted(got[uid])  # by session_seq == start order
+        assert [s[1:] for s in sessions] == expected, (uid, times)
