@@ -169,3 +169,59 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
         )
     )
+
+
+_Q18_QTY = 250
+
+
+@register(
+    "tpch_q18",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS total_qty
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS {_DEC})) > {_Q18_QTY})
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("tpch", "join", "agg", "subquery", "topk"),
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 Large Volume Customer: orders whose total quantity exceeds the
+    threshold, decorated with customer and re-aggregated. The IN-subquery
+    over an aggregate decorrelates to an aggregate + LEFT SEMI join
+    (Catalyst, not us); the qty sums accumulate in decimal on both
+    engines so HAVING cuts identical sets. Top-100 by (o_totalprice,
+    o_orderkey) — a total order."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("q"))
+        .filter(F.col("q") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "__bk"), F.col("o_orderkey") == F.col("__bk"), "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("qty_dec"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+    )
