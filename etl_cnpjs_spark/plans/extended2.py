@@ -249,3 +249,40 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(total))
     )
+
+
+@register(
+    "fn_array_outer",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             CASE WHEN p_size >= 30 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(p_type, ' ') END AS words
+      FROM part)
+    SELECT p_partkey,
+           CAST(len(words) AS INT) AS n_words,
+           unnest(CASE WHEN len(words) = 0 THEN [CAST(NULL AS VARCHAR)]
+                       ELSE words END) AS word
+    FROM t
+    """,
+    tags=("fn", "array", "null"),
+)
+def fn_array_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: null-preserving array fan-out. Plain explode DROPS
+    rows with empty arrays (inner-join semantics against the elements);
+    explode_outer keeps them with a NULL element — the difference between
+    silently losing every document with no secondary CNAE codes
+    (cf. the packed `cnae_fiscal_secundaria` string, etl.py:48) and
+    keeping them visible. Empty arrays manufactured deterministically
+    (p_size >= 30) so both behaviors are exercised; the oracle models
+    the outer semantics with a [NULL] sentinel."""
+    p = table(spark, sf_dir, "part")
+    words = F.when(F.col("p_size") >= 30, F.array().cast("array<string>")).otherwise(
+        F.split("p_type", " ")
+    )
+    t = p.select("p_partkey", words.alias("words"))
+    return t.select(
+        "p_partkey",
+        F.size("words").alias("n_words"),
+        F.explode_outer("words").alias("word"),
+    )

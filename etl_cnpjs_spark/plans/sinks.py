@@ -286,3 +286,29 @@ def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("double").alias("total_price"),
         (F.col("s").cast("double") / F.col("n_orders")).alias("avg_price"),
     )
+
+
+@register(
+    "scan_text",
+    oracle="""
+    SELECT md5(text) AS line_digest, length(text) AS n_chars
+    FROM documents
+    """,
+    tags=("scan", "text"),
+)
+def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source: write the corpus as plain text (one doc
+    per line — the log-file / pre-JSONL shape), read it back with
+    spark.read.text, and prove byte fidelity by digesting every line.
+    The oracle digests the original documents directly, so any encoding,
+    trimming, or line-splitting defect in the text round-trip breaks the
+    match. (Docs are single-line by construction; a real log pipeline
+    would keep it that way by writing JSONL.)"""
+    out = os.path.join(tempfile.mkdtemp(prefix="scan_text_"), "lines")
+    d = table(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    d.write.text(out)
+    back = spark.read.text(out)
+    return back.select(
+        F.md5("value").alias("line_digest"),
+        F.length("value").alias("n_chars"),
+    )

@@ -181,3 +181,27 @@ def test_shuffled_hash_join_steerable(spark, sf_dir):
         assert "SortMergeJoin" in plan2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_observe_collects_qa_metrics_in_flight(spark, sf_dir):
+    # The reference's QA is a SECOND pass over loaded data (row-count
+    # reconciliation, readme.md:140-145). df.observe() collects the same
+    # metrics DURING the main job — at 100 TB that's one scan, not two.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("load_qa")
+    src = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = src.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("c_acctbal").isNull().cast("int")).alias("null_acctbal"),
+        # DISTINCT aggregates are disallowed in observed metrics -> HLL
+        F.approx_count_distinct("c_nationkey").alias("n_nations"),
+    )
+    df.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["n_rows"] == src.count()
+    assert m["null_acctbal"] == 0
+    exact_nations = src.select("c_nationkey").distinct().count()
+    assert abs(m["n_nations"] - exact_nations) / exact_nations < 0.1
