@@ -286,3 +286,64 @@ def fn_array_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("words").alias("n_words"),
         F.explode_outer("words").alias("word"),
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'k' AS INTEGER) AS k,
+           props->>'k'                  AS k_str,
+           CAST(props->>'missing' AS INTEGER) AS missing
+    FROM events
+    """,
+    tags=("fn", "variant", "json"),
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT ingestion (Spark 4): parse_json once into
+    the binary variant encoding, then typed path extraction with
+    variant_get — unlike get_json_object (string re-parse per access),
+    the variant parse cost is paid once per row however many fields are
+    read. try_variant_get on a missing path yields NULL instead of
+    failing: the schema-drift posture a 100 TB event log needs. Oracle
+    mirrors with DuckDB's JSON operators."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "int").alias("k"),
+        F.variant_get("v", "$.k", "string").alias("k_str"),
+        F.try_variant_get("v", "$.missing", "int").alias("missing"),
+    )
+
+
+@register(
+    "sql_lateral",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+    tags=("sql", "lateral", "subquery"),
+)
+def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: per-customer top-2 orders written the
+    way an analyst writes it. Catalyst DECORRELATES the per-row subquery
+    into a relational plan (no nested-loop re-execution per customer) —
+    same result as the window_topk_group formulation, different surface.
+    Deterministic via the (o_totalprice, o_orderkey) total order."""
+    from etl_cnpjs_spark.catalog import table as _t
+
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM __lat_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM __lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )
