@@ -225,3 +225,108 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qty_dec").cast("double").alias("total_qty"),
         )
     )
+
+
+@register(
+    "tpch_q6",
+    oracle=f"""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS {_DEC})) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "filter", "agg"),
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 Forecasting Revenue Change: pure scan + conjunctive range
+    filters + global aggregate — the pushdown benchmark. Every predicate
+    reaches the parquet scan (min/max row-group skipping does the work at
+    100 TB); no join, no shuffle beyond the final partial-agg merge."""
+    li = table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(_DEC))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "exists", "semi", "agg"),
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 Order Priority Checking (adapted: no commit/receipt dates in
+    the driver schema → 'shipped after the order date' is the lateness
+    predicate). The EXISTS becomes a LEFT SEMI join with a non-equi
+    residual (l_shipdate > o_orderdate) — the semi join dedups matches
+    for free, where an inner join + distinct would pay a second shuffle."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-07-01") & (F.col("o_orderdate") < "1997-10-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q14",
+    oracle=f"""
+    SELECT CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END AS {_DEC})) AS DOUBLE) * 100
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {_DEC})) AS DOUBLE)
+             AS promo_revenue_pct,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 Promotion Effect: one month's promo revenue share. Conditional
+    aggregation over a fact⋈dim join — part is sf-scaled small, so AQE
+    broadcasts it and the month filter prunes the fact scan; the ratio's
+    numerator and denominator both accumulate in decimal."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    return j.agg(
+        (
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)).cast(_DEC))
+            .cast("double")
+            * 100
+            / F.sum(rev.cast(_DEC)).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
