@@ -98,10 +98,36 @@ def main() -> None:
             F.col("jaccard") >= 0.8
         )
 
+    ev = table(spark, SF_DIR, "events")
+    replicate(ev, ["user_id", "event_id"], k).write.mode("overwrite").parquet(f"{tmp}/events")
+    ev_k = spark.read.parquet(f"{tmp}/events")
+
+    from etl_cnpjs_spark.operators.relational import sessionize
+
+    def q18_shape(l, o, c):
+        big = (
+            l.groupBy("l_orderkey")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("q"))
+            .filter(F.col("q") > 250)
+            .select("l_orderkey")
+        )
+        return (
+            c.join(o, c.c_custkey == o.o_custkey)
+            .join(l, o.o_orderkey == l.l_orderkey)
+            .join(big.withColumnRenamed("l_orderkey", "__bk"),
+                  F.col("o_orderkey") == F.col("__bk"), "left_semi")
+            .groupBy("c_custkey", "o_orderkey")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("qty"))
+        )
+
     t1, n1 = timed(lambda: flagship_shape(li, od, cu, na, re_).count())
     tk, nk = timed(lambda: flagship_shape(li_k, od_k, cu, na, re_).count())
     d1, m1 = timed(lambda: minhash_pairs(docs).count())
     dk, mk = timed(lambda: minhash_pairs(docs_k).count())
+    g1, q1 = timed(lambda: q18_shape(li, od, cu).count())
+    gk, qk = timed(lambda: q18_shape(li_k, od_k, cu).count())
+    s1, e1 = timed(lambda: sessionize(ev, "user_id", "ts", "event_id", 21_600_000_000).count())
+    sk, ek = timed(lambda: sessionize(ev_k, "user_id", "ts", "event_id", 21_600_000_000).count())
 
     print(json.dumps({
         "k": k,
@@ -109,6 +135,10 @@ def main() -> None:
         "flagship_rows": [n1, nk],
         "minhash_1x_sec": d1, "minhash_kx_sec": dk, "minhash_ratio": round(dk / d1, 1),
         "minhash_pairs": [m1, mk],
+        "q18_1x_sec": g1, "q18_kx_sec": gk, "q18_ratio": round(gk / g1, 1),
+        "q18_rows": [q1, qk],
+        "sessionize_1x_sec": s1, "sessionize_kx_sec": sk, "sessionize_ratio": round(sk / s1, 1),
+        "sessionize_rows": [e1, ek],
     }))
 
 
