@@ -278,3 +278,46 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH d AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_aggregate(v, 'min') AS mn,
+                 list_aggregate(v, 'max') AS mx FROM d)
+    SELECT vec_id, mn, mx,
+           CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+                ELSE list_transform(v,
+                       x -> CAST(round((x - mn) * 255 / (mx - mn)) AS INTEGER))
+           END AS q8
+    FROM s
+    """,
+    tags=("north_star", "similarity", "quantize"),
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affine int8 quantization per vector: store (mn, mx, 64×uint8)
+    instead of 64×float32 — ~3.7× smaller, the difference between an
+    embedding table that fits the page cache and one that doesn't at
+    100 TB. Reconstruction x̂ = mn + q·(mx−mn)/255 carries ≤ half-step
+    error (bounded in tests/test_approx_accuracy.py); all arithmetic is
+    double-promoted first so both engines round identical values. Pure
+    higher-order array expressions — no UDF, no shuffle, one scan."""
+    e = table(spark, sf_dir, "embeddings")
+    d = e.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    s = d.select(
+        "vec_id", "v", F.array_min("v").alias("mn"), F.array_max("v").alias("mx")
+    )
+    return s.selectExpr(
+        "vec_id",
+        "mn",
+        "mx",
+        """CASE WHEN mx = mn THEN transform(v, x -> 0)
+                ELSE transform(v, x -> cast(round((x - mn) * 255 / (mx - mn)) as int))
+           END AS q8""",
+    )

@@ -53,3 +53,25 @@ def test_hll_sketch_rollup_accuracy(spark, sf_dir):
     )
     est_total = rows[0].est_total_distinct
     assert abs(est_total - exact_total) / exact_total < 0.05
+
+
+def test_embedding_quantize_reconstruction_bound(spark, sf_dir):
+    """Decoded int8 vectors must sit within half a quantization step of
+    the original on every dimension (the affine-quantization guarantee)."""
+    from etl_cnpjs_spark.catalog import table
+    from etl_cnpjs_spark.plans import QUERIES
+
+    q = {r.vec_id: r for r in QUERIES["embedding_quantize"].fn(spark, sf_dir).collect()}
+    orig = {
+        r.vec_id: r.embedding
+        for r in table(spark, sf_dir, "embeddings").limit(200).collect()
+    }
+    checked = 0
+    for vid, emb in orig.items():
+        r = q[vid]
+        step = (r.mx - r.mn) / 255 if r.mx > r.mn else 0.0
+        for x, qq in zip(emb, r.q8):
+            decoded = r.mn + qq * step
+            assert abs(float(x) - decoded) <= step / 2 + 1e-9
+            checked += 1
+    assert checked > 0
