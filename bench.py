@@ -5,6 +5,12 @@ Runs every registered plan at $SPARK_GRAFT_SF_DIR (default
 line: {"metric", "value" (total sec), "unit", "queries" (per-query sec),
 "sf"}.
 
+Timing attribution note: a few expensive frames are memoized per
+session (shingles, exact-Jaccard pairs — plans/dedup.py); alphabetical
+order means the FIRST consumer (corpus_curate) absorbs that shared cost
+and later dedup plans time near zero. Compare the family's sum across
+rounds, not single keys.
+
 Each query is fully materialized through the noop DataSourceV2 sink —
 every operator executes, nothing collects to the driver (the 100 TB
 posture: the "fetch" is a distributed write, never collect();

@@ -164,13 +164,17 @@ def sessionize(
     flagged = events.select(
         F.col(user_col).alias("user_id"),
         F.col(ts_col).alias("ts"),
+        F.col(order_col).alias("__ord"),
         F.when(prev_us.isNull() | (gap > gap_us), F.lit(1))
         .otherwise(F.lit(0))
         .alias("is_new"),
     )
+    # the running sum MUST use the same total order as the lag window —
+    # on (ts) alone, tied timestamps at a session boundary could order the
+    # is_new=1 row after its tied partner and split the tie across sessions
     wsum = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "__ord")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = flagged.withColumn("session_seq", F.sum("is_new").over(wsum))

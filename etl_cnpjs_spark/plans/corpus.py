@@ -98,6 +98,9 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.size(F.array_distinct(toks)) / safe_n >= _MIN_DISTINCT_RATIO)
         & (token_overlap_count(toks, STOPWORDS) / safe_n >= _MIN_STOP_RATIO)
     )
+    # barrier: base feeds three join branches (itself, ex, drops-via-ex);
+    # unmaterialized, Spark would re-scan + re-tokenize the corpus per
+    # branch (same rationale as dedup.py::_doc_shingles)
     base = d.select(
         "doc_id",
         "lang",
@@ -105,7 +108,7 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_tokens"),
         keep_q.alias("keep_q"),
         F.md5(normalized_text(F.col("text"))).alias("fp"),
-    )
+    ).localCheckpoint()
 
     # exact dedup among quality survivors: smallest doc_id per fingerprint
     ex = (

@@ -43,7 +43,7 @@ _SESSION_GAP_US = 21_600_000_000
     "events_sessionize",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS is_new
@@ -53,7 +53,7 @@ _SESSION_GAP_US = 21_600_000_000
     sess AS (
       SELECT user_id, ts,
              CAST(SUM(is_new) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS session_seq
       FROM flagged
@@ -212,10 +212,8 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark requires the explicit crossJoin() call precisely because the
     blowup is quadratic; at scale the small side must broadcast
     (BroadcastNestedLoopJoin) so only one side streams."""
-    from etl_cnpjs_spark.catalog import table as _t
-
-    r = _t(spark, sf_dir, "region").select("r_name")
-    n = _t(spark, sf_dir, "nation").select("n_name")
+    r = table(spark, sf_dir, "region").select("r_name")
+    n = table(spark, sf_dir, "nation").select("n_name")
     return r.crossJoin(F.broadcast(n))
 
 
@@ -334,10 +332,8 @@ def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a relational plan (no nested-loop re-execution per customer) —
     same result as the window_topk_group formulation, different surface.
     Deterministic via the (o_totalprice, o_orderkey) total order."""
-    from etl_cnpjs_spark.catalog import table as _t
-
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
     return spark.sql(
         """
         SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
