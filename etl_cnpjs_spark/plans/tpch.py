@@ -330,3 +330,72 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_revenue_pct"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) t
+    GROUP BY c_count
+    """,
+    tags=("tpch", "join", "agg", "distribution"),
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 Customer Distribution (adapted: no o_comment filter in the
+    driver schema): orders-per-customer histogram via LEFT join (zero
+    counts survive — count(o_orderkey) skips the nulls the outer join
+    manufactures) then a second aggregate over the counts. Two shuffles:
+    custkey, then the tiny c_count domain."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q22",
+    oracle=f"""
+    SELECT c_nationkey AS cntry,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS {_DEC})) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS {_DEC})) AS DOUBLE)
+                              / count(*)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+    tags=("tpch", "anti", "scalar_subquery", "agg"),
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 Global Sales Opportunity (adapted: nation key stands in for
+    the phone country code): above-average-balance customers with NO
+    orders. The scalar subquery (global positive-balance average,
+    decimal-accumulated so the threshold is bit-identical) broadcasts to
+    every row; NOT EXISTS is a left-anti join. The anti join's build side
+    is just order custkeys — at 100 TB project the join column before
+    the anti join, never ship whole rows."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_bal"
+            )
+        )
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    lonely = rich.join(o.select("o_custkey"), rich.c_custkey == F.col("o_custkey"), "left_anti")
+    return lonely.groupBy(F.col("c_nationkey").alias("cntry")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("totacctbal"),
+    )

@@ -186,3 +186,34 @@ def test_sessionize_matches_sequential(spark, log):
         expected = _py_sessionize(times, _GAP_US / 1_000_000)
         sessions = sorted(got[uid])  # by session_seq == start order
         assert [s[1:] for s in sessions] == expected, (uid, times)
+
+
+def _py_interleave(x: int, y: int, bits: int = 10) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 1023), st.integers(0, 1023)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_zvalue_expr_matches_python_interleave(spark, pts):
+    from etl_cnpjs_spark.plans.layout import z_value_expr
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "i long, x long, y long"
+    )
+    got = {r.i: r.z for r in df.selectExpr("i", f"{z_value_expr('x', 'y')} AS z").collect()}
+    for i, (x, y) in enumerate(pts):
+        assert got[i] == _py_interleave(x, y), (x, y)
