@@ -20,6 +20,7 @@ from etl_cnpjs_spark.plans import extended  # noqa: E402,F401
 from etl_cnpjs_spark.plans import extended2  # noqa: E402,F401
 from etl_cnpjs_spark.plans import tpch  # noqa: E402,F401
 from etl_cnpjs_spark.plans import corpus  # noqa: E402,F401
+from etl_cnpjs_spark.plans import udtf_plans  # noqa: E402,F401
 from etl_cnpjs_spark.plans import layout  # noqa: E402,F401
 from etl_cnpjs_spark.plans import cnpj_parity  # noqa: E402,F401
 
