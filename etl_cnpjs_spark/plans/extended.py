@@ -480,9 +480,11 @@ def agg_stats_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT c_nationkey,
-           list_sort(list(DISTINCT c_mktsegment))  AS segments,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+                                                   AS segments_csv,
            CAST(len(list(c_custkey)) AS INT)       AS n_members,
-           list_sort(list(c_custkey))[1:5]         AS first_keys
+           array_to_string(list_sort(list(c_custkey))[1:5], ',')
+                                                   AS first_keys_csv
     FROM customer
     GROUP BY c_nationkey
     """,
@@ -493,12 +495,22 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     order is partition-order-dependent, so every exposed collection is
     canonicalized (sort_array / slice of sorted) — the same determinism
     rule the registry mandates for float sums. At 100 TB collect into
-    bounded slices only (here: top-5 keys), never unbounded lists."""
+    bounded slices only (here: top-5 keys), never unbounded lists.
+    Collections leave the plan as csv scalars (driver canonicalizer
+    can't sort raw array columns)."""
     c = table(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+            "segments_csv"
+        ),
         F.count("c_custkey").cast("int").alias("n_members"),
-        F.slice(F.sort_array(F.collect_list("c_custkey")), 1, 5).alias("first_keys"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("c_custkey")), 1, 5),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("first_keys_csv"),
     )
 
 
@@ -685,7 +697,8 @@ def fn_hash_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_regexp",
     oracle=r"""
     SELECT doc_id,
-           regexp_extract_all(text, '[A-Za-z]+')                AS words,
+           array_to_string(regexp_extract_all(text, '[A-Za-z]+'), ' ')
+                                                                AS words_joined,
            len(regexp_extract_all(text, '[0-9]+'))              AS n_numbers,
            regexp_matches(text, '^[A-Z]')                       AS starts_upper,
            regexp_replace(text, '[0-9]+', '#', 'g')             AS masked
@@ -698,11 +711,14 @@ def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery), match-count, anchor test, global replace. All JVM-side;
     at 100 TB regex cost is linear per row and the usual advice is to
     hoist shared patterns into one pass (as the text_quality plan
-    does)."""
+    does). extract-all leaves the plan array_join'ed (driver
+    canonicalizer can't sort raw array columns)."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return d.select(
         "doc_id",
-        F.regexp_extract_all("text", F.lit("[A-Za-z]+"), 0).alias("words"),
+        F.array_join(
+            F.regexp_extract_all("text", F.lit("[A-Za-z]+"), 0), " "
+        ).alias("words_joined"),
         F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias("n_numbers"),
         F.col("text").rlike("^[A-Z]").alias("starts_upper"),
         F.regexp_replace("text", "[0-9]+", "#").alias("masked"),

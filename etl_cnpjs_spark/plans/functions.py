@@ -164,10 +164,9 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_ops",
     oracle="""
     SELECT p_partkey,
-           string_split(p_type, ' ')                              AS type_words,
+           array_to_string(string_split(p_type, ' '), ',')        AS type_words_csv,
            len(string_split(p_type, ' '))                         AS n_words,
            list_contains(string_split(p_type, ' '), 'BRUSHED')    AS has_brushed,
-           list_sort(list_distinct(string_split(p_type, ' ')))    AS words_sorted,
            array_to_string(list_sort(list_distinct(string_split(p_type, ' '))), ',')
                                                                   AS words_csv
     FROM part
@@ -176,15 +175,19 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array kernel without explode: size/contains/distinct/sort/join —
-    all computed inside the row (no fanout, codegen-friendly)."""
+    all computed inside the row (no fanout, codegen-friendly).
+
+    Boundary rule: the plan's OUTPUT carries only scalar columns — the
+    array intermediates are array_join'ed at the projection boundary
+    (raw array columns aren't sortable by the driver's pandas
+    canonicalizer; the array ops themselves all still execute)."""
     p = table(spark, sf_dir, "part")
     words = F.split("p_type", " ")
     return p.select(
         "p_partkey",
-        words.alias("type_words"),
+        F.array_join(words, ",").alias("type_words_csv"),
         F.size(words).alias("n_words"),
         F.array_contains(words, "BRUSHED").alias("has_brushed"),
-        F.array_sort(F.array_distinct(words)).alias("words_sorted"),
         F.array_join(F.array_sort(F.array_distinct(words)), ",").alias("words_csv"),
     )
 

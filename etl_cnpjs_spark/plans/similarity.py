@@ -290,10 +290,11 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_aggregate(v, 'min') AS mn,
                  list_aggregate(v, 'max') AS mx FROM d)
     SELECT vec_id, mn, mx,
-           CASE WHEN mx = mn THEN list_transform(v, x -> 0)
-                ELSE list_transform(v,
-                       x -> CAST(round((x - mn) * 255 / (mx - mn)) AS INTEGER))
-           END AS q8
+           array_to_string(
+             CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v,
+                         x -> CAST(round((x - mn) * 255 / (mx - mn)) AS INTEGER))
+             END, ',') AS q8_csv
     FROM s
     """,
     tags=("north_star", "similarity", "quantize"),
@@ -305,7 +306,10 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB. Reconstruction x̂ = mn + q·(mx−mn)/255 carries ≤ half-step
     error (bounded in tests/test_approx_accuracy.py); all arithmetic is
     double-promoted first so both engines round identical values. Pure
-    higher-order array expressions — no UDF, no shuffle, one scan."""
+    higher-order array expressions — no UDF, no shuffle, one scan.
+    The int8 codes are emitted as a csv scalar (q8_csv) at the output
+    boundary (driver canonicalizer can't sort raw array columns); a
+    real sink would of course store the packed array/binary form."""
     e = table(spark, sf_dir, "embeddings")
     d = e.select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
@@ -317,7 +321,10 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "mn",
         "mx",
-        """CASE WHEN mx = mn THEN transform(v, x -> 0)
-                ELSE transform(v, x -> cast(round((x - mn) * 255 / (mx - mn)) as int))
-           END AS q8""",
+        """array_join(
+             CASE WHEN mx = mn THEN transform(v, x -> '0')
+                  ELSE transform(v,
+                         x -> cast(cast(round((x - mn) * 255 / (mx - mn)) as int)
+                                   as string))
+             END, ',') AS q8_csv""",
     )

@@ -239,12 +239,12 @@ _MIN_STOP_RATIO = 0.02
                / greatest(len({_SQL_TOKS}), 1)                 AS stop_ratio
       FROM documents)
     SELECT doc_id, lang, n_tokens,
-           list_sort(
+           coalesce(array_to_string(list_sort(
              list_filter([
                CASE WHEN n_tokens < {_MIN_TOKENS} THEN 'too_short' END,
                CASE WHEN distinct_ratio < {_MIN_DISTINCT_RATIO} THEN 'repetitive' END,
                CASE WHEN stop_ratio < {_MIN_STOP_RATIO} THEN 'no_stopwords' END
-             ], x -> x IS NOT NULL))                           AS reject_reasons,
+             ], x -> x IS NOT NULL)), ','), '')               AS reject_reasons,
            (n_tokens >= {_MIN_TOKENS}
             AND distinct_ratio >= {_MIN_DISTINCT_RATIO}
             AND stop_ratio >= {_MIN_STOP_RATIO})               AS keep
@@ -258,22 +258,27 @@ def text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-rule reject reasons — auditability is the point; a bare boolean
     can't tell you which rule is eating your corpus. Pure column math,
     one scan, no shuffle; downstream: `.filter("keep")` for the corpus,
-    `explode(reject_reasons)` + count for the rule report."""
+    split + explode of reject_reasons + count for the rule report.
+    reject_reasons is array_join'ed to a csv scalar at the output
+    boundary (driver canonicalizer can't sort raw array columns)."""
     d = table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n = F.size(toks)
     safe_n = F.greatest(n, F.lit(1))
     distinct_ratio = F.size(F.array_distinct(toks)) / safe_n
     stop_ratio = token_overlap_count(toks, STOPWORDS) / safe_n
-    reasons = F.array_sort(
-        F.filter(
-            F.array(
-                F.when(n < _MIN_TOKENS, F.lit("too_short")),
-                F.when(distinct_ratio < _MIN_DISTINCT_RATIO, F.lit("repetitive")),
-                F.when(stop_ratio < _MIN_STOP_RATIO, F.lit("no_stopwords")),
-            ),
-            lambda x: x.isNotNull(),
-        )
+    reasons = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.array(
+                    F.when(n < _MIN_TOKENS, F.lit("too_short")),
+                    F.when(distinct_ratio < _MIN_DISTINCT_RATIO, F.lit("repetitive")),
+                    F.when(stop_ratio < _MIN_STOP_RATIO, F.lit("no_stopwords")),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+        ",",
     )
     return d.select(
         "doc_id",

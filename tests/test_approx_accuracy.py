@@ -70,7 +70,7 @@ def test_embedding_quantize_reconstruction_bound(spark, sf_dir):
     for vid, emb in orig.items():
         r = q[vid]
         step = (r.mx - r.mn) / 255 if r.mx > r.mn else 0.0
-        for x, qq in zip(emb, r.q8):
+        for x, qq in zip(emb, (int(s) for s in r.q8_csv.split(","))):
             decoded = r.mn + qq * step
             assert abs(float(x) - decoded) <= step / 2 + 1e-9
             checked += 1

@@ -33,6 +33,24 @@ def test_entry_smoke(spark):
     assert len(df.schema) == 20
 
 
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_complex_toplevel_columns(name, spark, sf_dir):
+    """Driver-boundary contract: the driver's canonicalizer sorts every
+    output column with pandas (CORRECTNESS harness); raw array/map/struct
+    top-level columns raise `unhashable type: 'list'` there (the round-1
+    fn_array_ops FAIL). Complex intermediates are fine — they must leave
+    the plan exploded or array_join'ed."""
+    df = QUERIES[name].fn(spark, sf_dir)
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert complex_cols == [], (
+        f"{name} emits driver-unsortable top-level columns: {complex_cols}"
+    )
+
+
 def test_contract_shape():
     import __spark_entry__ as e
 
