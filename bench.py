@@ -1,15 +1,21 @@
 """Benchmark runner — the driver's per-round feedback loop.
 
 Runs every registered plan at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric", "value" (total sec), "unit", "queries" (per-query sec),
-"sf"}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Timing attribution note: a few expensive frames are memoized per
-session (shingles, exact-Jaccard pairs — plans/dedup.py); alphabetical
-order means the FIRST consumer (corpus_curate) absorbs that shared cost
-and later dedup plans time near zero. Compare the family's sum across
-rounds, not single keys.
+Output contract (learned from round 1, where the driver recorded only a
+~2 KB window of stdout and the single 4 KB JSON line didn't parse):
+- stdout carries exactly ONE compact JSON line — total wall seconds,
+  failure count, and a curated headline-query subset — small enough
+  (<1.5 KB) that any head/tail capture window contains the whole line.
+- The full per-query timing map is written to BENCH_DETAIL.json next to
+  this file (key "queries_full_file" points at it).
+
+Timing attribution: the shingle / exact-Jaccard-pair frames shared by
+the dedup family (plans/dedup.py memoization) are pre-warmed BEFORE the
+timed loop and reported as their own entry ("shared_dedup_build"), so
+per-query numbers measure each plan's own work and stay comparable
+across rounds regardless of registry-name ordering.
 
 Each query is fully materialized through the noop DataSourceV2 sink —
 every operator executes, nothing collects to the driver (the 100 TB
@@ -29,6 +35,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_cnpjs_spark.plans import QUERIES  # noqa: E402
 from etl_cnpjs_spark.session import get_spark  # noqa: E402
+
+# The queries a reader of ONE line should see: flagship parity, TPC-H
+# spine, the LLM-pipeline north stars, and the layout/streaming keys.
+HEADLINE = [
+    "flagship",
+    "cnpj_flagship",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q10",
+    "tpch_q18",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "dedup_cluster",
+    "corpus_curate",
+    "sim_topk",
+    "sim_topk_ivf",
+    "sim_knn_join",
+    "text_filter_pipeline",
+    "stream_session",
+    "events_sessionize",
+    "join_bucketed",
+    "layout_zorder",
+    "agg_count_by",
+    "window_rank",
+]
 
 
 def run_once(spark, fn, sf_dir: str) -> float:
@@ -55,22 +87,64 @@ def main() -> None:
         pass
 
     timings: dict[str, float] = {}
+
+    # Pre-warm the memoized frames the dedup family shares, timed as a
+    # bench entry of its own (it IS real work a pipeline would stage once).
+    try:
+        from etl_cnpjs_spark.plans.dedup import _doc_shingles, _exact_pairs
+
+        t0 = time.perf_counter()
+        _doc_shingles(spark, sf_dir)
+        _exact_pairs(spark, sf_dir)
+        timings["shared_dedup_build"] = round(time.perf_counter() - t0, 4)
+    except Exception as exc:
+        print(f"bench: shared_dedup_build failed: {exc}", file=sys.stderr)
+
+    failures = 0
     for name in sorted(QUERIES):
         try:
             timings[name] = round(run_once(spark, QUERIES[name].fn, sf_dir), 4)
         except Exception as exc:  # a failing query must not hide the rest
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+            failures += 1
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(
+                {
+                    "metric": "total_wall_sec_all_queries",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "failures": failures,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+    except OSError as exc:
+        print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
+
+    headline = {k: timings[k] for k in HEADLINE if k in timings}
     print(
         json.dumps(
             {
                 "metric": "total_wall_sec_all_queries",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": headline,
                 "sf": sf,
-            }
+                "n_queries": sum(1 for t in timings.values() if t >= 0),
+                "failures": failures,
+                "queries_full_file": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
         )
     )
 
