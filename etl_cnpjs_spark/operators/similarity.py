@@ -214,6 +214,123 @@ def knn_join_blocked(
     )
 
 
+def hyperplane_signatures(
+    vecs, id_col: str, vec_col: str, bands: int, rows: int, seed: int = 42
+):
+    """(id, v, bk) with bk = array of ``bands`` LSH band keys from
+    random-hyperplane (SimHash-for-cosine) sign bits.
+
+    Signature: H = bands·rows hyperplanes drawn N(0,1) from a fixed seed
+    — every executor regenerates the identical matrix locally
+    (RandomState(seed) is deterministic given (seed, dim, H)), so
+    nothing is shipped and the signature is reproducible run-to-run.
+    Bits are computed as one Arrow-batched numpy matmul per batch
+    ((batch×dim)·(dim×H) — the vectorized fast path, no per-row Python),
+    then packed r-bit slices become the band keys. Two vectors collide
+    in band b iff all r sign bits agree there:
+    P(bit agree) = 1 − θ/π for angle θ — the Charikar bound."""
+    import numpy as np
+    import pandas as pd
+
+    def sign_batches(batches):
+        planes = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"__id": [], "__v": [], "__bk": []})
+                continue
+            dim = len(pdf["__v"].iloc[0])
+            if dim not in planes:
+                planes[dim] = np.random.RandomState(seed).standard_normal(
+                    (dim, bands * rows)
+                )
+            V = np.array(list(pdf["__v"]), dtype=np.float64)
+            bits = (V @ planes[dim]) > 0  # n × H
+            keys = np.zeros((len(pdf), bands), dtype=np.int64)
+            for b in range(bands):
+                sl = bits[:, b * rows : (b + 1) * rows]
+                keys[:, b] = sl.dot(1 << np.arange(rows, dtype=np.int64))
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "__v": pdf["__v"],
+                    "__bk": list(keys),
+                }
+            )
+
+    d = vecs.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    return d.mapInPandas(
+        sign_batches, "__id bigint, __v array<double>, __bk array<bigint>"
+    )
+
+
+def pair_cosine_verify(pairs, vecs, id_col: str, vec_col: str, tau: float):
+    """Exact cosine for candidate pairs (i, j): two hash joins pull the
+    vectors in, one Arrow-batched pass scores every pair with the SAME
+    sequential dimension-order fold as the Catalyst/DuckDB oracle
+    (vectorized over rows, accumulated dimension-by-dimension — each
+    partial individually IEEE-rounded, so scores stay bit-identical).
+    Cost is O(candidates) — the verify step never sees non-candidates."""
+    import numpy as np
+    import pandas as pd
+
+    la = vecs.select(F.col(id_col).alias("i"), F.col(vec_col).alias("__va"))
+    lb = vecs.select(F.col(id_col).alias("j"), F.col(vec_col).alias("__vb"))
+    joined = pairs.select("i", "j").join(la, "i").join(lb, "j")
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"i": [], "j": [], "cos_sim": []})
+                continue
+            A = np.array(list(pdf["__va"]), dtype=np.float64)
+            B = np.array(list(pdf["__vb"]), dtype=np.float64)
+            dim = A.shape[1]
+            dots = np.zeros(len(pdf))
+            na = np.zeros(len(pdf))
+            nb = np.zeros(len(pdf))
+            for d in range(dim):
+                dots += A[:, d] * B[:, d]
+                na += A[:, d] * A[:, d]
+                nb += B[:, d] * B[:, d]
+            cos = dots / (np.sqrt(na) * np.sqrt(nb))
+            mask = cos >= tau
+            yield pd.DataFrame(
+                {
+                    "i": pdf["i"][mask],
+                    "j": pdf["j"][mask],
+                    "cos_sim": cos[mask],
+                }
+            )
+
+    return joined.mapInPandas(score, "i bigint, j bigint, cos_sim double")
+
+
+def embedding_lsh_pairs(
+    vecs,
+    id_col: str,
+    vec_col: str,
+    tau: float,
+    bands: int,
+    rows: int,
+    seed: int = 42,
+):
+    """Embedding near-dup pairs via hyperplane-LSH banding: signature →
+    band-bucket equi-join (candidate_pairs — the ONE shuffle, keyed by
+    band hash) → exact-cosine verify on candidates only. The pair space
+    is never materialized as n²: a pair exists only if it shares a band
+    bucket, so shuffle and verify cost scale with the candidate count
+    the (bands, rows) operating point buys at the corpus's similarity
+    gap. Verification makes output ⊆ exact pairs ≥ τ; recall is
+    1 − (1 − p^rows)^bands per true pair with p = 1 − arccos(τ)/π."""
+    from etl_cnpjs_spark.operators.dedup import candidate_pairs
+
+    signed = hyperplane_signatures(
+        vecs, id_col, vec_col, bands=bands, rows=rows, seed=seed
+    ).localCheckpoint()
+    cands = candidate_pairs(signed, "__id", "__bk")
+    return pair_cosine_verify(cands, signed, "__id", "__v", tau)
+
+
 # DuckDB twins (same math, same accumulation order):
 SQL_VEC = "embedding::DOUBLE[]"
 

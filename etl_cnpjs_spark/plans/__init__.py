@@ -24,4 +24,111 @@ from etl_cnpjs_spark.plans import udtf_plans  # noqa: E402,F401
 from etl_cnpjs_spark.plans import layout  # noqa: E402,F401
 from etl_cnpjs_spark.plans import cnpj_parity  # noqa: E402,F401
 
+# ---------------------------------------------------------------------------
+# Registry presentation order.
+#
+# The round driver's CORRECTNESS harness verifies a bounded prefix of
+# queries() in registration order (round 1: exactly the first 50 keys).
+# Import order above follows SURVEY.md §2, which put the entire
+# dedup/similarity/streaming/TPC-H/corpus surface after position 50 —
+# so none of it got a driver row. Registration order is a presentation
+# concern, so reorder the dict here: keys without a green driver row
+# (round 1), most valuable families first; previously driver-verified
+# keys last. Semantics of every plan are unchanged.
+# ---------------------------------------------------------------------------
+_PRIORITY = [
+    "flagship",  # headline/smoke key stays first
+    # north-star: text dedup family
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_cluster",
+    "dedup_canonical",
+    "dedup_fuzzy_names",
+    "dedup_simhash",
+    # north-star: embeddings / similarity
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "sim_topk",
+    "sim_knn_join",
+    "sim_topk_ivf",
+    "sim_topk_kmeans",
+    "embedding_centroids",
+    "embedding_quantize",
+    # streaming windows
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    # TPC-H spine
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q10",
+    "tpch_q18",
+    "tpch_q6",
+    "tpch_q4",
+    "tpch_q14",
+    "tpch_q13",
+    "tpch_q22",
+    # corpus curation / text extras
+    "corpus_curate",
+    "text_pii_scrub",
+    "doc_chunk",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_filter_pipeline",
+    # round-1 driver FAIL, fixed this round — must re-verify
+    "fn_array_ops",
+    # multimodal plumbing
+    "mm_meta",
+    "mm_decode",
+    "mm_frame_sample",
+    # physical layout / skew
+    "join_bucketed",
+    "join_skew_salted",
+    "layout_zorder",
+    # UDTF + CNPJ end-to-end
+    "udtf_bigrams",
+    "cnpj_flagship",
+    # highest-value extended keys still unverified
+    "events_sessionize",
+    "events_funnel",
+    "sql_lateral",
+    "agg_hll_sketch",
+    "window_topk_group",
+    "agg_grouping_sets",
+    "sample_stratified",
+    "window_range_frame",
+]
+
+
+def _reorder() -> None:
+    missing = [k for k in _PRIORITY if k not in QUERIES]
+    assert not missing, f"_PRIORITY names unknown keys: {missing}"
+    # Round-1 driver-verified keys (CORRECTNESS_r01.json) — safe at the back.
+    verified_r01 = {
+        "flagship", "scan_parquet", "scan_csv", "project_alias",
+        "filter_in_list", "filter_range", "filter_null", "join_inner_equi",
+        "join_left", "join_semi", "join_anti", "join_range", "join_asof",
+        "agg_count_by", "agg_stats", "agg_count_distinct",
+        "agg_approx_distinct", "agg_approx_quantile", "agg_rollup",
+        "agg_cube", "agg_pivot", "window_rank", "window_running",
+        "window_lag_lead", "sort_limit", "set_union", "set_intersect",
+        "set_except", "dedup_exact", "dedup_keep_latest", "sink_parquet",
+        "sink_csv_bom", "sink_partitioned", "scan_json", "udf_grouped_map",
+        "sink_idempotent", "sink_compact", "sink_table", "agg_incremental",
+        "scan_text", "fn_string", "fn_date", "fn_math", "fn_array",
+        "fn_json", "udf_cnpj_format", "text_stats", "text_tokens",
+        "text_quality",
+    }
+    rest_unverified = [
+        k for k in QUERIES if k not in _PRIORITY and k not in verified_r01
+    ]
+    tail = [k for k in QUERIES if k in verified_r01 and k not in _PRIORITY]
+    ordered = {k: QUERIES[k] for k in [*_PRIORITY, *rest_unverified, *tail]}
+    assert len(ordered) == len(QUERIES)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_reorder()
+
 __all__ = ["QUERIES", "QuerySpec", "register"]

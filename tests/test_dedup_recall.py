@@ -31,3 +31,58 @@ def test_simhash_covers_planted_pairs(spark, sf_dir):
     # extra candidates at the margin.
     missed = exact - sim
     assert not missed, f"simhash missed planted near-dups: {missed}"
+
+
+def test_embedding_lsh_equals_exact(spark, sf_dir):
+    """dedup_embedding_lsh carries the exact all-pairs oracle on the claim
+    that 32×2 banding recall is 100% at the tested SFs (per-pair miss
+    ≈ 9e-8 at τ=0.4). Assert the claim against the blocked exact scorer."""
+    exact = _pairs(QUERIES["dedup_embedding_cosine"].fn(spark, sf_dir))
+    lsh = _pairs(QUERIES["dedup_embedding_lsh"].fn(spark, sf_dir))
+    assert exact, "corpus should contain pairs above the tau"
+    assert lsh == exact, f"LSH missed {exact - lsh} / invented {lsh - exact}"
+
+
+def test_embedding_lsh_planted_production_regime(spark):
+    """The regime hyperplane LSH is FOR: planted near-identical vectors
+    (cos ≳ 0.97) in a random background, τ=0.9, 16 bands × 8 bits.
+    Full recall of every planted pair AND real pruning (<20% of all
+    pairs become candidates) — the property the τ=0.4 corpus key can't
+    exhibit because its similarity gap is too narrow (see plan
+    docstring)."""
+    import numpy as np
+
+    from etl_cnpjs_spark.operators.dedup import candidate_pairs
+    from etl_cnpjs_spark.operators.similarity import (
+        embedding_lsh_pairs,
+        hyperplane_signatures,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((120, 64))
+    planted = []
+    vecs = [(i, [float(x) for x in base[i]]) for i in range(120)]
+    for k in range(10):  # 10 perturbed near-duplicates of vectors 0..9
+        dup = base[k] + 0.12 * rng.standard_normal(64)
+        cos = float(
+            dup @ base[k] / (np.linalg.norm(dup) * np.linalg.norm(base[k]))
+        )
+        assert cos >= 0.9, f"fixture drift: planted cos {cos}"
+        vecs.append((120 + k, [float(x) for x in dup]))
+        planted.append((k, 120 + k))
+    df = spark.createDataFrame(vecs, "vid bigint, v array<double>")
+
+    found = {
+        (int(r.i), int(r.j))
+        for r in embedding_lsh_pairs(
+            df, "vid", "v", tau=0.9, bands=16, rows=8
+        ).collect()
+    }
+    assert set(planted) <= found, f"missed planted pairs: {set(planted) - found}"
+
+    signed = hyperplane_signatures(df, "vid", "v", bands=16, rows=8)
+    n_cand = candidate_pairs(signed, "__id", "__bk").count()
+    n_all = 130 * 129 // 2
+    assert n_cand < 0.2 * n_all, (
+        f"banding should prune hard at tau=0.9: {n_cand}/{n_all} candidates"
+    )
