@@ -74,15 +74,22 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
+             -- STRICTLY greater: Spark's session_window merges sessions
+             -- that touch (an event at exactly last_ts + gap extends the
+             -- session), so a new session starts only past the gap.
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             -- ORDER BY must match the lag window's (ts, event_id) exactly:
+             -- with ts alone, tied timestamps at a session boundary make the
+             -- cumsum order ambiguous and can split a session differently
+             -- from the flag pass (the events_sessionize bug class).
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     )
@@ -100,6 +107,8 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 30-min-gap sessionization via Spark's native
     session_window (mergeable, streaming-state capable). The oracle
     re-derives session semantics with the lag/cumsum formulation:
-    new session when ts - prev >= gap (session end is exclusive),
-    end = last event + gap."""
+    new session when ts - prev > gap — STRICTLY greater, because
+    session_window merges sessions that touch — end = last event + gap
+    (exclusive). Tie/boundary edges pinned by
+    tests/test_streaming.py::test_session_oracle_tie_at_boundary."""
     return session_windows(table(spark, sf_dir, "events"))

@@ -259,3 +259,56 @@ def test_stateful_running_totals(spark, sf_dir, events_dir):
         gn, gtotal = got[uid]
         assert gn == n
         assert abs(gtotal - total) < 1e-6  # float sum order may differ
+
+
+def test_session_oracle_tie_at_boundary(spark):
+    """Tie-forcing fixture for the session oracle: two events share the
+    exact session-boundary timestamp. The cumsum window must order by
+    (ts, event_id) like the lag window — with ts alone the tie makes the
+    running sum ambiguous and the oracle can split sessions differently
+    from Spark's native session_window (the events_sessionize bug class,
+    commit 6e73630)."""
+    import datetime as dt
+
+    import duckdb
+
+    from etl_cnpjs_spark.plans import QUERIES
+    from etl_cnpjs_spark.streaming.windows import session_windows
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    gap = dt.timedelta(minutes=30)
+    sec = dt.timedelta(seconds=1)
+    rows = [
+        (1, 101, t0, 1.0),
+        (1, 102, t0, 2.0),               # tie inside session 1
+        # Exactly gap later: session_window merges sessions that TOUCH,
+        # so these extend session 1 (they also tie with each other,
+        # forcing the cumsum order in the oracle).
+        (1, 103, t0 + gap, 3.0),
+        (1, 104, t0 + gap, 4.0),
+        # One second PAST the touch point of the extended session
+        # (last ts 10:30 + gap = 11:00) → genuinely new session.
+        (1, 105, t0 + 2 * gap + sec, 5.0),
+        (2, 201, t0, 6.0),
+    ]
+    fixture = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, value double"
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+        for r in session_windows(fixture).collect()
+    }
+    expected = {
+        (1, t0, t0 + 2 * gap): (4, 10.0),
+        (1, t0 + 2 * gap + sec, t0 + 3 * gap + sec): (1, 5.0),
+        (2, t0, t0 + gap): (1, 6.0),
+    }
+    assert got == expected
+
+    con = duckdb.connect()
+    con.register("events", fixture.toPandas())
+    oracle = {
+        (r[0], r[1], r[2]): (r[3], r[4])
+        for r in con.execute(QUERIES["stream_session"].oracle).fetchall()
+    }
+    assert oracle == expected
