@@ -11,12 +11,13 @@ oracle-checked summary:
       → near-dup removal      (3-gram Jaccard ≥ 0.8, keep-first greedy)
       → per-(lang, source) funnel report + surviving token counts
 
-Near-dup drop rule (deterministic, single-pass): drop doc j when some
-pair (i, j), i < j, exists whose i survived exact dedup. This is the
-greedy "first occurrence wins" rule (same semantics family as streaming
-dedup), NOT transitive-closure canonicalization — that stronger form is
-`dedup_canonical`. Both are real pipeline choices; greedy is the cheap
-one (one anti-join instead of iterated connected components).
+Near-dup drop rule (deterministic, single-pass): drop doc j when ANY
+pair (i, j), i < j, exists whose i survived exact dedup — even if i was
+itself near-dup-dropped. Stricter than sequential keep-first streaming
+greedy (which only compares against the kept set) and cheaper: one
+anti-join against the pair list, no iteration. The transitive-closure
+form is `dedup_canonical`; all three are real pipeline choices, this is
+the cheapest.
 
 Funnel counts are nested subsets computed as per-doc flags then ONE
 aggregation — at scale the report costs a single small shuffle on

@@ -117,8 +117,10 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
     # input BEFORE the join: Spark's InjectRuntimeFilter builds a bloom
     # filter from the filtered creation side and applies might_contain()
     # on the application side. The rule is pure SQL-conf driven (no Scala
-    # API needed) — thresholds here are lowered only because sf0.01 is
-    # below the default 10 MB creation-side cutoff.
+    # API needed). Conf deltas vs defaults, because sf0.01 is tiny:
+    # application-side scan threshold drops to 0 (default 10 GB would
+    # veto), and creationSideThreshold is RAISED to 10GB so the rule
+    # keeps firing even if the filtered creation side misestimates high.
     from pyspark.sql import functions as F
 
     confs = {
