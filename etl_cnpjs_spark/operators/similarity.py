@@ -263,48 +263,6 @@ def hyperplane_signatures(
     )
 
 
-def pair_cosine_verify(pairs, vecs, id_col: str, vec_col: str, tau: float):
-    """Exact cosine for candidate pairs (i, j): two hash joins pull the
-    vectors in, one Arrow-batched pass scores every pair with the SAME
-    sequential dimension-order fold as the Catalyst/DuckDB oracle
-    (vectorized over rows, accumulated dimension-by-dimension — each
-    partial individually IEEE-rounded, so scores stay bit-identical).
-    Cost is O(candidates) — the verify step never sees non-candidates."""
-    import numpy as np
-    import pandas as pd
-
-    la = vecs.select(F.col(id_col).alias("i"), F.col(vec_col).alias("__va"))
-    lb = vecs.select(F.col(id_col).alias("j"), F.col(vec_col).alias("__vb"))
-    joined = pairs.select("i", "j").join(la, "i").join(lb, "j")
-
-    def score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame({"i": [], "j": [], "cos_sim": []})
-                continue
-            A = np.array(list(pdf["__va"]), dtype=np.float64)
-            B = np.array(list(pdf["__vb"]), dtype=np.float64)
-            dim = A.shape[1]
-            dots = np.zeros(len(pdf))
-            na = np.zeros(len(pdf))
-            nb = np.zeros(len(pdf))
-            for d in range(dim):
-                dots += A[:, d] * B[:, d]
-                na += A[:, d] * A[:, d]
-                nb += B[:, d] * B[:, d]
-            cos = dots / (np.sqrt(na) * np.sqrt(nb))
-            mask = cos >= tau
-            yield pd.DataFrame(
-                {
-                    "i": pdf["i"][mask],
-                    "j": pdf["j"][mask],
-                    "cos_sim": cos[mask],
-                }
-            )
-
-    return joined.mapInPandas(score, "i bigint, j bigint, cos_sim double")
-
-
 def embedding_lsh_pairs(
     vecs,
     id_col: str,
@@ -314,21 +272,74 @@ def embedding_lsh_pairs(
     rows: int,
     seed: int = 42,
 ):
-    """Embedding near-dup pairs via hyperplane-LSH banding: signature →
-    band-bucket equi-join (candidate_pairs — the ONE shuffle, keyed by
-    band hash) → exact-cosine verify on candidates only. The pair space
-    is never materialized as n²: a pair exists only if it shares a band
-    bucket, so shuffle and verify cost scale with the candidate count
-    the (bands, rows) operating point buys at the corpus's similarity
-    gap. Verification makes output ⊆ exact pairs ≥ τ; recall is
-    1 − (1 − p^rows)^bands per true pair with p = 1 − arccos(τ)/π."""
-    from etl_cnpjs_spark.operators.dedup import candidate_pairs
+    """Embedding near-dup pairs via hyperplane-LSH banding with
+    bucket-local verification: signature → ONE shuffle keyed by
+    (band, key) that collects each bucket's (id, vector) rows together →
+    exact cosine scored INSIDE the bucket with a vectorized numpy outer
+    fold → global distinct. The n² pair space is never materialized:
+    shuffle volume is n·bands signature rows (each with one vector
+    copy), and scoring cost is Σ bucket², i.e. whatever selectivity the
+    (bands, rows) operating point buys at the corpus's similarity gap.
+    Verification makes output ⊆ exact pairs ≥ τ; recall is
+    1 − (1 − p^rows)^bands per true pair with p = 1 − arccos(τ)/π.
+
+    The same pair can surface from several bands — scores are
+    bit-identical everywhere (same sequential dimension-order fold as
+    the Catalyst/DuckDB oracle), so the final distinct collapses them.
+    At cluster scale a hot bucket (low-entropy band slice) is a skew key
+    like any other: cap bucket size and re-band its members with a
+    fresh seed, or salt the verify — standard LSH practice."""
+    import numpy as np
+    import pandas as pd
 
     signed = hyperplane_signatures(
         vecs, id_col, vec_col, bands=bands, rows=rows, seed=seed
-    ).localCheckpoint()
-    cands = candidate_pairs(signed, "__id", "__bk")
-    return pair_cosine_verify(cands, signed, "__id", "__v", tau)
+    )
+    buckets = (
+        signed.select(
+            "__id", "__v", F.posexplode("__bk").alias("__band", "__key")
+        )
+        .groupBy("__band", "__key")
+        .agg(F.collect_list(F.struct("__id", "__v")).alias("vs"))
+        .filter(F.size("vs") > 1)
+        .select("vs")  # plain name: itertuples mangles _-prefixed fields
+    )
+
+    def _seq_dot(A, B):
+        acc = np.zeros((A.shape[0], B.shape[0]))
+        for d in range(A.shape[1]):
+            acc += np.multiply.outer(A[:, d], B[:, d])
+        return acc
+
+    def _seq_norm(A):
+        acc = np.zeros(A.shape[0])
+        for d in range(A.shape[1]):
+            acc += A[:, d] * A[:, d]
+        return np.sqrt(acc)
+
+    def score_bucket(batches):
+        for pdf in batches:
+            out_i, out_j, out_c = [], [], []
+            for row in pdf.itertuples(index=False):
+                ids = np.array([r["__id"] for r in row.vs], dtype=np.int64)
+                V = np.array([r["__v"] for r in row.vs], dtype=np.float64)
+                nrm = _seq_norm(V)
+                cos = _seq_dot(V, V) / np.multiply.outer(nrm, nrm)
+                mask = (cos >= tau) & (ids[:, None] < ids[None, :])
+                ii, jj = np.nonzero(mask)
+                out_i.append(ids[ii])
+                out_j.append(ids[jj])
+                out_c.append(cos[mask])
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate(out_i) if out_i else np.array([], dtype=np.int64),
+                    "j": np.concatenate(out_j) if out_j else np.array([], dtype=np.int64),
+                    "cos_sim": np.concatenate(out_c) if out_c else np.array([]),
+                }
+            )
+
+    pairs = buckets.mapInPandas(score_bucket, "i bigint, j bigint, cos_sim double")
+    return pairs.distinct()
 
 
 # DuckDB twins (same math, same accumulation order):

@@ -28,7 +28,7 @@ from etl_cnpjs_spark.cnpj.load import load_raw_parquet, register_raw
 from etl_cnpjs_spark.cnpj.schemas import DIM_COLUMNS
 from etl_cnpjs_spark.plans.registry import register
 
-_env_cache: dict[int, bool] = {}
+_env_cache: dict[str, bool] = {}
 
 
 @register("cnpj_flagship", oracle=None, tags=("cnpj", "parity", "pipeline"))
@@ -36,7 +36,7 @@ def cnpj_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUERY_FINAL (etl.py:191-234) over the synthetic CNPJ drop —
     ignores sf_dir (the CNPJ tables aren't part of the TPC-H-ish
     testdata); fixture generation + raw load run once per session."""
-    if id(spark) not in _env_cache:
+    if spark.sparkContext.applicationId not in _env_cache:
         base = tempfile.mkdtemp(prefix="cnpj_plan_")
         paths = fixtures.generate(base, seed=42)
         routed = discover(os.path.join(base, "zips"))
@@ -47,5 +47,5 @@ def cnpj_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         register_raw(spark, table_paths)
         register_affinity_views(spark)
-        _env_cache[id(spark)] = True
+        _env_cache[spark.sparkContext.applicationId] = True
     return run_flagship(spark)
