@@ -17,6 +17,7 @@ names, IN-list dedup, orphan-dropping inner joins).
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,24 +29,46 @@ from etl_cnpjs_spark.cnpj.load import load_raw_parquet, register_raw
 from etl_cnpjs_spark.cnpj.schemas import DIM_COLUMNS
 from etl_cnpjs_spark.plans.registry import register
 
-_env_cache: dict[str, bool] = {}
+# Fixture volume tracks the requested SF so the bench measures the
+# flagship at real-shaped row counts (sf0.1 ≈ the suggested FIXTURES.md
+# sizes ×100), while driver correctness (sf0.01) stays quick.
+_SIZES = {"0.001": (1_000, 2_500), "0.01": (10_000, 25_000), "0.1": (100_000, 250_000)}
+
+# applicationId → sizes currently registered in that session's views.
+_env_cache: dict[str, tuple[int, int]] = {}
+
+
+def _sizes_for(sf_dir: str) -> tuple[int, int]:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return _SIZES.get(m.group(1).rstrip(".") if m else "", _SIZES["0.001"])
+
+
+def ensure_cnpj_env(spark: SparkSession, sf_dir: str) -> None:
+    """Generate fixtures + raw-load + register views, once per
+    (session, size) — staging, not query work (bench pre-warms it)."""
+    sizes = _sizes_for(sf_dir)
+    if _env_cache.get(spark.sparkContext.applicationId) == sizes:
+        return
+    base = tempfile.mkdtemp(prefix="cnpj_plan_")
+    paths = fixtures.generate(
+        base, seed=42, n_empresas=sizes[0], n_estab=sizes[1]
+    )
+    routed = discover(os.path.join(base, "zips"))
+    table_paths = load_raw_parquet(spark, routed, os.path.join(base, "raw"))
+    dim_routed = {t: paths[t] for t in DIM_COLUMNS}
+    table_paths.update(
+        load_raw_parquet(spark, dim_routed, os.path.join(base, "raw"))
+    )
+    register_raw(spark, table_paths)
+    register_affinity_views(spark)
+    _env_cache[spark.sparkContext.applicationId] = sizes
 
 
 @register("cnpj_flagship", oracle=None, tags=("cnpj", "parity", "pipeline"))
 def cnpj_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """QUERY_FINAL (etl.py:191-234) over the synthetic CNPJ drop —
-    ignores sf_dir (the CNPJ tables aren't part of the TPC-H-ish
-    testdata); fixture generation + raw load run once per session."""
-    if spark.sparkContext.applicationId not in _env_cache:
-        base = tempfile.mkdtemp(prefix="cnpj_plan_")
-        paths = fixtures.generate(base, seed=42)
-        routed = discover(os.path.join(base, "zips"))
-        table_paths = load_raw_parquet(spark, routed, os.path.join(base, "raw"))
-        dim_routed = {t: paths[t] for t in DIM_COLUMNS}
-        table_paths.update(
-            load_raw_parquet(spark, dim_routed, os.path.join(base, "raw"))
-        )
-        register_raw(spark, table_paths)
-        register_affinity_views(spark)
-        _env_cache[spark.sparkContext.applicationId] = True
+    """QUERY_FINAL (etl.py:191-234) over the synthetic CNPJ drop — the
+    CNPJ tables aren't part of the TPC-H-ish testdata, so sf_dir only
+    sets fixture VOLUME (see _SIZES); generation + raw load run once
+    per (session, size)."""
+    ensure_cnpj_env(spark, sf_dir)
     return run_flagship(spark)
