@@ -18,6 +18,7 @@ from etl_cnpjs_spark.plans import multimodal  # noqa: E402,F401
 from etl_cnpjs_spark.plans import streaming  # noqa: E402,F401
 from etl_cnpjs_spark.plans import extended  # noqa: E402,F401
 from etl_cnpjs_spark.plans import extended2  # noqa: E402,F401
+from etl_cnpjs_spark.plans import extended3  # noqa: E402,F401
 from etl_cnpjs_spark.plans import tpch  # noqa: E402,F401
 from etl_cnpjs_spark.plans import corpus  # noqa: E402,F401
 from etl_cnpjs_spark.plans import udtf_plans  # noqa: E402,F401

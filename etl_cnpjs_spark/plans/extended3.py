@@ -1,0 +1,186 @@
+"""Round-2 surface growth: repetition quality signals, the ORC source
+format, and exact distinct-counting via bitmap aggregates.
+
+Reference trace: the reference reads CSV only and never profiles its
+corpus (ETLCNPJFinalEmpresaEstabelecimentos.py:84-94); these keys are
+engine capabilities a training-data pipeline needs on top of it
+(SURVEY.md §2.2b growth directions).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_cnpjs_spark.catalog import table
+from etl_cnpjs_spark.plans.registry import register
+
+# --- text_repetition -------------------------------------------------------
+
+_TOP_UNIGRAM_MAX = 0.3  # Gopher-style repetition gates (thresholds are
+_DUP_BIGRAM_MAX = 0.55  # corpus-tuned in practice; these fit the fixture)
+
+
+@register(
+    "text_repetition",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    u AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+    c AS (SELECT doc_id, tok, count(*) AS cnt FROM u GROUP BY 1, 2),
+    s AS (SELECT doc_id, max(cnt) AS topc, sum(cnt) AS n FROM c GROUP BY 1),
+    b AS (
+      SELECT doc_id,
+             list_transform(generate_series(2, len(toks)),
+                            i -> toks[i-1] || ' ' || toks[i]) AS bg
+      FROM d
+    )
+    SELECT d.doc_id,
+           CAST(s.n AS INT)                             AS n_tokens,
+           CAST(s.topc AS DOUBLE) / s.n                 AS top_unigram_frac,
+           CASE WHEN len(bg) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+           END                                          AS dup_bigram_frac,
+           (CAST(s.topc AS DOUBLE) / s.n <= {_TOP_UNIGRAM_MAX}
+            AND CASE WHEN len(bg) = 0 THEN 0.0
+                     ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                END <= {_DUP_BIGRAM_MAX})               AS keep
+    FROM d JOIN s ON d.doc_id = s.doc_id JOIN b ON d.doc_id = b.doc_id
+    """,
+    tags=("north_star", "text", "quality"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher/C4 rules the
+    text_filter_pipeline family doesn't cover): most-common-unigram
+    fraction and duplicate-bigram fraction, plus the keep gate.
+
+    Shapes: the unigram mode needs a per-(doc, token) count — explode +
+    two-level groupBy, ONE shuffle keyed by (doc_id, token) with
+    map-side partial counts, then a tiny per-doc re-agg. The bigram
+    signal never leaves the row: adjacent pairs via transform(sequence),
+    distinct/total inside the array. Fractions are exact integer ratios
+    → bit-identical across engines, no rounding."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    counts = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("topc"), F.sum("cnt").alias("n"))
+    )
+    bi = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(toks[i-1], ' ', toks[i]))"
+        ).alias("bg"),
+    )
+    top_frac = F.col("topc").cast("double") / F.col("n")
+    dup_frac = F.when(F.size("bg") == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct("bg")).cast("double") / F.size("bg")
+    )
+    return (
+        counts.join(bi, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").cast("int").alias("n_tokens"),
+            top_frac.alias("top_unigram_frac"),
+            dup_frac.alias("dup_bigram_frac"),
+            (
+                (top_frac <= _TOP_UNIGRAM_MAX) & (dup_frac <= _DUP_BIGRAM_MAX)
+            ).alias("keep"),
+        )
+    )
+
+
+# --- scan_orc --------------------------------------------------------------
+
+_orc_cache: dict[tuple[str, str], str] = {}
+
+
+def _stage_orc(spark: SparkSession, sf_dir: str) -> str:
+    """Stage documents as an ORC table once per (session, sf) — a
+    distributed write (Spark's ORC sink), no driver staging."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _orc_cache.get(key)
+    if cached is not None:
+        return cached
+    out = os.path.join(tempfile.mkdtemp(prefix="orc_stage_"), "documents.orc")
+    table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    ).write.mode("overwrite").orc(out)
+    _orc_cache[key] = out
+    return out
+
+
+@register(
+    "scan_orc",
+    oracle="""
+    SELECT doc_id, lang, source,
+           len(text)         AS n_chars,
+           md5(text)         AS content_md5
+    FROM documents
+    """,
+    tags=("source", "orc"),
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORC source/sink round trip — Spark's second first-class
+    columnar format (vectorized reader, predicate pushdown, same
+    partition-pruning machinery as parquet). Write documents to ORC
+    once per session, read back, fingerprint content (md5) — the oracle
+    recomputes from the parquet source, proving the round trip is
+    byte-faithful. At 100 TB ORC vs parquet is a storage-policy choice,
+    not a plan change: every scan-side optimization here applies."""
+    path = _stage_orc(spark, sf_dir)
+    d = spark.read.orc(path)
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+    )
+
+
+# --- agg_bitmap_distinct ---------------------------------------------------
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct", "bitmap"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark 4 bitmap aggregates — the
+    shuffle-light alternative to count(distinct): stage 1 groups by
+    (key, bitmap_bucket_number(value)) and ORs per-bucket bit positions
+    into fixed 4KB bitmaps (map-side combinable!); stage 2 sums
+    bitmap_count per key. The wire carries bitmaps, not values — for
+    n distinct values per group the shuffle is n/32768 × 4KB instead of
+    n × 8B rows, and unlike approx_count_distinct the answer is exact.
+    COUNT(DISTINCT) in Spark plans an Expand + double shuffle of raw
+    values; this is the layout that replaces it at 100 TB."""
+    l = table(spark, sf_dir, "lineitem")
+    per_bucket = (
+        l.select("l_returnflag", F.col("l_orderkey").alias("v"))
+        .groupBy(
+            "l_returnflag", F.expr("bitmap_bucket_number(v)").alias("bucket")
+        )
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(v))").alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("l_returnflag")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_orders"))
+    )

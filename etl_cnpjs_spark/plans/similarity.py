@@ -89,8 +89,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the layout that survives a cluster (per-task memory is capped by
     the block size, tasks are embarrassingly parallel). Scores stay
     bit-identical to the DuckDB oracle (sequential fold, same op order).
-    At 100 TB brute force itself is the wrong shape — sim_topk_ivf's
-    centroid bucketing prunes the pair space with identical arithmetic."""
+    At 100 TB brute force itself is the wrong shape — this key is the
+    oracle-grade exact baseline; the production path is
+    dedup_embedding_lsh (banded candidates, bucket-local verify), with
+    sim_topk_ivf's centroid bucketing as the ANN alternative."""
     n = _vecs(spark, sf_dir)
     return all_pairs_cosine_blocked(
         n.select("vec_id", "v"), "vec_id", "v", NEAR_DUP_TAU
