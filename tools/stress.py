@@ -98,6 +98,20 @@ def main() -> None:
             F.col("jaccard") >= 0.8
         )
 
+    # embedding LSH: replicate vectors with shifted ids (vectors
+    # unchanged — every replica is an exact near-dup of its source, so
+    # TRUE pairs grow ~k² per original pair; the banding bound is what
+    # keeps wall time near-linear)
+    emb = table(spark, SF_DIR, "embeddings")
+    replicate(emb, ["vec_id"], k).write.mode("overwrite").parquet(f"{tmp}/embeddings")
+    emb_k = spark.read.parquet(f"{tmp}/embeddings")
+
+    from etl_cnpjs_spark.operators.similarity import embedding_lsh_pairs, vec_double
+
+    def lsh_pairs(e, tau=0.4, bands=32, rows=2):
+        v = e.select("vec_id", vec_double(F.col("embedding")).alias("v"))
+        return embedding_lsh_pairs(v, "vec_id", "v", tau, bands=bands, rows=rows)
+
     ev = table(spark, SF_DIR, "events")
     replicate(ev, ["user_id", "event_id"], k).write.mode("overwrite").parquet(f"{tmp}/events")
     ev_k = spark.read.parquet(f"{tmp}/events")
@@ -128,6 +142,12 @@ def main() -> None:
     gk, qk = timed(lambda: q18_shape(li_k, od_k, cu).count())
     s1, e1 = timed(lambda: sessionize(ev, "user_id", "ts", "event_id", 21_600_000_000).count())
     sk, ek = timed(lambda: sessionize(ev_k, "user_id", "ts", "event_id", 21_600_000_000).count())
+    l1, p1 = timed(lambda: lsh_pairs(emb).count())
+    lk, pk = timed(lambda: lsh_pairs(emb_k).count())
+    # production near-dup regime: high tau, long bands — replicas are
+    # exact dups (cos = 1), so true pairs still grow ~k²/2 per vector
+    h1, y1 = timed(lambda: lsh_pairs(emb, tau=0.9, bands=16, rows=8).count())
+    hk, yk = timed(lambda: lsh_pairs(emb_k, tau=0.9, bands=16, rows=8).count())
 
     print(json.dumps({
         "k": k,
@@ -139,6 +159,10 @@ def main() -> None:
         "q18_rows": [q1, qk],
         "sessionize_1x_sec": s1, "sessionize_kx_sec": sk, "sessionize_ratio": round(sk / s1, 1),
         "sessionize_rows": [e1, ek],
+        "emb_lsh_1x_sec": l1, "emb_lsh_kx_sec": lk, "emb_lsh_ratio": round(lk / l1, 1),
+        "emb_lsh_pairs": [p1, pk],
+        "emb_lsh_hi_1x_sec": h1, "emb_lsh_hi_kx_sec": hk,
+        "emb_lsh_hi_ratio": round(hk / h1, 1), "emb_lsh_hi_pairs": [y1, yk],
     }))
 
 
