@@ -1,8 +1,10 @@
 """Round-2 surface growth: repetition quality signals, the ORC source
-format, and exact distinct-counting via bitmap aggregates.
+format, exact distinct-counting via bitmap aggregates, a custom Python
+DataSource, and the XML kernel.
 
-Reference trace: the reference reads CSV only and never profiles its
-corpus (ETLCNPJFinalEmpresaEstabelecimentos.py:84-94); these keys are
+Reference trace: the reference reads CSV only, downloads over HTTP with
+a driver-side loop, and never profiles its corpus
+(ETLCNPJFinalEmpresaEstabelecimentos.py:60-72, 84-94); these keys are
 engine capabilities a training-data pipeline needs on top of it
 (SURVEY.md §2.2b growth directions).
 """
@@ -183,4 +185,102 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_bucket.groupBy("l_returnflag")
         .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_orders"))
+    )
+
+
+# --- source_python_ds ------------------------------------------------------
+
+
+@register(
+    "source_python_ds",
+    oracle="""
+    SELECT CAST(i AS BIGINT)           AS id,
+           CAST(i * i AS BIGINT)       AS sq,
+           CAST(i % 8 AS INT)          AS part
+    FROM range(0, 4096) t(i)
+    """,
+    tags=("source", "python_datasource"),
+)
+def source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON DataSource (Spark 4 pyspark.sql.datasource API) —
+    the extensibility seam where the reference's HTTP download loop
+    (ETLCNPJFinalEmpresaEstabelecimentos.py:60-72) becomes a
+    first-class, PARTITIONED source: partitions() splits the key space,
+    each executor's read(partition) pulls only its slice (for a real
+    feed: its page range / shard URLs), and the result enters the plan
+    as an ordinary DataFrame with a declared schema — no driver-side
+    staging. Here the source generates a deterministic table (8
+    partitions over 4096 ids) so the oracle can re-derive it exactly."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _SquaresReader(DataSourceReader):
+        def __init__(self, n: int, parts: int):
+            self.n, self.parts = n, parts
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, partition):
+            for i in range(partition.value, self.n, self.parts):
+                yield (i, i * i, i % self.parts)
+
+    class SquaresDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "squares"
+
+        def schema(self) -> str:
+            return "id bigint, sq bigint, part int"
+
+        def reader(self, schema):
+            return _SquaresReader(
+                int(self.options.get("n", 4096)),
+                int(self.options.get("parts", 8)),
+            )
+
+    spark.dataSource.register(SquaresDataSource)
+    return spark.read.format("squares").option("n", 4096).option("parts", 8).load()
+
+
+# --- fn_xml ----------------------------------------------------------------
+
+
+@register(
+    "fn_xml",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus            AS status_rt,
+           o_totalprice             AS price_rt,
+           1                        AS n_status_nodes
+    FROM orders WHERE o_orderkey < 500
+    """,
+    tags=("fn", "xml"),
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML kernel (Spark 4 ships spark-xml in core): to_xml renders a
+    struct, from_xml parses it back with a declared schema, xpath
+    queries node sets. Output = the round-tripped values themselves, so
+    the oracle (plain columns off the base table) proves serialization
+    fidelity rather than trusting it. The shape matters for ingest:
+    government/enterprise drops (the reference's domain) are often XML
+    manifests; parse with a declared schema once, never per-field."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    xml = F.to_xml(
+        F.struct("o_orderkey", "o_orderstatus", "o_totalprice"),
+        {"rowTag": "order"},
+    )
+    parsed = F.from_xml(
+        xml,
+        "STRUCT<o_orderkey: BIGINT, o_orderstatus: STRING, o_totalprice: DOUBLE>",
+        {"rowTag": "order"},
+    )
+    return o.select(
+        "o_orderkey",
+        parsed.getField("o_orderstatus").alias("status_rt"),
+        parsed.getField("o_totalprice").alias("price_rt"),
+        F.size(F.xpath(xml, F.lit("//o_orderstatus"))).alias("n_status_nodes"),
     )
