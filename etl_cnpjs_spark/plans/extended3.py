@@ -284,3 +284,143 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("o_totalprice").alias("price_rt"),
         F.size(F.xpath(xml, F.lit("//o_orderstatus"))).alias("n_status_nodes"),
     )
+
+
+# --- events_retention ------------------------------------------------------
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    cohort AS (
+      SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+    ),
+    j AS (
+      SELECT d.user_id, c.cohort_day,
+             datediff('day', c.cohort_day, d.day) AS off
+      FROM days d JOIN cohort c ON d.user_id = c.user_id
+    )
+    SELECT CAST(cohort_day AS TIMESTAMP)              AS cohort_day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)       AS cohort_size,
+           CAST(COUNT(DISTINCT CASE WHEN off = 1 THEN user_id END) AS BIGINT)
+                                                         AS d1_retained,
+           CAST(COUNT(DISTINCT CASE WHEN off = 7 THEN user_id END) AS BIGINT)
+                                                         AS d7_retained
+    FROM j GROUP BY cohort_day
+    """,
+    tags=("events", "retention", "analytics"),
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the product-analytics staple the reference's
+    domain (company registries) never needs but an events pipeline
+    always does: cohort = each user's first active day; D1/D7 retention
+    = users active exactly 1/7 days later (cohort_day emitted as a
+    timestamp — both engines' pandas bridges agree on that type, while
+    DATE surfaces as datetime.date in Spark but datetime64 in DuckDB).
+    Shapes: distinct (user, day)
+    collapses events early (the volume reducer), per-user min is one
+    shuffle on user_id, and the activity join reuses that partitioning;
+    the final cohort rollup shuffles only (cohort_day, user) pairs.
+    Counts are exact integers — no float drift."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    j = days.join(cohort, "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.datediff("day", "cohort_day").alias("off"),
+    )
+    return j.groupBy(F.col("cohort_day").cast("timestamp").alias("cohort_day")).agg(
+        F.countDistinct("user_id").alias("cohort_size"),
+        F.countDistinct(F.when(F.col("off") == 1, F.col("user_id"))).alias(
+            "d1_retained"
+        ),
+        F.countDistinct(F.when(F.col("off") == 7, F.col("user_id"))).alias(
+            "d7_retained"
+        ),
+    )
+
+
+# --- text_tfidf ------------------------------------------------------------
+
+_TFIDF_TOP_K = 3
+
+
+@register(
+    "text_tfidf",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM d),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS cnt FROM
+        (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, sum(cnt) AS dlen FROM tf GROUP BY doc_id),
+    idf AS (
+      SELECT tok, round(ln(n.n_docs / count(*)), 6) AS idf
+      FROM tf, n GROUP BY tok, n.n_docs
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(CAST(tf.cnt AS DOUBLE) / dl.dlen * idf.idf, 6) AS score
+      FROM tf JOIN dl ON tf.doc_id = dl.doc_id JOIN idf ON tf.tok = idf.tok
+    ),
+    ranked AS (
+      SELECT doc_id, tok, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, tok) AS INT) AS rank
+      FROM scored
+    )
+    SELECT doc_id, tok AS term, score, rank
+    FROM ranked WHERE rank <= {_TFIDF_TOP_K}
+    """,
+    tags=("north_star", "text", "tfidf"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{_TFIDF_TOP_K} TF-IDF terms — the keyword/
+    feature-extraction primitive (doc routing, topic labels, sparse
+    retrieval). Distributed shape: ONE (doc, token) count shuffle feeds
+    both term frequency and (re-keyed by token) document frequency; IDF
+    is a token-keyed aggregate joined back to the postings (at 100 TB:
+    the IDF table is vocabulary-sized — broadcast it); final per-doc
+    top-k is one window pass. Scores round to 6 dp before ranking so
+    libm ln() ulp differences can't flip an order across engines; ties
+    break on the term."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    n_docs = float(d.count())
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("dlen"))
+    idf = tf.groupBy("tok").agg(
+        F.round(F.log(F.lit(n_docs) / F.count(F.lit(1))), 6).alias("idf")
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "tok")
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("cnt").cast("double") / F.col("dlen") * F.col("idf"), 6
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TFIDF_TOP_K)
+        .select("doc_id", F.col("tok").alias("term"), "score", "rank")
+    )
