@@ -392,3 +392,71 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", "j", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
+
+
+# Incremental near-dup: screen an INCOMING batch against an existing
+# corpus — the shape a crawl pipeline actually runs (the full self-join
+# re-dedups the world; this touches only new-vs-corpus candidates).
+_INCR_SPLIT = 250  # docs < split = corpus, >= split = incoming batch
+
+_SQL_INCREMENTAL = (
+    _SQL_SHINGLES
+    + f"""
+  , e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+  sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+  p AS (
+    SELECT b.doc_id AS new_id, a.doc_id AS corpus_id, count(*) AS inter
+    FROM e a JOIN e b ON a.s = b.s
+    WHERE a.doc_id < {_INCR_SPLIT} AND b.doc_id >= {_INCR_SPLIT}
+    GROUP BY 1, 2
+  )
+  SELECT new_id, corpus_id, inter / (s1.n + s2.n - inter) AS jaccard
+  FROM p JOIN sz s1 ON p.corpus_id = s1.doc_id JOIN sz s2 ON p.new_id = s2.doc_id
+  WHERE inter / (s1.n + s2.n - inter) >= {JACCARD_THRESHOLD}
+"""
+)
+
+
+@register("dedup_incremental", oracle=_SQL_INCREMENTAL, tags=("north_star", "dedup", "incremental"))
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening: MinHash band keys of the INCOMING
+    batch equi-join the CORPUS's band keys (the reference corpus is the
+    build side of the one shuffle; at scale it is a pre-banded, bucketed
+    TABLE maintained across runs, so screening a batch costs
+    batch·bands lookups — nothing re-scans the corpus shingle-by-
+    shingle). Candidates verify with exact Jaccard; output = (new_id,
+    corpus_id, jaccard) ≥ 0.8, the rows a crawl pipeline uses to drop
+    already-seen documents before they enter training data.
+
+    Banding recall on this corpus is 100% (same 8×2 operating point as
+    dedup_minhash, tests/test_dedup_recall.py) — so the key carries the
+    exact corpus-vs-batch oracle."""
+    docs = _doc_shingles(spark, sf_dir)
+    signed = docs.select(
+        "doc_id",
+        "sh",
+        minhash_band_keys(F.col("sh"), bands=8, rows=2).alias("bk"),
+    ).localCheckpoint()
+    corpus = signed.filter(F.col("doc_id") < _INCR_SPLIT)
+    batch = signed.filter(F.col("doc_id") >= _INCR_SPLIT)
+
+    cb = corpus.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.posexplode("bk").alias("band", "key"),
+    )
+    bb = batch.select(
+        F.col("doc_id").alias("new_id"),
+        F.posexplode("bk").alias("band", "key"),
+    )
+    cands = bb.join(cb, ["band", "key"]).select("new_id", "corpus_id").distinct()
+
+    sa = corpus.select(F.col("doc_id").alias("corpus_id"), F.col("sh").alias("sha"))
+    sb = batch.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size("sha") + F.size("shb") - inter
+    return (
+        cands.join(sa, "corpus_id")
+        .join(sb, "new_id")
+        .select("new_id", "corpus_id", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
