@@ -89,16 +89,21 @@ _PRIORITY = [
     # UDTF + CNPJ end-to-end
     "udtf_bigrams",
     "cnpj_flagship",
-    # highest-value extended keys still unverified
+    # round-2 additions (no driver row ever) + highest-value extended
+    "dedup_incremental",
+    "text_repetition",
+    "text_tfidf",
+    "events_retention",
+    "agg_bitmap_distinct",
+    "source_python_ds",
     "events_sessionize",
-    "events_funnel",
     "sql_lateral",
-    "agg_hll_sketch",
-    "window_topk_group",
-    "agg_grouping_sets",
-    "sample_stratified",
-    "window_range_frame",
 ]
+# (events_funnel, agg_hll_sketch, window_topk_group, agg_grouping_sets,
+# sample_stratified, window_range_frame, scan_orc, fn_xml + remaining
+# extended keys sit right after the priority block — next in line if the
+# driver's window is wider than round 1's 50, rotated in next round if
+# not.)
 
 
 def _reorder() -> None:

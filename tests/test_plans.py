@@ -244,3 +244,26 @@ def test_orc_scan_pushes_filters(spark, sf_dir):
     assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, (
         "column pruning must reach the ORC scan"
     )
+
+
+def test_tfidf_broadcasts_idf(spark, sf_dir):
+    """The IDF table is vocabulary-sized — it must come back to the
+    postings as a broadcast join, never a shuffle of the postings on
+    token."""
+    plan = explain_str(QUERIES["text_tfidf"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "IDF join must broadcast"
+
+
+def test_retention_collapses_events_before_shuffle(spark, sf_dir):
+    """distinct (user, day) must aggregate map-side (partial) so raw
+    events never cross the wire."""
+    plan = explain_str(QUERIES["events_retention"].fn(spark, sf_dir))
+    assert "partial_" in plan, "distinct collapse must combine map-side"
+
+
+def test_incremental_dedup_joins_on_band_key(spark, sf_dir):
+    """Candidates must come from the (band, key) equi-join — the plan
+    carries a hash join keyed on band/key, not any cross/theta join."""
+    plan = explain_str(QUERIES["dedup_incremental"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan and "key" in plan
