@@ -44,19 +44,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table. Schema comes from the parquet footer —
     declared at write time, never re-inferred (SURVEY.md §1.2).
 
-    ``events.ts`` is INT64 TIMESTAMP(NANOS) in the source parquet, which
-    Spark's parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos
-    as long (runtime conf) and floor-divide to microseconds — the same
-    truncation DuckDB applies when it narrows ns → its µs timestamps, so
-    both engines see identical values.
+    Timestamp normalization (the driver regenerates the testdata between
+    rounds and has shipped two physical encodings so far):
+
+    - INT64 TIMESTAMP(NANOS) (round-1 ``events.ts``): Spark's reader
+      rejects it ([PARQUET_TYPE_ILLEGAL]); read nanos as long (runtime
+      conf) and floor-divide to microseconds — the same truncation DuckDB
+      applies when it narrows ns → µs.
+    - naive µs (``isAdjustedToUTC=false``, round-2 ``events.ts`` /
+      ``l_shipdate`` / ``o_orderdate``): Spark reads TIMESTAMP_NTZ, which
+      fails analysis against TIMESTAMP literals/functions used throughout
+      the plans. Cast to session-tz TIMESTAMP; this environment (and the
+      driver) run with tz=UTC so the wall-clock values are preserved
+      bit-exactly and match DuckDB's naive reading.
+
+    Every plan goes through this loader, so the normalization happens in
+    exactly one place and the rest of the engine sees one timestamp type.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def register_all(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES) -> None:
