@@ -21,7 +21,7 @@ happens after.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_cnpjs_spark.catalog import table
@@ -398,4 +398,251 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lonely.groupBy(F.col("c_nationkey").alias("cntry")).agg(
         F.count(F.lit(1)).alias("numcust"),
         F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("totacctbal"),
+    )
+
+
+@register(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS sum_base_price,
+           CAST({_REV_SQL} AS DOUBLE)                           AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS {_DEC})) AS DOUBLE)                 AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE)      / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS {_DEC})) AS DOUBLE)      / COUNT(*) AS avg_disc,
+           COUNT(*)                                             AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("tpch", "agg"),
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 Pricing Summary Report: the canonical full-scan aggregate —
+    eight measures over ~all of lineitem, grouped on a 6-ish-value key.
+    Physical shape is the best case for Spark: the scan reads only the 7
+    needed columns (ReadSchema pruning), partial aggregation collapses
+    each input partition to a handful of rows map-side, and the exchange
+    ships six groups, not 60k rows. Averages divide the exact decimal
+    sum (cast to double) by the group count so both engines perform the
+    same single IEEE division; sum_charge keeps the oracle's left-assoc
+    product order so the double multiplies are bit-identical."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
+
+    def _sdec(c: F.Column) -> F.Column:
+        return F.sum(c.cast(_DEC))
+
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _sdec(F.col("l_quantity")).cast("double").alias("sum_qty"),
+            _sdec(F.col("l_extendedprice")).cast("double").alias("sum_base_price"),
+            _rev_dec().cast("double").alias("sum_disc_price"),
+            _sdec(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).cast("double").alias("sum_charge"),
+            (_sdec(F.col("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (_sdec(F.col("l_extendedprice")).cast("double") / n).alias("avg_price"),
+            (_sdec(F.col("l_discount")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q7",
+    oracle=f"""
+    SELECT n1.n_name                                   AS supp_nation,
+           n2.n_name                                   AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT)  AS l_year,
+           CAST({_REV_SQL} AS DOUBLE)                  AS revenue
+    FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 Volume Shipping (nation names adapted to the testdata domain):
+    bilateral trade volume between two nations by ship year. The two
+    nation aliases broadcast (25 rows, ALWAYS_BROADCAST class); the OR
+    pair-filter lands after both nation joins but Catalyst still pushes
+    the single-nation IN(1,2) residuals onto each broadcast side. The
+    big shape is lineitem⋈orders on orderkey (one shuffle) with
+    supplier/customer joined on their keys; AQE broadcasts whichever of
+    those dims the filters shrink below threshold at runtime."""
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_rev_dec().cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8",
+    oracle=f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_dec
+                         ELSE CAST(0 AS {_DEC}) END) AS DOUBLE)
+             / CAST(SUM(vol_dec) AS DOUBLE)             AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS {_DEC}) AS vol_dec,
+             n2.n_name AS supp_nation
+      FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 National Market Share (adapted: p_type domain is single words,
+    nation names are NATION_n): the fraction of ASIA's ECONOMY-part
+    revenue supplied by NATION_3, by order year. The deepest join tree
+    in the registry (8 tables). part filtered on p_type is the most
+    selective input — joining lineitem to it FIRST cuts the fact rows
+    ~6× before the orderkey shuffle; region/nation broadcast always,
+    and the market-share division happens once per year-group after two
+    exact decimal sums. The conditional numerator uses the same decimal
+    volume term as the denominator so no row is valued differently
+    between the two sums."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("vol_dec"), "supp_nation")
+    )
+    zero = F.lit(0).cast(_DEC)
+    return (
+        j.groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("vol_dec")).otherwise(zero)
+                ).cast("double")
+                / F.sum(F.col("vol_dec")).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no, {_REV_SQL} AS total_rev_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_rev_dec AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM revenue0)
+    ORDER BY s_suppkey
+    """,
+    tags=("tpch", "agg", "subquery"),
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 Top Supplier: the supplier(s) with maximum quarterly revenue.
+    The classic view-plus-scalar-subquery shape becomes: aggregate
+    lineitem once on l_suppkey (one shuffle of ~|suppliers| partial
+    sums), then an unpartitioned max window over that tiny aggregate —
+    NOT a second scan of lineitem the way the SQL view is naively
+    evaluated twice. The equality filter compares exact decimals, so
+    'the max' is one deterministic set in both engines; the supplier
+    dim joins broadcast-side. At 100 TB the window-over-aggregate
+    trick matters: revenue0 is O(suppliers) rows, so the global max
+    costs a single-partition pass over kilobytes, not a re-aggregation."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _rev_dec().alias("total_rev_dec")
+    )
+    best = rev.withColumn("max_rev", F.max("total_rev_dec").over(Window.partitionBy())).filter(
+        F.col("total_rev_dec") == F.col("max_rev")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(s), best.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev_dec").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
     )
