@@ -123,10 +123,24 @@ def main() -> None:
         n = _vecs(spark, sf_dir).withColumn(
             "features", array_to_vector(F.col("v"))
         )
-        _kmeans_model(spark, sf_dir, n)
+        model = _kmeans_model(spark, sf_dir, n)
+        # One-row transform initializes the ml scoring path (predictor
+        # broadcast + UDF plumbing) so the timed probe measures the probe.
+        model.transform(n.limit(1)).write.format("noop").mode("overwrite").save()
         timings["kmeans_train"] = round(time.perf_counter() - t0, 4)
     except Exception as exc:
         print(f"bench: kmeans_train failed: {exc}", file=sys.stderr)
+
+    # First use of the Python DataSource API spins up its worker
+    # infrastructure (~15 s once per session, then <1 s per read). Warm it
+    # with the real source so the timed entry measures the partitioned
+    # read, and report the infra cost as its own line.
+    try:
+        t0 = time.perf_counter()
+        run_once(spark, QUERIES["source_python_ds"].fn, sf_dir)
+        timings["python_ds_infra_warmup"] = round(time.perf_counter() - t0, 4)
+    except Exception as exc:
+        print(f"bench: python_ds_infra_warmup failed: {exc}", file=sys.stderr)
 
     failures = 0
     for name in sorted(QUERIES):

@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 
 from etl_cnpjs_spark.catalog import table
 from etl_cnpjs_spark.functions.text import normalized_text, token_overlap_count, tokens
-from etl_cnpjs_spark.plans.dedup import _SQL_SHINGLES, JACCARD_THRESHOLD, _exact_pairs
+from etl_cnpjs_spark.plans.dedup import (
+    _SQL_SHINGLES,
+    JACCARD_THRESHOLD,
+    _doc_shingles,
+    _exact_pairs,
+)
 from etl_cnpjs_spark.plans.registry import register
 from etl_cnpjs_spark.plans.text import (
     _MIN_DISTINCT_RATIO,
@@ -253,4 +258,152 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_start").cast("long").alias("chunk_start"),
         F.size(chunk).cast("long").alias("chunk_len"),
         F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# --- mixture sampling ------------------------------------------------------
+
+# Per-language keep rates for the target training mixture. Thresholds are
+# exact integers on the same multiplicative-hash ring as sample_hash /
+# sample_stratified (Knuth 2654435761 mod 2^32), so membership is a pure
+# bigint comparison both engines compute identically.
+_MIX_KNUTH = 2654435761
+_MIX_MOD = 4294967296  # 2^32
+_MIX_RATES = {"en": 1.0, "zh": 0.75, "de": 0.5, "fr": 0.5, "es": 0.25}
+_MIX_THRESH = {k: int(v * _MIX_MOD) for k, v in _MIX_RATES.items()}
+
+_MIX_CASE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {t}" for k, t in _MIX_THRESH.items()
+) + " ELSE 0 END"
+
+
+@register(
+    "sample_weighted_mix",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE (doc_id * {_MIX_KNUTH}) % {_MIX_MOD} < {_MIX_CASE_SQL}
+    """,
+    tags=("north_star", "sampling", "pipeline"),
+)
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: down/up-weight sources to a target
+    training mix (here per-language rates: en 100%, zh 75%, de/fr 50%,
+    es 25%) — the step that turns a curated pool into the corpus a run
+    actually trains on. Membership is a hash of the stable key, NOT
+    rand(): re-runs, backfills, and a resumed 100 TB job all select the
+    same rows, and changing one rate re-decides only that stratum.
+    Physically a scan-side filter — no shuffle, no state, prunes to the
+    three needed columns."""
+    d = table(spark, sf_dir, "documents")
+    thresh = F.lit(0)
+    for lang, t in _MIX_THRESH.items():
+        thresh = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thresh)
+    return d.select("doc_id", "lang", "source").filter(
+        (F.col("doc_id") * _MIX_KNUTH) % _MIX_MOD < thresh
+    )
+
+
+# --- sequence packing ------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per training sequence
+
+
+@register(
+    "doc_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), o AS (
+      SELECT doc_id, lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM t
+    )
+    SELECT lang, CAST(off // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM o GROUP BY lang, seq_id
+    """,
+    tags=("north_star", "pipeline", "window"),
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concat-then-chunk semantics: documents are
+    concatenated per language in stable doc_id order and the token
+    stream is cut into fixed 512-token training sequences; a doc
+    belongs to the sequence its START offset falls in. That start
+    offset is an exclusive running sum — one window, one shuffle on
+    lang — and the report (docs and tokens per sequence) reuses the
+    same partitioning for its groupBy, so the whole op is a single
+    exchange. At 100 TB packing runs per (lang, shard) with exactly
+    this plan per shard; the greedy stateful variant (reset the counter
+    at each boundary) needs applyInPandasWithState and buys <2% fewer
+    padding tokens at these doc lengths."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = t.withColumn("off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        o.groupBy("lang", F.expr(f"off div {_PACK_BUDGET}").alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# --- benchmark decontamination ---------------------------------------------
+
+_BENCH_MOD = 13  # doc_id % 13 == 0 stands in for the benchmark/eval set
+
+
+@register(
+    "text_decontaminate",
+    oracle=_SQL_SHINGLES
+    + f"""
+  , e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+  bench AS (SELECT doc_id AS bench_id, s FROM e WHERE doc_id % {_BENCH_MOD} = 0)
+  SELECT e.doc_id,
+         COUNT(DISTINCT bench.bench_id) AS n_bench_docs,
+         COUNT(DISTINCT e.s)            AS n_shared_shingles
+  FROM e JOIN bench ON e.s = bench.s
+  WHERE e.doc_id % {_BENCH_MOD} <> 0
+  GROUP BY e.doc_id
+    """,
+    tags=("north_star", "text", "dedup", "pipeline"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word 3-gram with the eval/benchmark set (stand-in: doc_id % 13 == 0)
+    — the screen every serious pretraining pipeline runs so test sets
+    don't leak into training data. The benchmark side is SMALL by
+    construction (eval suites are thousands of docs, the corpus is
+    billions), so its exploded n-gram set broadcasts and the corpus is
+    screened scan-side with NO shuffle of corpus rows; only the matches
+    (rare) reach the per-doc aggregate. Shares the memoized shingle
+    frame with the dedup family — one tokenize+shingle pass per session
+    feeds both screens."""
+    sh = _doc_shingles(spark, sf_dir)
+    e = sh.select("doc_id", F.explode("sh").alias("s"))
+    bench = e.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), F.col("s").alias("bs")
+    )
+    probe = e.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return (
+        probe.join(F.broadcast(bench), probe.s == bench.bs)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+            F.countDistinct("s").alias("n_shared_shingles"),
+        )
     )
