@@ -99,16 +99,31 @@ _PRIORITY = [
     "events_sessionize",
     "sql_lateral",
 ]
-# (events_funnel, agg_hll_sketch, window_topk_group, agg_grouping_sets,
-# sample_stratified, window_range_frame, scan_orc, fn_xml + remaining
-# extended keys sit right after the priority block — next in line if the
-# driver's window is wider than round 1's 50, rotated in next round if
-# not.)
+# Second tier: never-driver-verified keys added after the priority list
+# froze — first in line past the window boundary if the driver's window
+# is wider than round 1's 50, rotated into _PRIORITY next round if not.
+_SECOND = [
+    "sample_weighted_mix",
+    "doc_pack_sequences",
+    "text_decontaminate",
+    "tpch_q1",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q15",
+    "events_funnel",
+    "agg_hll_sketch",
+    "window_topk_group",
+    "agg_grouping_sets",
+    "sample_stratified",
+    "window_range_frame",
+    "scan_orc",
+    "fn_xml",
+]
 
 
 def _reorder() -> None:
-    missing = [k for k in _PRIORITY if k not in QUERIES]
-    assert not missing, f"_PRIORITY names unknown keys: {missing}"
+    missing = [k for k in [*_PRIORITY, *_SECOND] if k not in QUERIES]
+    assert not missing, f"priority lists name unknown keys: {missing}"
     # Round-1 driver-verified keys (CORRECTNESS_r01.json) — safe at the back.
     verified_r01 = {
         "flagship", "scan_parquet", "scan_csv", "project_alias",
@@ -125,11 +140,12 @@ def _reorder() -> None:
         "fn_json", "udf_cnpj_format", "text_stats", "text_tokens",
         "text_quality",
     }
+    head = [*_PRIORITY, *_SECOND]
     rest_unverified = [
-        k for k in QUERIES if k not in _PRIORITY and k not in verified_r01
+        k for k in QUERIES if k not in head and k not in verified_r01
     ]
-    tail = [k for k in QUERIES if k in verified_r01 and k not in _PRIORITY]
-    ordered = {k: QUERIES[k] for k in [*_PRIORITY, *rest_unverified, *tail]}
+    tail = [k for k in QUERIES if k in verified_r01 and k not in head]
+    ordered = {k: QUERIES[k] for k in [*head, *rest_unverified, *tail]}
     assert len(ordered) == len(QUERIES)
     QUERIES.clear()
     QUERIES.update(ordered)
