@@ -424,3 +424,60 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TFIDF_TOP_K)
         .select("doc_id", F.col("tok").alias("term"), "score", "rank")
     )
+
+
+# --- events_anomaly --------------------------------------------------------
+
+
+@register(
+    "events_anomaly",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             COUNT(*)                                        AS n,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)         AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS s2
+      FROM events GROUP BY user_id
+    ), z AS (
+      SELECT e.event_id, e.user_id, e.value,
+             (e.value - s.s1 / s.n)
+               / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) AS zscore,
+             s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)            AS var
+      FROM events e JOIN s ON e.user_id = s.user_id
+    )
+    SELECT event_id, user_id, value, zscore
+    FROM z WHERE var > 0 AND abs(zscore) > 3
+    """,
+    tags=("events", "anomaly", "stats"),
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user outlier screen: events whose value sits more than 3
+    population standard deviations from that user's mean — the data-QA
+    gate (sensor glitches, bot bursts, corrupt ingests) a pipeline runs
+    before aggregates are trusted. Moments are exact decimal sums
+    (sum, sum-of-squares) so mean and variance derive from identical
+    inputs in both engines, and every subsequent double op (two
+    divisions, one multiply, sqrt, compare) is the same IEEE sequence —
+    no stddev_pop, whose Welford ordering is engine-specific. Physical:
+    the per-user moment table is thousands of rows — broadcast back to
+    events, so the screen costs one partial-agg shuffle of three
+    numbers per user plus a scan-side joined filter, never a window
+    sort of the fact table."""
+    ev = table(spark, sf_dir, "events")
+    dec = "decimal(27,6)"
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(dec)).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast(dec)).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    j = (
+        ev.select("event_id", "user_id", "value")
+        .join(F.broadcast(s), "user_id")
+        .withColumn("var", var)
+        .withColumn("zscore", (F.col("value") - mean) / F.sqrt(F.col("var")))
+    )
+    return j.filter((F.col("var") > 0) & (F.abs(F.col("zscore")) > 3)).select(
+        "event_id", "user_id", "value", "zscore"
+    )

@@ -112,3 +112,22 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exclusive). Tie/boundary edges pinned by
     tests/test_streaming.py::test_session_oracle_tie_at_boundary."""
     return session_windows(table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type, ts FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup, batch form (streaming face with
+    dropDuplicatesWithinWatermark + 1 h horizon runs in
+    tests/test_streaming.py::test_stream_dedup_within_watermark). The
+    output is the distinct natural-key set, so results are independent
+    of arrival order — the property that lets the batch oracle validate
+    the streaming operator."""
+    from etl_cnpjs_spark.streaming.windows import dedup_events
+
+    return dedup_events(table(spark, sf_dir, "events"))

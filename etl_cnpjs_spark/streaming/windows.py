@@ -87,3 +87,27 @@ def session_windows(events: DataFrame) -> DataFrame:
             "sum_value",
         )
     )
+
+
+DEDUP_KEYS = ("user_id", "event_type", "ts")
+DEDUP_HORIZON = "1 hour"
+
+
+def dedup_events(events: DataFrame, streaming: bool = False) -> DataFrame:
+    """Exactly-once event delivery: suppress redelivered copies of the
+    same logical event, identified by its natural key (user, type,
+    event time). Output is the distinct key set — only key columns, so
+    the result never depends on which physical copy arrived first.
+
+    Batch: plain dropDuplicates (hash aggregate, one shuffle on the
+    key). Streaming: dropDuplicatesWithinWatermark bounds state to the
+    watermark horizon — the key store evicts entries older than
+    DEDUP_HORIZON, which is what makes this runnable forever on an
+    unbounded stream; the batch form is the all-data limit of the same
+    operator."""
+    keyed = events.select(*DEDUP_KEYS)
+    if streaming:
+        return keyed.withWatermark("ts", DEDUP_HORIZON).dropDuplicatesWithinWatermark(
+            list(DEDUP_KEYS)
+        )
+    return keyed.dropDuplicates(list(DEDUP_KEYS))

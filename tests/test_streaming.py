@@ -312,3 +312,24 @@ def test_session_oracle_tie_at_boundary(spark):
         for r in con.execute(QUERIES["stream_session"].oracle).fetchall()
     }
     assert oracle == expected
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, events_dir, tmp_path):
+    """dropDuplicatesWithinWatermark over the event stream emits exactly
+    the batch-distinct key set when all data is on time (the batch form
+    is the all-data limit of the operator), while bounding the dedup
+    state store to the watermark horizon."""
+    from etl_cnpjs_spark.streaming.windows import dedup_events
+
+    batch = {
+        (r.user_id, r.event_type, r.ts)
+        for r in dedup_events(table(spark, sf_dir, "events")).collect()
+    }
+    src = spark.readStream.schema(spark.read.parquet(events_dir).schema).parquet(
+        events_dir
+    )
+    _run_to_memory(dedup_events(src, streaming=True), "t_dedup_wm", "append")
+    got = {
+        (r.user_id, r.event_type, r.ts) for r in spark.table("t_dedup_wm").collect()
+    }
+    assert got == batch
