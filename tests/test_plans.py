@@ -267,3 +267,51 @@ def test_incremental_dedup_joins_on_band_key(spark, sf_dir):
     plan = explain_str(QUERIES["dedup_incremental"].fn(spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "band" in plan and "key" in plan
+
+
+def test_mix_sampling_is_scan_side(spark, sf_dir):
+    """Mixture sampling must be a pure scan-side filter — no shuffle, and
+    the scan reads only the three projected columns."""
+    plan = explain_str(QUERIES["sample_weighted_mix"].fn(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string,source:string>" in plan
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    """The packing groupBy must reuse the running-sum window's hash(lang)
+    partitioning instead of inserting a second shuffle."""
+    plan = explain_str(QUERIES["doc_pack_sequences"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark n-gram side is small by construction — it must
+    broadcast so corpus rows are screened scan-side, never shuffled into
+    a sort-merge join."""
+    plan = explain_str(QUERIES["text_decontaminate"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anomaly_broadcasts_moments_no_window(spark, sf_dir):
+    """The per-user moment table must come back to events as a broadcast
+    join; the screen must not window-sort the fact table."""
+    plan = explain_str(QUERIES["events_anomaly"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "one shuffle: the partial-aggregated per-user moments"
+    )
+
+
+def test_q1_pushdown_and_partial_agg(spark, sf_dir):
+    """Q1's date filter must reach the parquet scan and all eight
+    measures must partial-aggregate map-side before the one exchange."""
+    plan = explain_str(QUERIES["tpch_q1"].fn(spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in plan, "date filter must be pushed"
+    assert "partial_" in plan, "measures must combine map-side"
+    simple = explain_str(QUERIES["tpch_q1"].fn(spark, sf_dir), "simple")
+    assert simple.count("Exchange hashpartitioning") == 1, (
+        "one hash shuffle for the aggregate (the final ORDER BY adds its "
+        "own range exchange over six rows)"
+    )
