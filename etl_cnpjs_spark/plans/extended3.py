@@ -481,3 +481,97 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter((F.col("var") > 0) & (F.abs(F.col("zscore")) > 3)).select(
         "event_id", "user_id", "value", "zscore"
     )
+
+
+# --- window_percentiles ----------------------------------------------------
+
+
+@register(
+    "window_percentiles",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           percent_rank() OVER w AS pr,
+           cume_dist()    OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+    """,
+    tags=("window", "rank"),
+)
+def window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions: percent_rank ((rank-1)/(n-1))
+    and cume_dist (rows ≤ current / n) per market segment — the
+    percentile machinery behind 'top 1% customers' cuts. Both are
+    tie-stable (equal keys share a value), so no tiebreaker column is
+    needed for determinism, and both engines evaluate the same exact
+    integer ratio in one double division. One shuffle on the partition
+    key, per-partition sort — the standard window envelope."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+# --- embedding_normalize ---------------------------------------------------
+
+
+@register(
+    "embedding_normalize",
+    oracle="""
+    WITH d AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+                   AS l2_norm
+          FROM d)
+    SELECT vec_id,
+           round(l2_norm, 6)                                        AS l2_norm,
+           CAST(len(v) AS INT)                                      AS dim,
+           round(CASE WHEN l2_norm > 0 THEN v[1] / l2_norm END, 6)  AS unit0,
+           round(list_aggregate(v, 'sum') / len(v), 6)              AS mean_c,
+           round(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 6)
+                                                                    AS max_abs
+    FROM n
+    """,
+    tags=("similarity", "embedding", "fn"),
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene pass: L2 norm, dimension check, first unit
+    component, mean component, max |x| — the validation profile run
+    before any similarity work (catching zero vectors, wrong dims,
+    unnormalized batches). All higher-order array expressions folding
+    left-to-right in both engines over double-promoted floats, with a
+    round(…,6) boundary as the float-path convention
+    (plans/registry.py). No UDF, no shuffle — the scan is the cost, and
+    at 100 TB this runs as a side-output of whatever scan touches the
+    embeddings anyway."""
+    e = table(spark, sf_dir, "embeddings")
+    d = e.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    n = d.withColumn(
+        "norm_raw",
+        F.sqrt(F.expr("aggregate(transform(v, x -> x * x), cast(0 as double), (a, x) -> a + x)")),
+    )
+    return n.select(
+        "vec_id",
+        F.round("norm_raw", 6).alias("l2_norm"),
+        F.size("v").alias("dim"),
+        F.round(
+            F.when(F.col("norm_raw") > 0, F.expr("v[0]") / F.col("norm_raw")), 6
+        ).alias("unit0"),
+        F.round(
+            F.expr("aggregate(v, cast(0 as double), (a, x) -> a + x)") / F.size("v"), 6
+        ).alias("mean_c"),
+        F.round(
+            F.expr("aggregate(transform(v, x -> abs(x)), cast(0 as double), (a, x) -> greatest(a, x))"),
+            6,
+        ).alias("max_abs"),
+    )
