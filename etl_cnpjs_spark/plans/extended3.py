@@ -575,3 +575,83 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("max_abs"),
     )
+
+
+# --- cdc_apply -------------------------------------------------------------
+
+
+@register(
+    "cdc_apply",
+    oracle="""
+    WITH feed AS (
+      SELECT o_orderkey AS key, 1 AS version,
+             CASE WHEN o_orderkey % 100 = 0 THEN 'D' ELSE 'U' END AS op,
+             'v1-' || lower(o_orderstatus) AS new_status
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', 'v2-' || lower(o_orderstatus)
+      FROM orders WHERE o_orderkey % 20 = 0 AND o_orderkey % 100 <> 0
+    ), latest AS (
+      SELECT key, op, new_status FROM (
+        SELECT *, row_number() OVER (PARTITION BY key ORDER BY version DESC) AS rn
+        FROM feed) WHERE rn = 1
+    )
+    SELECT b.o_orderkey, b.o_custkey,
+           COALESCE(l.new_status, b.o_orderstatus) AS status,
+           (l.new_status IS NOT NULL)              AS updated
+    FROM orders b LEFT JOIN latest l ON b.o_orderkey = l.key
+    WHERE l.op IS DISTINCT FROM 'D'
+    """,
+    tags=("cdc", "merge", "join"),
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO, engine form: apply a CDC feed (upserts + deletes,
+    multiple versions per key) to a base table with latest-wins
+    semantics — the nightly-compaction half of a lakehouse CDC
+    pipeline. Three steps, each the scalable shape: (1) collapse the
+    feed to one winner per key (row_number over the version order —
+    feed-sized shuffle, not base-sized); (2) anti/left join the BASE
+    against the collapsed feed on the key — at 100 TB the feed is the
+    small side and broadcasts, so the base table is never shuffled;
+    (3) COALESCE updated columns. The feed here is derived
+    deterministically from orders itself so the oracle can re-derive
+    it; in production it's the readStream/CDC source. Delete filter
+    uses null-safe comparison (op IS DISTINCT FROM 'D') so unmatched
+    base rows — op NULL — survive. Version-2 updates deliberately skip
+    the delete keys so the delete path is actually exercised (a v2
+    upsert would otherwise resurrect every deleted key — which IS the
+    correct latest-wins behavior, just not the interesting case)."""
+    o = table(spark, sf_dir, "orders")
+    f1 = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(1).alias("version"),
+        F.when(F.col("o_orderkey") % 100 == 0, "D").otherwise("U").alias("op"),
+        F.concat(F.lit("v1-"), F.lower("o_orderstatus")).alias("new_status"),
+    )
+    f2 = o.filter(
+        (F.col("o_orderkey") % 20 == 0) & (F.col("o_orderkey") % 100 != 0)
+    ).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(2).alias("version"),
+        F.lit("U").alias("op"),
+        F.concat(F.lit("v2-"), F.lower("o_orderstatus")).alias("new_status"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("key").orderBy(F.desc("version"))
+    latest = (
+        f1.unionAll(f2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "op", "new_status")
+    )
+    return (
+        o.join(F.broadcast(latest), o.o_orderkey == latest.key, "left")
+        .filter(~F.col("op").eqNullSafe("D"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.coalesce("new_status", "o_orderstatus").alias("status"),
+            F.col("new_status").isNotNull().alias("updated"),
+        )
+    )
