@@ -149,6 +149,41 @@ def main() -> None:
     h1, y1 = timed(lambda: lsh_pairs(emb, tau=0.9, bands=16, rows=8).count())
     hk, yk = timed(lambda: lsh_pairs(emb_k, tau=0.9, bands=16, rows=8).count())
 
+    # decontamination: benchmark n-grams broadcast, corpus screened
+    # scan-side. Replication multiplies BOTH sides ~k×, so candidate
+    # matches grow ~k² per shared shingle family — the banding-free
+    # stress case for the broadcast screen.
+    def decontaminate(d):
+        sh = (
+            d.select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
+            .filter(F.size("sh") > 0)
+        )
+        e = sh.select("doc_id", F.explode("sh").alias("s"))
+        bench = e.filter(F.col("doc_id") % 13 == 0).select(
+            F.col("doc_id").alias("bench_id"), F.col("s").alias("bs")
+        )
+        return (
+            e.filter(F.col("doc_id") % 13 != 0)
+            .join(F.broadcast(bench), F.col("s") == F.col("bs"))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("bench_id").alias("nb"))
+        )
+
+    def pack(d):
+        from pyspark.sql import Window as W
+
+        t = d.select("doc_id", "lang", F.size(tokens(F.col("text"))).alias("n"))
+        w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+        o = t.withColumn("off", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        return o.groupBy("lang", F.expr("off div 512").alias("seq")).agg(
+            F.count(F.lit(1)).alias("nd")
+        )
+
+    x1, c1 = timed(lambda: decontaminate(docs).count())
+    xk, ck = timed(lambda: decontaminate(docs_k).count())
+    z1, b1 = timed(lambda: pack(docs).count())
+    zk, bk = timed(lambda: pack(docs_k).count())
+
     print(json.dumps({
         "k": k,
         "flagship_1x_sec": t1, "flagship_kx_sec": tk, "flagship_ratio": round(tk / t1, 1),
@@ -163,6 +198,10 @@ def main() -> None:
         "emb_lsh_pairs": [p1, pk],
         "emb_lsh_hi_1x_sec": h1, "emb_lsh_hi_kx_sec": hk,
         "emb_lsh_hi_ratio": round(hk / h1, 1), "emb_lsh_hi_pairs": [y1, yk],
+        "decontaminate_1x_sec": x1, "decontaminate_kx_sec": xk,
+        "decontaminate_ratio": round(xk / x1, 1), "decontaminate_flagged": [c1, ck],
+        "pack_1x_sec": z1, "pack_kx_sec": zk,
+        "pack_ratio": round(zk / z1, 1), "pack_sequences": [b1, bk],
     }))
 
 
