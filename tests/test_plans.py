@@ -315,3 +315,19 @@ def test_q1_pushdown_and_partial_agg(spark, sf_dir):
         "one hash shuffle for the aggregate (the final ORDER BY adds its "
         "own range exchange over six rows)"
     )
+
+
+def test_catalog_normalizes_every_timestamp(spark, sf_dir):
+    """The driver regenerates testdata between rounds and has shipped
+    both INT64-nanos and naive-µs (TIMESTAMP_NTZ) encodings; every
+    catalog table must come back with plain session-tz TIMESTAMP
+    columns so plans never meet an NTZ/timestamp analysis mismatch."""
+    import os
+
+    from etl_cnpjs_spark.catalog import TESTDATA_TABLES, table, table_path
+
+    for name in TESTDATA_TABLES:
+        if not os.path.exists(table_path(sf_dir, name)):
+            continue
+        bad = [c for c, t in table(spark, sf_dir, name).dtypes if "ntz" in t or t == "bigint" and c == "ts"]
+        assert not bad, f"{name}: unnormalized timestamp columns {bad}"
