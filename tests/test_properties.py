@@ -217,3 +217,67 @@ def test_zvalue_expr_matches_python_interleave(spark, pts):
     got = {r.i: r.z for r in df.selectExpr("i", f"{z_value_expr('x', 'y')} AS z").collect()}
     for i, (x, y) in enumerate(pts):
         assert got[i] == _py_interleave(x, y), (x, y)
+
+
+# --- CDC latest-wins merge -------------------------------------------------
+
+_cdc_change = st.tuples(
+    st.integers(min_value=0, max_value=9),     # key
+    st.integers(min_value=1, max_value=5),     # version
+    st.sampled_from(["U", "D"]),               # op
+    st.sampled_from(["a", "b", "c"]),          # payload
+)
+
+
+def _py_cdc_apply(base: dict[int, str], feed: list[tuple]) -> dict[int, str]:
+    """Sequential reference: latest version wins per key (ties broken by
+    later feed position, matching the engine's (version, seq) order);
+    'D' removes the key, 'U' replaces the payload."""
+    winner: dict[int, tuple] = {}
+    for seq, (key, version, op, payload) in enumerate(feed):
+        if key not in winner or (version, seq) >= (winner[key][0], winner[key][1]):
+            winner[key] = (version, seq, op, payload)
+    out = dict(base)
+    for key, (_, _, op, payload) in winner.items():
+        if key not in base:
+            continue
+        if op == "D":
+            out.pop(key, None)
+        else:
+            out[key] = payload
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(feed=st.lists(_cdc_change, min_size=0, max_size=20))
+def test_cdc_latest_wins_matches_sequential(spark, feed):
+    from pyspark.sql import Window as W
+
+    base = {k: f"base{k}" for k in range(10)}
+    b = spark.createDataFrame(
+        [(k, v) for k, v in base.items()], "key int, payload string"
+    )
+    if feed:
+        f = spark.createDataFrame(
+            [(k, ver, op, p, seq) for seq, (k, ver, op, p) in enumerate(feed)],
+            "key int, version int, op string, payload string, seq int",
+        )
+        w = W.partitionBy("key").orderBy(F.desc("version"), F.desc("seq"))
+        latest = (
+            f.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("key", "op", F.col("payload").alias("new_payload"))
+        )
+        merged = (
+            b.join(F.broadcast(latest), "key", "left")
+            .filter(~F.col("op").eqNullSafe("D"))
+            .select("key", F.coalesce("new_payload", "payload").alias("payload"))
+        )
+    else:
+        merged = b
+    got = {r.key: r.payload for r in merged.collect()}
+    assert got == _py_cdc_apply(base, feed)

@@ -62,3 +62,28 @@ def test_contract_shape():
         isinstance(s, str) and s.strip().upper().startswith(("SELECT", "WITH"))
         for s in o.values()
     )
+
+
+def test_weighted_mix_hits_target_rates(spark):
+    """Statistical check at the largest SF: each language's realized keep
+    rate must be close to its target (multiplicative hashing is a good
+    PRF; tolerance is generous because strata are hundreds-to-thousands
+    of docs)."""
+    from etl_cnpjs_spark.plans import QUERIES
+    from etl_cnpjs_spark.plans.corpus import _MIX_RATES
+    from etl_cnpjs_spark.catalog import table
+
+    sf = "/root/testdata/sf0.1"
+    totals = {
+        r["lang"]: r["n"]
+        for r in table(spark, sf, "documents").groupBy("lang").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    kept = {
+        r["lang"]: r["n"]
+        for r in QUERIES["sample_weighted_mix"].fn(spark, sf).groupBy("lang").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    for lang, rate in _MIX_RATES.items():
+        realized = kept.get(lang, 0) / totals[lang]
+        assert abs(realized - rate) < 0.08, (lang, realized, rate)
