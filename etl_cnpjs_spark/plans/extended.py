@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from etl_cnpjs_spark.catalog import table
 from etl_cnpjs_spark.functions.text import tokens
-from etl_cnpjs_spark.plans.registry import register
+from etl_cnpjs_spark.plans.registry import quantize, register
 
 _QS = (0.25, 0.5, 0.75, 0.95)
 
@@ -349,7 +349,7 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
            c_nationkey                                   AS nk,
-           round(c_acctbal, 2)                           AS bal,
+           floor(c_acctbal * 1e2 + 0.5) / 1e2            AS bal,
            ((c_nationkey, c_acctbal) < (7, 0.0))         AS below,
            ((c_nationkey, c_acctbal) = (c_nationkey, c_acctbal)) AS self_eq
     FROM customer
@@ -369,7 +369,7 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         s.getField("nk").alias("nk"),
-        F.round(s.getField("bal"), 2).alias("bal"),
+        quantize(s.getField("bal"), 2).alias("bal"),
         (s < probe).alias("below"),
         (s == s).alias("self_eq"),
     )

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_cnpjs_spark.catalog import table
-from etl_cnpjs_spark.plans.registry import register
+from etl_cnpjs_spark.plans.registry import quantize, register
 
 # --- text_repetition -------------------------------------------------------
 
@@ -363,12 +363,13 @@ _TFIDF_TOP_K = 3
     ),
     dl AS (SELECT doc_id, sum(cnt) AS dlen FROM tf GROUP BY doc_id),
     idf AS (
-      SELECT tok, round(ln(n.n_docs / count(*)), 6) AS idf
+      SELECT tok, floor(ln(n.n_docs / count(*)) * 1e6 + 0.5) / 1e6 AS idf
       FROM tf, n GROUP BY tok, n.n_docs
     ),
     scored AS (
       SELECT tf.doc_id, tf.tok,
-             round(CAST(tf.cnt AS DOUBLE) / dl.dlen * idf.idf, 6) AS score
+             floor(CAST(tf.cnt AS DOUBLE) / dl.dlen * idf.idf * 1e6 + 0.5)
+               / 1e6 AS score
       FROM tf JOIN dl ON tf.doc_id = dl.doc_id JOIN idf ON tf.tok = idf.tok
     ),
     ranked AS (
@@ -389,9 +390,13 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     both term frequency and (re-keyed by token) document frequency; IDF
     is a token-keyed aggregate joined back to the postings (at 100 TB:
     the IDF table is vocabulary-sized — broadcast it); final per-doc
-    top-k is one window pass. Scores round to 6 dp before ranking so
-    libm ln() ulp differences can't flip an order across engines; ties
-    break on the term."""
+    top-k is one window pass. Scores quantize to 6 dp via
+    floor(x*1e6 + 0.5)/1e6 — NOT round(): the engines' round()
+    implementations disagree on identical doubles that sit on a decimal
+    half boundary (Spark goes through BigDecimal HALF_UP on the
+    shortest string repr, DuckDB through float multiply/round), which
+    flipped exactly one row at sf0.1. floor on the same double is the
+    same double in both engines. Ties break on the term."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
     )
@@ -403,7 +408,9 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("dlen"))
     idf = tf.groupBy("tok").agg(
-        F.round(F.log(F.lit(n_docs) / F.count(F.lit(1))), 6).alias("idf")
+        (F.floor(F.log(F.lit(n_docs) / F.count(F.lit(1))) * 1e6 + 0.5) / 1e6).alias(
+            "idf"
+        )
     )
     scored = (
         tf.join(dl, "doc_id")
@@ -411,8 +418,12 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "tok",
-            F.round(
-                F.col("cnt").cast("double") / F.col("dlen") * F.col("idf"), 6
+            (
+                F.floor(
+                    F.col("cnt").cast("double") / F.col("dlen") * F.col("idf") * 1e6
+                    + 0.5
+                )
+                / 1e6
             ).alias("score"),
         )
     )
@@ -532,12 +543,14 @@ def window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS l2_norm
           FROM d)
     SELECT vec_id,
-           round(l2_norm, 6)                                        AS l2_norm,
+           floor(l2_norm * 1e6 + 0.5) / 1e6                         AS l2_norm,
            CAST(len(v) AS INT)                                      AS dim,
-           round(CASE WHEN l2_norm > 0 THEN v[1] / l2_norm END, 6)  AS unit0,
-           round(list_aggregate(v, 'sum') / len(v), 6)              AS mean_c,
-           round(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 6)
-                                                                    AS max_abs
+           floor(CASE WHEN l2_norm > 0 THEN v[1] / l2_norm END
+                 * 1e6 + 0.5) / 1e6                                     AS unit0,
+           floor(list_aggregate(v, 'sum') / len(v) * 1e6 + 0.5) / 1e6
+                                                                    AS mean_c,
+           floor(list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                 * 1e6 + 0.5) / 1e6                                     AS max_abs
     FROM n
     """,
     tags=("similarity", "embedding", "fn"),
@@ -562,17 +575,16 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return n.select(
         "vec_id",
-        F.round("norm_raw", 6).alias("l2_norm"),
+        quantize(F.col("norm_raw")).alias("l2_norm"),
         F.size("v").alias("dim"),
-        F.round(
-            F.when(F.col("norm_raw") > 0, F.expr("v[0]") / F.col("norm_raw")), 6
+        quantize(
+            F.when(F.col("norm_raw") > 0, F.expr("v[0]") / F.col("norm_raw"))
         ).alias("unit0"),
-        F.round(
-            F.expr("aggregate(v, cast(0 as double), (a, x) -> a + x)") / F.size("v"), 6
+        quantize(
+            F.expr("aggregate(v, cast(0 as double), (a, x) -> a + x)") / F.size("v")
         ).alias("mean_c"),
-        F.round(
-            F.expr("aggregate(transform(v, x -> abs(x)), cast(0 as double), (a, x) -> greatest(a, x))"),
-            6,
+        quantize(
+            F.expr("aggregate(transform(v, x -> abs(x)), cast(0 as double), (a, x) -> greatest(a, x))")
         ).alias("max_abs"),
     )
 

@@ -24,7 +24,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 from etl_cnpjs_spark.catalog import table
-from etl_cnpjs_spark.plans.registry import register
+from etl_cnpjs_spark.plans.registry import quantize, register
 from etl_cnpjs_spark.serde import pickle_by_value
 
 # the CNPJ pandas UDF below ships to Python workers — serialize this
@@ -110,12 +110,12 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_math",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice, 1)                       AS price_rounded,
+           floor(l_extendedprice * 1e1 + 0.5) / 1e1       AS price_rounded,
            abs(l_discount - 0.05)                          AS disc_centered,
            CAST(ceil(l_quantity) AS BIGINT)                AS qty_ceil,
            CAST(floor(l_quantity) AS BIGINT)               AS qty_floor,
-           round(sqrt(l_extendedprice), 6)                 AS price_sqrt,
-           round(ln(l_extendedprice + 1), 6)               AS price_ln,
+           floor(sqrt(l_extendedprice) * 1e6 + 0.5) / 1e6 AS price_sqrt,
+           floor(ln(l_extendedprice + 1) * 1e6 + 0.5) / 1e6 AS price_ln,
            l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged,
            greatest(l_discount, l_tax)                     AS max_rate,
            CAST(sign(l_discount - l_tax) AS DOUBLE)        AS disc_vs_tax
@@ -125,18 +125,20 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math kernel. Per-row IEEE double arithmetic is engine-identical;
-    only libm-backed ln/sqrt get round(…,6)."""
+    libm-backed ln/sqrt and the decimal display rounding go through the
+    floor-based quantize() (registry) so both engines pick the same
+    neighbour at decimal half boundaries."""
     li = table(spark, sf_dir, "lineitem")
     p, q, dsc, tax = (F.col(c) for c in ("l_extendedprice", "l_quantity", "l_discount", "l_tax"))
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(p, 1).alias("price_rounded"),
+        quantize(p, 1).alias("price_rounded"),
         F.abs(dsc - 0.05).alias("disc_centered"),
         F.ceil(q).alias("qty_ceil"),
         F.floor(q).alias("qty_floor"),
-        F.round(F.sqrt(p), 6).alias("price_sqrt"),
-        F.round(F.log(p + 1), 6).alias("price_ln"),
+        quantize(F.sqrt(p)).alias("price_sqrt"),
+        quantize(F.log(p + 1)).alias("price_ln"),
         (p * (1 - dsc) * (1 + tax)).alias("charged"),
         F.greatest(dsc, tax).alias("max_rate"),
         F.signum(dsc - tax).alias("disc_vs_tax"),

@@ -51,3 +51,26 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
         return fn
 
     return deco
+
+
+def quantize(col, digits: int = 6):
+    """Engine-portable decimal quantization of a double column:
+    floor(x * 10^d + 0.5) / 10^d.
+
+    NOT round(): when a double sits on a decimal half boundary, Spark's
+    round() (BigDecimal HALF_UP over the shortest string repr) and
+    DuckDB's (float multiply + native rounding) disagree about which
+    neighbour to pick — a 1-in-thousands flip first observed on
+    text_tfidf at sf0.1. floor over the SAME double is the same double
+    in both engines, so plans quantize with this helper and oracles
+    mirror it textually via quantize_sql()."""
+    from pyspark.sql import functions as F
+
+    scale = float(10**digits)
+    return F.floor(col * scale + 0.5) / scale
+
+
+def quantize_sql(expr: str, digits: int = 6) -> str:
+    """DuckDB twin of quantize(): identical arithmetic, textual form."""
+    scale = f"1e{digits}"
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"

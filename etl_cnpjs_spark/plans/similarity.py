@@ -20,7 +20,7 @@ from etl_cnpjs_spark.operators.similarity import (
     sql_cosine,
     vec_double,
 )
-from etl_cnpjs_spark.plans.registry import register
+from etl_cnpjs_spark.plans.registry import quantize, register
 
 TOP_K = 10
 NEAR_DUP_TAU = 0.4  # this corpus's embeddings are near-orthogonal (max
@@ -242,7 +242,7 @@ def sim_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x
       FROM n)
     SELECT label, CAST(pos AS INT) AS pos,
-           round(sum(x) / count(*), 6) AS centroid
+           floor(sum(x) / count(*) * 1e6 + 0.5) / 1e6 AS centroid
     FROM u GROUP BY label, pos
     """,
     tags=("north_star", "similarity", "centroid"),
@@ -254,14 +254,15 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries (label, pos, partial sums), n·dim small rows, and
     map-side partial aggregation collapses them before the wire. Output
     stays long-form (label, pos, value) — rebuilding arrays is a
-    presentation step, not a compute one. round(6) absorbs
-    partition-order float-sum drift (sum/count, same op order both
-    engines)."""
+    presentation step, not a compute one. quantize(6) (floor-based,
+    registry.quantize) absorbs partition-order float-sum drift
+    (sum/count, same op order both engines) without the round()
+    half-boundary divergence."""
     n = _vecs(spark, sf_dir)
     u = n.select("label", F.posexplode("v").alias("pos0", "x"))
     return (
         u.groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
-        .agg(F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("centroid"))
+        .agg(quantize(F.sum("x") / F.count(F.lit(1))).alias("centroid"))
     )
 
 
