@@ -11,7 +11,7 @@ per-source caps, unpivot for metric normalization.
 Determinism notes:
 - quantiles: Spark `percentile` (exact, linear interpolation) vs DuckDB
   `quantile_cont`; interpolation arithmetic may differ in op order, so
-  both sides round(…, 6) — same convention as fn_math.
+  both sides quantize to 6 dp — same convention as fn_math.
 - sample_hash: multiplicative hashing (Knuth 2654435761) in exact bigint
   arithmetic — identical in both engines. Keys here are < 2^33 so the
   product fits bigint; at real scale swap in xxhash64/murmur3 (engine

@@ -10,7 +10,7 @@ its *data* demands them, so the engine surfaces each family explicitly.
 Oracle-determinism notes:
 - regexp_replace: Spark replaces all matches; DuckDB needs the 'g' flag —
   every oracle spells it.
-- ln/sqrt go through round(…, 6): libm vs JVM StrictMath may drift an ulp.
+- ln/sqrt go through quantize(…, 6) (floor-based): libm vs JVM may drift an ulp.
 - integer '/' yields double in both engines (same IEEE division of the
   same ints → bit-identical).
 """

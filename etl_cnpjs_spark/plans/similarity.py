@@ -355,7 +355,8 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(
              CASE WHEN mx = mn THEN list_transform(v, x -> 0)
                   ELSE list_transform(v,
-                         x -> CAST(round((x - mn) * 255 / (mx - mn)) AS INTEGER))
+                         x -> CAST(floor((x - mn) * 255 / (mx - mn) + 0.5)
+                                   AS INTEGER))
              END, ',') AS q8_csv
     FROM s
     """,
@@ -367,7 +368,10 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding table that fits the page cache and one that doesn't at
     100 TB. Reconstruction x̂ = mn + q·(mx−mn)/255 carries ≤ half-step
     error (bounded in tests/test_approx_accuracy.py); all arithmetic is
-    double-promoted first so both engines round identical values. Pure
+    double-promoted first and the code picks its bin via
+    floor(v + 0.5) — exact half-up on the non-negative range, immune to
+    the engines' round() half-boundary divergence (registry.quantize
+    docstring). Pure
     higher-order array expressions — no UDF, no shuffle, one scan.
     The int8 codes are emitted as a csv scalar (q8_csv) at the output
     boundary (driver canonicalizer can't sort raw array columns); a
@@ -386,7 +390,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         """array_join(
              CASE WHEN mx = mn THEN transform(v, x -> '0')
                   ELSE transform(v,
-                         x -> cast(cast(round((x - mn) * 255 / (mx - mn)) as int)
-                                   as string))
+                         x -> cast(cast(floor((x - mn) * 255 / (mx - mn) + 0.5)
+                                        as int) as string))
              END, ',') AS q8_csv""",
     )
