@@ -460,3 +460,54 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", "corpus_id", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+STOP_SHINGLE_DF = 64  # postings with document frequency above this are dropped
+
+
+@register(
+    "dedup_stopshingle",
+    oracle=_SQL_SHINGLES
+    + f"""
+  , e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+  keep AS (SELECT s FROM e GROUP BY s HAVING count(*) <= {STOP_SHINGLE_DF}),
+  ek AS (SELECT e.doc_id, e.s FROM e JOIN keep USING (s)),
+  cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+           FROM ek a JOIN ek b ON a.s = b.s AND a.doc_id < b.doc_id),
+  sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+  inter AS (SELECT c.i, c.j, count(*) AS x
+            FROM cand c JOIN e ea ON ea.doc_id = c.i
+                        JOIN e eb ON eb.doc_id = c.j AND ea.s = eb.s
+            GROUP BY c.i, c.j)
+  SELECT i, j, x / (s1.n + s2.n - x) AS jaccard
+  FROM inter JOIN sz s1 ON i = s1.doc_id JOIN sz s2 ON j = s2.doc_id
+  WHERE x / (s1.n + s2.n - x) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("north_star", "dedup"),
+)
+def dedup_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The posting-join scale fix SCALE.md prescribes, as its own
+    operator: drop stop-shingles (document frequency > 64) before
+    candidate generation, then verify candidates against the FULL
+    shingle sets so reported Jaccard values stay exact. A shingle in f
+    docs costs f² candidate rows — the df cap bounds every posting
+    list, turning the worst-case quadratic term into df²·|vocab_hot|,
+    while recall is lost only for pairs whose ENTIRE overlap is
+    stop-shingles (boilerplate-only matches — the pairs a curation
+    pipeline wants to drop anyway). Shuffles: one posting join keyed by
+    shingle hash (now bounded), one candidate-verify join."""
+    sh = _doc_shingles(spark, sf_dir)
+    e = sh.select("doc_id", F.explode("sh").alias("s"))
+    keep = e.groupBy("s").agg(F.count(F.lit(1)).alias("__df")).filter(
+        F.col("__df") <= STOP_SHINGLE_DF
+    ).select("s")
+    ek = e.join(keep, "s")
+    a, b = ek.alias("a"), ek.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+    return exact_jaccard(cand, sh, "doc_id", "sh").filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )

@@ -667,3 +667,89 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("new_status").isNotNull().alias("updated"),
         )
     )
+
+
+# --- graph_pagerank --------------------------------------------------------
+
+_PR_D = 0.85  # damping
+_PR_ITERS = 3
+_PR_SUPP_OFFSET = 1_000_000
+
+
+def _pr_oracle() -> str:
+    ed = f"""
+    WITH ed AS (
+      SELECT DISTINCT l_partkey AS u, {_PR_SUPP_OFFSET} + l_suppkey AS v FROM lineitem
+      UNION
+      SELECT DISTINCT {_PR_SUPP_OFFSET} + l_suppkey AS u, l_partkey AS v FROM lineitem
+    ),
+    deg AS (SELECT u, count(*) AS od FROM ed GROUP BY u),
+    n AS (SELECT CAST(count(DISTINCT u) AS DOUBLE) AS nn FROM ed),
+    r0 AS (SELECT u AS node, 1.0 / nn AS r FROM deg, n)
+    """
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        ed += f""",
+    it{i} AS (
+      SELECT ed.v AS node,
+             CAST(0.15 AS DOUBLE) / nn
+               + {_PR_D} * CAST(SUM(CAST(p.r / deg.od AS DECIMAL(38,18)))
+                                AS DOUBLE) AS r
+      FROM ed JOIN {prev} p ON ed.u = p.node JOIN deg ON ed.u = deg.u, n
+      GROUP BY ed.v, nn)
+    """
+        prev = f"it{i}"
+    return ed + f"""
+    SELECT node, floor(r * 1e12 + 0.5) / 1e12 AS rank
+    FROM {prev}
+    """
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pr_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, three unrolled power iterations over the bipartite
+    part↔supplier graph (both edge directions, so no dangling nodes) —
+    the iterative-algorithm pattern beyond connected components, WITH a
+    full oracle: fixed iteration counts unroll into CTEs, so 'iterative'
+    does not have to mean 'rows-only check'. Determinism: per-node
+    contribution sums accumulate in DECIMAL(38,18) (order-insensitive),
+    every other op is the same IEEE double sequence in both engines, and
+    the output quantizes at 1e-12. Distributed shape per iteration: the
+    rank vector is node-sized (small) and BROADCASTS to the edge list;
+    one shuffle per iteration on the destination key for the partial-
+    aggregated contribution sum — at 100 TB edges dominate and never
+    move; only (dst, partial sum) rows cross the wire. Lineage: each
+    iteration's frame is localCheckpointed so the plan tree stays flat
+    (operators/graph.py discipline)."""
+    li = table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_partkey").alias("u"),
+        (F.lit(_PR_SUPP_OFFSET) + F.col("l_suppkey")).alias("v"),
+    )
+    rev = fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ed = fwd.unionByName(rev).distinct().localCheckpoint()
+    deg = ed.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
+    n = float(ed.select("u").distinct().count())
+    r = deg.select("u").withColumnRenamed("u", "node").withColumn(
+        "r", F.lit(1.0 / n)
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ed.join(F.broadcast(r), ed.u == F.col("node"))
+            .join(F.broadcast(deg), "u")
+            .select("v", (F.col("r") / F.col("od")).cast("decimal(38,18)").alias("c"))
+        )
+        r = (
+            contrib.groupBy(F.col("v").alias("node"))
+            .agg(
+                (
+                    F.lit(0.15) / n + _PR_D * F.sum("c").cast("double")
+                ).alias("r")
+            )
+            .localCheckpoint()
+        )
+    return r.select("node", quantize(F.col("r"), 12).alias("rank"))
