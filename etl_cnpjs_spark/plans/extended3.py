@@ -753,3 +753,58 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return r.select("node", quantize(F.col("r"), 12).alias("rank"))
+
+
+# --- scan_merge_schema -----------------------------------------------------
+
+_mergestage_cache: dict[tuple[str, str], str] = {}
+
+
+def _stage_evolved_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet drops of the same logical table written under an
+    EVOLVED schema: generation 1 carries (c_custkey, c_name), a later
+    generation adds the c_acctbal column. Staged via ordinary Spark
+    writes (executor-side), memoized per (applicationId, sf) — input
+    setup, not query work."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _mergestage_cache.get(key)
+    if cached is not None:
+        return cached
+    out = tempfile.mkdtemp(prefix="evolved_")
+    c = table(spark, sf_dir, "customer")
+    c.filter(F.col("c_nationkey") == 3).select("c_custkey", "c_name").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/gen=1")
+    c.filter(F.col("c_nationkey") == 7).select(
+        "c_custkey", "c_name", "c_acctbal"
+    ).write.mode("overwrite").parquet(f"{out}/gen=2")
+    _mergestage_cache[key] = out
+    return out
+
+
+@register(
+    "scan_merge_schema",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal, 1 AS gen
+    FROM customer WHERE c_nationkey = 3
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal, 2 AS gen
+    FROM customer WHERE c_nationkey = 7
+    """,
+    tags=("source", "schema_evolution"),
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: a table whose later file generations
+    added a column is read as ONE DataFrame with mergeSchema — old
+    files surface the new column as NULL, the partition column (gen)
+    identifies the drop. This is how a 100 TB table takes a schema
+    change without rewriting history: merge footers at planning time
+    (cost: one footer read per file — keep per-file schemas in the
+    catalog once file counts get large), never touch old data files.
+    The oracle re-derives both generations from the base table."""
+    path = _stage_evolved_parquet(spark, sf_dir)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("c_custkey", "c_name", "c_acctbal", F.col("gen").cast("int").alias("gen"))
+    )
