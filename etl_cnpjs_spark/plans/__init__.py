@@ -118,6 +118,16 @@ _SECOND = [
     "window_range_frame",
     "scan_orc",
     "fn_xml",
+    # added later in round 2 (never driver-verified)
+    "corpus_training_set",
+    "stream_dedup",
+    "events_anomaly",
+    "cdc_apply",
+    "dedup_stopshingle",
+    "graph_pagerank",
+    "window_percentiles",
+    "embedding_normalize",
+    "scan_merge_schema",
 ]
 
 

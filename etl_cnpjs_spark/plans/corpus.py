@@ -407,3 +407,131 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("s").alias("n_shared_shingles"),
         )
     )
+
+
+# --- full training-set materialization -------------------------------------
+
+_TRAIN_ORACLE = (
+    _SQL_SHINGLES
+    + rf"""
+  , e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+  bench AS (SELECT doc_id AS bench_id, s FROM e WHERE doc_id % {_BENCH_MOD} = 0),
+  contaminated AS (
+    SELECT DISTINCT e.doc_id FROM e JOIN bench ON e.s = bench.s
+    WHERE e.doc_id % {_BENCH_MOD} <> 0),
+  q AS (
+    SELECT doc_id, lang,
+           len({_SQL_TOKS}) AS n_tokens,
+           (len({_SQL_TOKS}) >= {_MIN_TOKENS}
+            AND len(list_distinct({_SQL_TOKS}))
+                  / greatest(len({_SQL_TOKS}), 1) >= {_MIN_DISTINCT_RATIO}
+            AND {_sql_hits(STOPWORDS)}
+                  / greatest(len({_SQL_TOKS}), 1) >= {_MIN_STOP_RATIO}) AS keep_q,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents WHERE doc_id % {_BENCH_MOD} <> 0),
+  ex AS (SELECT doc_id, lang, n_tokens,
+                (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS is_exact
+         FROM q WHERE keep_q),
+  surv AS (
+    SELECT ex.doc_id, ex.lang, ex.n_tokens
+    FROM ex LEFT JOIN contaminated c ON ex.doc_id = c.doc_id
+    WHERE ex.is_exact AND c.doc_id IS NULL
+      AND (ex.doc_id * {_MIX_KNUTH}) % {_MIX_MOD} < {_MIX_CASE_SQL}),
+  packed AS (
+    SELECT lang, n_tokens, doc_id,
+           COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+    FROM surv)
+  SELECT lang, CAST(off // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+  FROM packed GROUP BY lang, seq_id
+"""
+)
+
+
+@register(
+    "corpus_training_set",
+    oracle=_TRAIN_ORACLE,
+    tags=("north_star", "text", "dedup", "pipeline", "sampling"),
+)
+def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-set materialization as ONE oracle-checked
+    plan: quality gates → exact dedup (canonical = smallest doc_id per
+    fingerprint) → benchmark exclusion + n-gram decontamination →
+    per-language mixture sampling → 512-token sequence packing. This is
+    the composite a pretraining data job actually ships; every stage
+    reuses the verified standalone operator's exact semantics
+    (text_filter_pipeline, dedup_exact, text_decontaminate,
+    sample_weighted_mix, doc_pack_sequences).
+
+    Distributed shape, end to end: one corpus scan builds the flag
+    frame (barrier-materialized — three consumers); the benchmark
+    n-gram set broadcasts for the contamination anti-join; the mixture
+    filter is scan-side arithmetic; packing is the one window+groupBy
+    exchange on lang. Nothing shuffles the corpus except the final
+    packing window — at 100 TB the stages before it only MOVE
+    per-doc flags and the small broadcast sides."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % _BENCH_MOD != 0)
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    safe_n = F.greatest(n, F.lit(1))
+    keep_q = (
+        (n >= _MIN_TOKENS)
+        & (F.size(F.array_distinct(toks)) / safe_n >= _MIN_DISTINCT_RATIO)
+        & (token_overlap_count(toks, STOPWORDS) / safe_n >= _MIN_STOP_RATIO)
+    )
+    base = d.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        keep_q.alias("keep_q"),
+        F.md5(normalized_text(F.col("text"))).alias("fp"),
+    ).localCheckpoint()
+
+    ex = (
+        base.filter("keep_q")
+        .withColumn(
+            "is_exact",
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp")),
+        )
+        .filter("is_exact")
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+    sh = _doc_shingles(spark, sf_dir)
+    e = sh.select("doc_id", F.explode("sh").alias("s"))
+    bench = e.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), F.col("s").alias("bs")
+    )
+    contaminated = (
+        e.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bench), F.col("s") == F.col("bs"))
+        .select("doc_id")
+        .distinct()
+    )
+
+    thresh = F.lit(0)
+    for lang, t in _MIX_THRESH.items():
+        thresh = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thresh)
+    surv = ex.join(contaminated, "doc_id", "left_anti").filter(
+        (F.col("doc_id") * _MIX_KNUTH) % _MIX_MOD < thresh
+    )
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = surv.withColumn("off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        packed.groupBy("lang", F.expr(f"off div {_PACK_BUDGET}").alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
