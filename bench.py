@@ -50,6 +50,9 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "dedup_cluster",
     "corpus_curate",
+    "corpus_training_set",
+    "tpch_q1",
+    "graph_pagerank",
     "sim_topk",
     "sim_topk_ivf",
     "sim_knn_join",
