@@ -296,11 +296,8 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Physically a scan-side filter — no shuffle, no state, prunes to the
     three needed columns."""
     d = table(spark, sf_dir, "documents")
-    thresh = F.lit(0)
-    for lang, t in _MIX_THRESH.items():
-        thresh = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thresh)
     return d.select("doc_id", "lang", "source").filter(
-        (F.col("doc_id") * _MIX_KNUTH) % _MIX_MOD < thresh
+        (F.col("doc_id") * _MIX_KNUTH) % _MIX_MOD < _mix_threshold_col()
     )
 
 
@@ -344,21 +341,8 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     at each boundary) needs applyInPandasWithState and buys <2% fewer
     padding tokens at these doc lengths."""
     d = table(spark, sf_dir, "documents")
-    t = d.select("doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tokens"))
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    o = t.withColumn("off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-    return (
-        o.groupBy("lang", F.expr(f"off div {_PACK_BUDGET}").alias("seq_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("seq_tokens"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
-        )
+    return _pack_report(
+        d.select("doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tokens"))
     )
 
 
@@ -393,12 +377,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rare) reach the per-doc aggregate. Shares the memoized shingle
     frame with the dedup family — one tokenize+shingle pass per session
     feeds both screens."""
-    sh = _doc_shingles(spark, sf_dir)
-    e = sh.select("doc_id", F.explode("sh").alias("s"))
-    bench = e.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
-        F.col("doc_id").alias("bench_id"), F.col("s").alias("bs")
-    )
-    probe = e.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    probe, bench = _bench_ngram_frames(spark, sf_dir)
     return (
         probe.join(F.broadcast(bench), probe.s == bench.bs)
         .groupBy("doc_id")
@@ -406,6 +385,65 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bench_id").alias("n_bench_docs"),
             F.countDistinct("s").alias("n_shared_shingles"),
         )
+    )
+
+
+# --- shared curation helpers ------------------------------------------------
+
+
+def _mix_threshold_col():
+    """Per-language keep-threshold column on the hash ring (shared by
+    sample_weighted_mix and corpus_training_set so the two can never
+    de-sync on rates)."""
+    thresh = F.lit(0)
+    for lang, t in _MIX_THRESH.items():
+        thresh = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thresh)
+    return thresh
+
+
+def _bench_ngram_frames(spark: SparkSession, sf_dir: str):
+    """(probe, bench) exploded-shingle frames for decontamination:
+    probe = non-benchmark postings, bench = benchmark postings renamed
+    (bench_id, bs). One definition feeds text_decontaminate and
+    corpus_training_set."""
+    sh = _doc_shingles(spark, sf_dir)
+    e = sh.select("doc_id", F.explode("sh").alias("s"))
+    bench = e.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), F.col("s").alias("bs")
+    )
+    probe = e.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return probe, bench
+
+
+def _contaminated_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct non-benchmark doc_ids sharing ≥1 shingle with the
+    benchmark set (the composite's drop list)."""
+    probe, bench = _bench_ngram_frames(spark, sf_dir)
+    return (
+        probe.join(F.broadcast(bench), probe.s == bench.bs)
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def _pack_report(docs: DataFrame) -> DataFrame:
+    """Concat-then-chunk packing report over (doc_id, lang, n_tokens):
+    exclusive running sum per language, sequence = offset div budget,
+    grouped stats. Shared by doc_pack_sequences (whole corpus) and
+    corpus_training_set (survivors)."""
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = docs.withColumn("off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return packed.groupBy(
+        "lang", F.expr(f"off div {_PACK_BUDGET}").alias("seq_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )
 
 
@@ -463,12 +501,15 @@ def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint) → benchmark exclusion + n-gram decontamination →
     per-language mixture sampling → 512-token sequence packing. This is
     the composite a pretraining data job actually ships; every stage
-    reuses the verified standalone operator's exact semantics
-    (text_filter_pipeline, dedup_exact, text_decontaminate,
-    sample_weighted_mix, doc_pack_sequences).
+    reuses the verified standalone operator's code — the contamination
+    drop list, mixture threshold, and packing report are the SAME
+    helper functions the standalone keys call
+    (_contaminated_ids / _mix_threshold_col / _pack_report), so the
+    composite cannot drift from what the driver verified.
 
     Distributed shape, end to end: one corpus scan builds the flag
-    frame (barrier-materialized — three consumers); the benchmark
+    frame (single consumer — no barrier needed; the shingle side comes
+    from the memoized _doc_shingles frame instead); the benchmark
     n-gram set broadcasts for the contamination anti-join; the mixture
     filter is scan-side arithmetic; packing is the one window+groupBy
     exchange on lang. Nothing shuffles the corpus except the final
@@ -489,7 +530,7 @@ def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_tokens"),
         keep_q.alias("keep_q"),
         F.md5(normalized_text(F.col("text"))).alias("fp"),
-    ).localCheckpoint()
+    )
 
     ex = (
         base.filter("keep_q")
@@ -501,37 +542,8 @@ def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tokens")
     )
 
-    sh = _doc_shingles(spark, sf_dir)
-    e = sh.select("doc_id", F.explode("sh").alias("s"))
-    bench = e.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
-        F.col("doc_id").alias("bench_id"), F.col("s").alias("bs")
-    )
-    contaminated = (
-        e.filter(F.col("doc_id") % _BENCH_MOD != 0)
-        .join(F.broadcast(bench), F.col("s") == F.col("bs"))
-        .select("doc_id")
-        .distinct()
-    )
+    surv = ex.join(
+        _contaminated_ids(spark, sf_dir), "doc_id", "left_anti"
+    ).filter((F.col("doc_id") * _MIX_KNUTH) % _MIX_MOD < _mix_threshold_col())
 
-    thresh = F.lit(0)
-    for lang, t in _MIX_THRESH.items():
-        thresh = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thresh)
-    surv = ex.join(contaminated, "doc_id", "left_anti").filter(
-        (F.col("doc_id") * _MIX_KNUTH) % _MIX_MOD < thresh
-    )
-
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    packed = surv.withColumn("off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-    return (
-        packed.groupBy("lang", F.expr(f"off div {_PACK_BUDGET}").alias("seq_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("seq_tokens"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
-        )
-    )
+    return _pack_report(surv)

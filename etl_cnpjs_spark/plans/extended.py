@@ -11,7 +11,8 @@ per-source caps, unpivot for metric normalization.
 Determinism notes:
 - quantiles: Spark `percentile` (exact, linear interpolation) vs DuckDB
   `quantile_cont`; interpolation arithmetic may differ in op order, so
-  both sides quantize to 6 dp — same convention as fn_math.
+  both sides quantize interpolated outputs to 6 dp (residual: the two
+  engines' interpolation arithmetic differs below the grid).
 - sample_hash: multiplicative hashing (Knuth 2654435761) in exact bigint
   arithmetic — identical in both engines. Keys here are < 2^33 so the
   product fits bigint; at real scale swap in xxhash64/murmur3 (engine
@@ -26,7 +27,7 @@ from pyspark.sql import functions as F
 
 from etl_cnpjs_spark.catalog import table
 from etl_cnpjs_spark.functions.text import tokens
-from etl_cnpjs_spark.plans.registry import quantize, register
+from etl_cnpjs_spark.plans.registry import quantize, quantize_sql, register
 
 _QS = (0.25, 0.5, 0.75, 0.95)
 
@@ -473,29 +474,65 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_stats_advanced",
-    oracle="""
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)       AS sx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,6)))
+                  AS DOUBLE)                                              AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)  AS sy,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                           AS DECIMAL(27,6))) AS DOUBLE)                  AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(27,6)))
+                  AS DOUBLE)                                              AS sxy
+      FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
-           round(stddev_samp(l_quantity), 6)                    AS qty_sd,
-           round(var_samp(l_quantity), 6)                       AS qty_var,
-           round(corr(l_quantity, l_extendedprice), 6)          AS qty_price_corr,
-           round(covar_samp(l_quantity, l_extendedprice), 6)    AS qty_price_cov
-    FROM lineitem
-    GROUP BY l_returnflag
+           {quantize_sql('sqrt((sxx - sx * sx / n) / (n - 1))')} AS qty_sd,
+           {quantize_sql('(sxx - sx * sx / n) / (n - 1)')}       AS qty_var,
+           {quantize_sql('(sxy - sx * sy / n) '
+                         '/ sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))')}
+                                                                 AS qty_price_corr,
+           {quantize_sql('(sxy - sx * sy / n) / (n - 1)')}       AS qty_price_cov
+    FROM m
     """,
     tags=("agg", "stats"),
 )
 def agg_stats_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment statistics per group: stddev/variance/correlation/
     covariance — quality-signal machinery (outlier thresholds, feature
-    correlation screens). Both engines use single-pass co-moment
-    updates; results are rounded to 6 dp because update order differs
-    across partitions (same convention as fn_math's libm rounding)."""
+    correlation screens). NOT the native stddev/corr aggregates: their
+    Welford/co-moment update order is partition-dependent and
+    engine-specific, so their outputs differ below the rounding grid
+    and flip at grid boundaries. Instead the five raw moments
+    (n, Σx, Σx², Σy, Σy², Σxy) accumulate as exact decimals — one
+    map-side-combined pass, order-insensitive — and every derived
+    statistic is the same IEEE double sequence in both engines
+    (the events_anomaly discipline, extended to the bivariate case)."""
     l = table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_sd"),
-        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("qty_price_cov"),
+    dec = "decimal(27,6)"
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((y * y).cast(dec)).cast("double").alias("syy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    vx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / n)
+        * (F.col("syy") - F.col("sy") * F.col("sy") / n)
+    )
+    return m.select(
+        "l_returnflag",
+        quantize(F.sqrt(vx)).alias("qty_sd"),
+        quantize(vx).alias("qty_var"),
+        quantize(corr).alias("qty_price_corr"),
+        quantize(cov).alias("qty_price_cov"),
     )
 
 

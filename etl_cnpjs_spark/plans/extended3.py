@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_cnpjs_spark.catalog import table
-from etl_cnpjs_spark.plans.registry import quantize, register
+from etl_cnpjs_spark.plans.registry import quantize, quantize_sql, register
 
 # --- text_repetition -------------------------------------------------------
 
@@ -363,13 +363,13 @@ _TFIDF_TOP_K = 3
     ),
     dl AS (SELECT doc_id, sum(cnt) AS dlen FROM tf GROUP BY doc_id),
     idf AS (
-      SELECT tok, floor(ln(n.n_docs / count(*)) * 1e6 + 0.5) / 1e6 AS idf
+      SELECT tok, {quantize_sql('ln(n.n_docs / count(*))')} AS idf
       FROM tf, n GROUP BY tok, n.n_docs
     ),
     scored AS (
       SELECT tf.doc_id, tf.tok,
-             floor(CAST(tf.cnt AS DOUBLE) / dl.dlen * idf.idf * 1e6 + 0.5)
-               / 1e6 AS score
+             {quantize_sql('CAST(tf.cnt AS DOUBLE) / dl.dlen * idf.idf')}
+               AS score
       FROM tf JOIN dl ON tf.doc_id = dl.doc_id JOIN idf ON tf.tok = idf.tok
     ),
     ranked AS (
@@ -539,18 +539,20 @@ def window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
     n AS (SELECT vec_id, v,
-                 sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
-                   AS l2_norm
+                 CASE WHEN len(v) > 0 THEN
+                   sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+                 END AS l2_norm
           FROM d)
     SELECT vec_id,
            floor(l2_norm * 1e6 + 0.5) / 1e6                         AS l2_norm,
            CAST(len(v) AS INT)                                      AS dim,
            floor(CASE WHEN l2_norm > 0 THEN v[1] / l2_norm END
                  * 1e6 + 0.5) / 1e6                                     AS unit0,
-           floor(list_aggregate(v, 'sum') / len(v) * 1e6 + 0.5) / 1e6
-                                                                    AS mean_c,
-           floor(list_aggregate(list_transform(v, x -> abs(x)), 'max')
-                 * 1e6 + 0.5) / 1e6                                     AS max_abs
+           floor(CASE WHEN len(v) > 0 THEN list_aggregate(v, 'sum') / len(v) END
+                 * 1e6 + 0.5) / 1e6                                 AS mean_c,
+           floor(CASE WHEN len(v) > 0 THEN
+                   list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                 END * 1e6 + 0.5) / 1e6                             AS max_abs
     FROM n
     """,
     tags=("similarity", "embedding", "fn"),
@@ -559,7 +561,12 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding hygiene pass: L2 norm, dimension check, first unit
     component, mean component, max |x| — the validation profile run
     before any similarity work (catching zero vectors, wrong dims,
-    unnormalized batches). All higher-order array expressions folding
+    unnormalized batches). Degenerate inputs stay visible AND oracle-
+    equivalent: a zero-length embedding reports dim=0 with NULL
+    norm/moments on both sides (Spark's fold would return the initial
+    0.0 where DuckDB's list_aggregate returns NULL — both sides guard
+    on emptiness explicitly instead). All higher-order array
+    expressions folding
     left-to-right in both engines over double-promoted floats, with a
     round(…,6) boundary as the float-path convention
     (plans/registry.py). No UDF, no shuffle — the scan is the cost, and
@@ -569,9 +576,17 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
+    nonempty = F.size("v") > 0
     n = d.withColumn(
         "norm_raw",
-        F.sqrt(F.expr("aggregate(transform(v, x -> x * x), cast(0 as double), (a, x) -> a + x)")),
+        F.when(
+            nonempty,
+            F.sqrt(
+                F.expr(
+                    "aggregate(transform(v, x -> x * x), cast(0 as double), (a, x) -> a + x)"
+                )
+            ),
+        ),
     )
     return n.select(
         "vec_id",
@@ -581,10 +596,19 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("norm_raw") > 0, F.expr("v[0]") / F.col("norm_raw"))
         ).alias("unit0"),
         quantize(
-            F.expr("aggregate(v, cast(0 as double), (a, x) -> a + x)") / F.size("v")
+            F.when(
+                nonempty,
+                F.expr("aggregate(v, cast(0 as double), (a, x) -> a + x)")
+                / F.size("v"),
+            )
         ).alias("mean_c"),
         quantize(
-            F.expr("aggregate(transform(v, x -> abs(x)), cast(0 as double), (a, x) -> greatest(a, x))")
+            F.when(
+                nonempty,
+                F.expr(
+                    "aggregate(transform(v, x -> abs(x)), cast(0 as double), (a, x) -> greatest(a, x))"
+                ),
+            )
         ).alias("max_abs"),
     )
 
@@ -693,14 +717,14 @@ def _pr_oracle() -> str:
     it{i} AS (
       SELECT ed.v AS node,
              CAST(0.15 AS DOUBLE) / nn
-               + {_PR_D} * CAST(SUM(CAST(p.r / deg.od AS DECIMAL(38,18)))
-                                AS DOUBLE) AS r
+               + {_PR_D} * (CAST(SUM(CAST(floor(p.r / deg.od * 1e15 + 0.5)
+                                         AS BIGINT)) AS DOUBLE) / 1e15) AS r
       FROM ed JOIN {prev} p ON ed.u = p.node JOIN deg ON ed.u = deg.u, n
       GROUP BY ed.v, nn)
     """
         prev = f"it{i}"
     return ed + f"""
-    SELECT node, floor(r * 1e12 + 0.5) / 1e12 AS rank
+    SELECT node, {quantize_sql('r', 12)} AS rank
     FROM {prev}
     """
 
@@ -715,10 +739,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     part↔supplier graph (both edge directions, so no dangling nodes) —
     the iterative-algorithm pattern beyond connected components, WITH a
     full oracle: fixed iteration counts unroll into CTEs, so 'iterative'
-    does not have to mean 'rows-only check'. Determinism: per-node
-    contribution sums accumulate in DECIMAL(38,18) (order-insensitive),
-    every other op is the same IEEE double sequence in both engines, and
-    the output quantizes at 1e-12. Distributed shape per iteration: the
+    does not have to mean 'rows-only check'. Determinism: each
+    contribution quantizes to an exact 1e-15-scaled BIGINT via floor on
+    an identical double (a double→DECIMAL(38,18) cast is NOT
+    engine-portable — Spark goes through the 17-digit shortest string
+    repr, DuckDB rounds the true binary value, so they disagree on
+    nearly every term at scale 18); bigint sums are exact and
+    order-insensitive, every other op is the same IEEE double sequence
+    in both engines, and the output quantizes at 1e-12. Distributed shape per iteration: the
     rank vector is node-sized (small) and BROADCASTS to the edge list;
     one shuffle per iteration on the destination key for the partial-
     aggregated contribution sum — at 100 TB edges dominate and never
@@ -741,13 +769,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = (
             ed.join(F.broadcast(r), ed.u == F.col("node"))
             .join(F.broadcast(deg), "u")
-            .select("v", (F.col("r") / F.col("od")).cast("decimal(38,18)").alias("c"))
+            .select(
+                "v",
+                F.floor(F.col("r") / F.col("od") * 1e15 + 0.5)
+                .cast("bigint")
+                .alias("c"),
+            )
         )
         r = (
             contrib.groupBy(F.col("v").alias("node"))
             .agg(
                 (
-                    F.lit(0.15) / n + _PR_D * F.sum("c").cast("double")
+                    F.lit(0.15) / n
+                    + _PR_D * (F.sum("c").cast("double") / F.lit(1e15))
                 ).alias("r")
             )
             .localCheckpoint()
