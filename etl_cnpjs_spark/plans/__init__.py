@@ -128,6 +128,7 @@ _SECOND = [
     "window_percentiles",
     "embedding_normalize",
     "scan_merge_schema",
+    "sql_recursive_closure",
 ]
 
 

@@ -547,3 +547,72 @@ def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter((F.col("doc_id") * _MIX_KNUTH) % _MIX_MOD < _mix_threshold_col())
 
     return _pack_report(surv)
+
+
+# --- recursive contamination closure ---------------------------------------
+
+_CLOSURE_MAX_DEPTH = 4
+
+
+@register(
+    "sql_recursive_closure",
+    oracle=_SQL_SHINGLES
+    + f"""
+  , e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+  sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+  p0 AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+         FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+  p AS (SELECT i, j
+        FROM p0 JOIN sz s1 ON p0.i = s1.doc_id JOIN sz s2 ON p0.j = s2.doc_id
+        WHERE inter / (s1.n + s2.n - inter) >= {JACCARD_THRESHOLD}),
+  edges AS (SELECT i AS src, j AS dst FROM p UNION ALL SELECT j, i FROM p),
+  seeds AS (SELECT DISTINCT src AS doc_id FROM edges WHERE src % {_BENCH_MOD} = 0)
+  SELECT doc_id, CAST(MIN(depth) AS INT) AS depth FROM (
+    WITH RECURSIVE closure(doc_id, depth) AS (
+      SELECT doc_id, 0 FROM seeds
+      UNION ALL
+      SELECT e2.dst, c.depth + 1
+      FROM closure c JOIN edges e2 ON e2.src = c.doc_id
+      WHERE c.depth < {_CLOSURE_MAX_DEPTH}
+    )
+    SELECT * FROM closure
+  ) GROUP BY doc_id
+    """,
+    tags=("sql", "recursive", "graph", "dedup"),
+)
+def sql_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 recursive CTEs): transitive contamination
+    closure — a document that near-duplicates a near-duplicate of a
+    benchmark doc is itself suspect, so the drop list is the
+    REACHABLE SET over the near-dup graph, not one hop. Seeds are
+    benchmark members that appear in any pair; edges are the symmetric
+    jaccard-≥0.8 pairs; depth caps at 4 (near-dup clusters are
+    shallow — SCALE.md's CC diameter note), and MIN(depth) per doc
+    collapses the path multiplicity UNION ALL leaves behind. Both
+    engines run the textually identical recursive query over the same
+    edge list; each recursion level is one join of the frontier
+    against the edge view — the same per-round cost envelope as the
+    connected-components operator, declared instead of hand-rolled."""
+    pairs = _exact_pairs(spark, sf_dir).select("i", "j")
+    edges = pairs.unionByName(
+        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    ).select(F.col("i").alias("src"), F.col("j").alias("dst"))
+    edges.createOrReplaceTempView("__nd_edges")
+    return spark.sql(
+        f"""
+        WITH seeds AS (
+          SELECT DISTINCT src AS doc_id FROM __nd_edges
+          WHERE src % {_BENCH_MOD} = 0
+        )
+        SELECT doc_id, CAST(MIN(depth) AS INT) AS depth FROM (
+          WITH RECURSIVE closure(doc_id, depth) AS (
+            SELECT doc_id, 0 FROM seeds
+            UNION ALL
+            SELECT e.dst, c.depth + 1
+            FROM closure c JOIN __nd_edges e ON e.src = c.doc_id
+            WHERE c.depth < {_CLOSURE_MAX_DEPTH}
+          )
+          SELECT * FROM closure
+        ) GROUP BY doc_id
+        """
+    )
