@@ -508,13 +508,15 @@ def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite cannot drift from what the driver verified.
 
     Distributed shape, end to end: one corpus scan builds the flag
-    frame (single consumer — no barrier needed; the shingle side comes
-    from the memoized _doc_shingles frame instead); the benchmark
-    n-gram set broadcasts for the contamination anti-join; the mixture
-    filter is scan-side arithmetic; packing is the one window+groupBy
-    exchange on lang. Nothing shuffles the corpus except the final
-    packing window — at 100 TB the stages before it only MOVE
-    per-doc flags and the small broadcast sides."""
+    frame (doc_id, lang, n_tokens, keep_q, fp — ~50 bytes/doc; the
+    TEXT never moves again after this scan). What shuffles is only
+    that flag frame: once on fp for the canonical-min window, once on
+    doc_id for the contamination anti-join (sort-merge — the drop list
+    is corpus-bounded, so no broadcast assumption; AQE promotes it
+    when it is small), once on lang for the packing window whose
+    groupBy reuses the same partitioning. The benchmark n-gram set
+    broadcasts inside _contaminated_ids, and the mixture filter is
+    scan-side arithmetic — zero extra exchanges."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % _BENCH_MOD != 0)
     toks = tokens(F.col("text"))
     n = F.size(toks)
