@@ -129,6 +129,7 @@ _SECOND = [
     "embedding_normalize",
     "scan_merge_schema",
     "sql_recursive_closure",
+    "fn_try_arith",
 ]
 
 

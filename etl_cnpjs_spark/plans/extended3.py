@@ -842,3 +842,55 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
         .select("c_custkey", "c_name", "c_acctbal", F.col("gen").cast("int").alias("gen"))
     )
+
+
+# --- fn_try_arith ----------------------------------------------------------
+
+
+@register(
+    "fn_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE l_extendedprice / l_discount END          AS price_per_disc,
+           CASE WHEN l_quantity = 0 THEN NULL
+                ELSE CAST(floor(l_extendedprice) AS BIGINT)
+                     % CAST(floor(l_quantity) AS BIGINT)
+           END                                                 AS mod_qty,
+           TRY_CAST(l_returnflag AS INTEGER)                   AS flag_as_int,
+           TRY_CAST(CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR)
+                    AS INTEGER)                                AS qty_as_int
+    FROM lineitem
+    """,
+    tags=("fn", "ansi", "errors"),
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: try_divide / try_mod / try_cast return NULL
+    instead of failing the 100 TB job on the one bad row — the error
+    posture a production pipeline wants (poison rows surface as NULLs
+    to quarantine, not as a stage retry storm). The oracle re-derives
+    each NULL condition explicitly (DuckDB's operators raise; its
+    TRY_CAST mirrors Spark's), so the compare proves WHICH rows degrade
+    to NULL, not merely that the query survives. Double→integer
+    narrowing goes through floor() on both sides — a bare
+    CAST(double AS BIGINT) truncates in Spark but rounds half-even in
+    DuckDB, the same engine-portability trap as round() (registry
+    docstring). Per-row codegen expressions — no shuffle, no UDF."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "price_per_disc"
+        ),
+        F.try_mod(
+            F.floor("l_extendedprice").cast("bigint"),
+            F.floor("l_quantity").cast("bigint"),
+        ).alias("mod_qty"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.floor("l_quantity")
+        .cast("bigint")
+        .cast("string")
+        .try_cast("int")
+        .alias("qty_as_int"),
+    )

@@ -331,3 +331,16 @@ def test_catalog_normalizes_every_timestamp(spark, sf_dir):
             continue
         bad = [c for c, t in table(spark, sf_dir, name).dtypes if "ntz" in t or t == "bigint" and c == "ts"]
         assert not bad, f"{name}: unnormalized timestamp columns {bad}"
+
+
+def test_training_set_shuffles_flags_only(spark, sf_dir):
+    """The composite's exchange inventory is exactly the documented
+    three flag-frame shuffles (fp window, doc_id anti-join both sides
+    count as one logical shuffle but two exchanges, lang packing) plus
+    the broadcast benchmark side — and the shuffled columns are flags,
+    never the text column."""
+    plan = explain_str(QUERIES["corpus_training_set"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 4
+    assert "BroadcastHashJoin" in plan, "benchmark n-grams must broadcast"
+    lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert not any("text" in l for l in lines), "document text must never shuffle"
