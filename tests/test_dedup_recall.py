@@ -86,3 +86,21 @@ def test_embedding_lsh_planted_production_regime(spark):
     assert n_cand < 0.2 * n_all, (
         f"banding should prune hard at tau=0.9: {n_cand}/{n_all} candidates"
     )
+
+
+def test_stopshingle_recall_at_tested_sfs(spark, sf_dir):
+    """At the tested corpora the df-64 stop-shingle cap loses NO pairs:
+    every jaccard-0.8 pair shares at least one sub-threshold shingle,
+    so dedup_stopshingle ≡ dedup_ngram_jaccard here. (The cap CAN drop
+    boilerplate-only pairs on other corpora — that is its point; this
+    test pins that the tested data is not silently in that regime, so
+    the shared oracle stays an equality, not an upper bound.)"""
+    from etl_cnpjs_spark.plans import QUERIES
+
+    full = {
+        (r.i, r.j) for r in QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    capped = {
+        (r.i, r.j) for r in QUERIES["dedup_stopshingle"].fn(spark, sf_dir).collect()
+    }
+    assert capped == full

@@ -281,3 +281,58 @@ def test_cdc_latest_wins_matches_sequential(spark, feed):
         merged = b
     got = {r.key: r.payload for r in merged.collect()}
     assert got == _py_cdc_apply(base, feed)
+
+
+# --- sequence packing -------------------------------------------------------
+
+
+def _py_pack(docs: list[tuple[int, str, int]], budget: int = 512):
+    """Sequential reference for concat-then-chunk packing: per lang in
+    doc_id order, a doc's sequence is floor(exclusive_prefix / budget)."""
+    out: dict[tuple[str, int], list[tuple[int, int]]] = {}
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for doc_id, lang, n in sorted(docs):
+        by_lang.setdefault(lang, []).append((doc_id, n))
+    for lang, rows in by_lang.items():
+        off = 0
+        for doc_id, n in rows:
+            seq = off // budget
+            out.setdefault((lang, seq), []).append((doc_id, n))
+            off += n
+    return {
+        k: (
+            len(v),
+            sum(n for _, n in v),
+            min(d for d, _ in v),
+            max(d for d, _ in v),
+        )
+        for k, v in out.items()
+    }
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.sampled_from(["en", "zh"]),
+            st.integers(min_value=1, max_value=700),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_pack_report_matches_sequential(spark, docs):
+    from etl_cnpjs_spark.plans.corpus import _PACK_BUDGET, _pack_report
+
+    df = spark.createDataFrame(docs, "doc_id long, lang string, n_tokens long")
+    got = {
+        (r.lang, r.seq_id): (r.n_docs, r.seq_tokens, r.first_doc, r.last_doc)
+        for r in _pack_report(df).collect()
+    }
+    assert got == _py_pack(docs, _PACK_BUDGET)
