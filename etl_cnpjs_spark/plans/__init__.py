@@ -130,6 +130,7 @@ _SECOND = [
     "scan_merge_schema",
     "sql_recursive_closure",
     "fn_try_arith",
+    "agg_approx_topk",
 ]
 
 

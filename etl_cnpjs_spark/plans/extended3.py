@@ -894,3 +894,36 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .try_cast("int")
         .alias("qty_as_int"),
     )
+
+
+# --- agg_approx_topk -------------------------------------------------------
+
+
+@register(
+    "agg_approx_topk",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "sketch", "topk"),
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Spark 4's approx_top_k sketch, exploded back to
+    (item, count) rows at the plan boundary (array-of-struct output
+    would break the driver canonicalizer). Sized so the check is
+    EXACT — k=16 and maxItemsTracked=1024 both exceed the event_type
+    cardinality, so the sketch degenerates to true counts and the
+    plain GROUP BY oracle is an equality, not a bound. At real
+    cardinality the same plan keeps a fixed-size sketch per partition
+    and merges — the mergeable-summary scale pattern of agg_hll_sketch
+    applied to frequency. (At production k << distinct the check
+    becomes error-bounded, like the other sketches.)"""
+    ev = table(spark, sf_dir, "events")
+    sk = ev.agg(F.expr("approx_top_k(event_type, 16, 1024)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").alias("cnt"),
+        )
+    )
