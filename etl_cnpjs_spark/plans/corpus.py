@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from etl_cnpjs_spark.catalog import table
 from etl_cnpjs_spark.functions.text import normalized_text, token_overlap_count, tokens
 from etl_cnpjs_spark.plans.dedup import (
+    _SQL_PAIRS,
     _SQL_SHINGLES,
     JACCARD_THRESHOLD,
     _doc_shingles,
@@ -49,17 +50,9 @@ from etl_cnpjs_spark.plans.text import (
 )
 
 _ORACLE = (
-    _SQL_SHINGLES
+    _SQL_PAIRS
     + rf"""
-  , e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
-  sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
-  p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
-        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-  pairs AS (
-    SELECT i, j
-    FROM p JOIN sz s1 ON p.i = s1.doc_id JOIN sz s2 ON p.j = s2.doc_id
-    WHERE inter / (s1.n + s2.n - inter) >= {JACCARD_THRESHOLD}),
-  q AS (
+  , q AS (
     SELECT doc_id, lang, source,
            len({_SQL_TOKS}) AS n_tokens,
            (len({_SQL_TOKS}) >= {_MIN_TOKENS}
@@ -558,16 +551,10 @@ _CLOSURE_MAX_DEPTH = 4
 
 @register(
     "sql_recursive_closure",
-    oracle=_SQL_SHINGLES
+    oracle=_SQL_PAIRS
     + f"""
-  , e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
-  sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
-  p0 AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
-         FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-  p AS (SELECT i, j
-        FROM p0 JOIN sz s1 ON p0.i = s1.doc_id JOIN sz s2 ON p0.j = s2.doc_id
-        WHERE inter / (s1.n + s2.n - inter) >= {JACCARD_THRESHOLD}),
-  edges AS (SELECT i AS src, j AS dst FROM p UNION ALL SELECT j, i FROM p),
+  , edges AS (SELECT i AS src, j AS dst FROM pairs
+              UNION ALL SELECT j, i FROM pairs),
   seeds AS (SELECT DISTINCT src AS doc_id FROM edges WHERE src % {_BENCH_MOD} = 0)
   SELECT doc_id, CAST(MIN(depth) AS INT) AS depth FROM (
     WITH RECURSIVE closure(doc_id, depth) AS (

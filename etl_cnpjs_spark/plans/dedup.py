@@ -59,6 +59,23 @@ _SQL_SHINGLES = r"""
   )
 """
 
+# Shared (i, j) jaccard-pair CTE chain: shingles → postings → posting
+# self-join → threshold filter, ending in a CTE named `pairs`. Reused by
+# corpus._ORACLE and sql_recursive_closure so the pairing semantics have
+# ONE textual definition across oracles.
+_SQL_PAIRS = (
+    _SQL_SHINGLES
+    + f"""
+  , e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+  sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+  p0 AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+         FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+  pairs AS (SELECT i, j
+            FROM p0 JOIN sz s1 ON p0.i = s1.doc_id JOIN sz s2 ON p0.j = s2.doc_id
+            WHERE inter / (s1.n + s2.n - inter) >= {JACCARD_THRESHOLD})
+"""
+)
+
 _SQL_EXACT_JACCARD = (
     _SQL_SHINGLES
     + f"""
@@ -112,9 +129,10 @@ _pairs_cache: dict[tuple[str, str], DataFrame] = {}
 
 def _exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized exact-Jaccard pairs (same discipline and applicationId
-    keying as _doc_shingles): four consumers (ngram plan, cluster/
-    canonical edges, corpus_curate's near-dup drop) otherwise re-run the
-    posting self-join each."""
+    keying as _doc_shingles): five consumers (ngram plan, cluster/
+    canonical edges, corpus_curate's near-dup drop,
+    sql_recursive_closure's edge list) otherwise re-run the posting
+    self-join each."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _pairs_cache.get(key)
     if cached is None:

@@ -853,7 +853,7 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            CASE WHEN l_discount = 0 THEN NULL
                 ELSE l_extendedprice / l_discount END          AS price_per_disc,
-           CASE WHEN l_quantity = 0 THEN NULL
+           CASE WHEN floor(l_quantity) = 0 THEN NULL
                 ELSE CAST(floor(l_extendedprice) AS BIGINT)
                      % CAST(floor(l_quantity) AS BIGINT)
            END                                                 AS mod_qty,
@@ -911,15 +911,17 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via Spark 4's approx_top_k sketch, exploded back to
     (item, count) rows at the plan boundary (array-of-struct output
     would break the driver canonicalizer). Sized so the check is
-    EXACT — k=16 and maxItemsTracked=1024 both exceed the event_type
-    cardinality, so the sketch degenerates to true counts and the
+    EXACT — k=64 and maxItemsTracked=4096 both exceed the event_type
+    cardinality (pinned by tests/test_queries.py::
+    test_approx_topk_regime_is_exact), so the sketch degenerates to
+    true counts and the
     plain GROUP BY oracle is an equality, not a bound. At real
     cardinality the same plan keeps a fixed-size sketch per partition
     and merges — the mergeable-summary scale pattern of agg_hll_sketch
     applied to frequency. (At production k << distinct the check
     becomes error-bounded, like the other sketches.)"""
     ev = table(spark, sf_dir, "events")
-    sk = ev.agg(F.expr("approx_top_k(event_type, 16, 1024)").alias("tk"))
+    sk = ev.agg(F.expr("approx_top_k(event_type, 64, 4096)").alias("tk"))
     return (
         sk.select(F.explode("tk").alias("e"))
         .select(

@@ -342,5 +342,18 @@ def test_training_set_shuffles_flags_only(spark, sf_dir):
     plan = explain_str(QUERIES["corpus_training_set"].fn(spark, sf_dir), "simple")
     assert plan.count("Exchange hashpartitioning") == 4
     assert "BroadcastHashJoin" in plan, "benchmark n-grams must broadcast"
-    lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
-    assert not any("text" in l for l in lines), "document text must never shuffle"
+    # the shuffled PAYLOAD must be flags, not text: in formatted mode each
+    # Exchange node lists its Input columns — none may carry the text col
+    fmt = explain_str(QUERIES["corpus_training_set"].fn(spark, sf_dir))
+    import re
+
+    ex_ids = re.findall(r"\((\d+)\) Exchange", fmt)
+    assert ex_ids, "formatted plan must show Exchange nodes"
+    for node_id in ex_ids:
+        m = re.search(
+            rf"\({node_id}\) Exchange\n(?:.*\n)*?Input \[\d+\]: \[([^\]]*)\]", fmt
+        )
+        if m:
+            assert "text#" not in m.group(1), (
+                f"document text shuffled through Exchange ({node_id})"
+            )

@@ -95,3 +95,15 @@ def test_weighted_mix_hits_target_rates(spark):
             continue
         realized = kept.get(lang, 0) / totals[lang]
         assert abs(realized - rate) < 0.08, (lang, realized, rate)
+
+
+def test_approx_topk_regime_is_exact(spark):
+    """agg_approx_topk's GROUP BY oracle is an equality only while
+    event_type cardinality stays under the sketch's k=64 — pin the
+    regime so a testdata regeneration that blows past it fails loudly
+    here instead of as a driver-row mismatch."""
+    from etl_cnpjs_spark.catalog import table
+    from tests.conftest import SF_DIR
+
+    n = table(spark, SF_DIR, "events").select("event_type").distinct().count()
+    assert n <= 64, f"event_type cardinality {n} exceeds the sketch k"
