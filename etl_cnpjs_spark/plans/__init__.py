@@ -131,6 +131,7 @@ _SECOND = [
     "sql_recursive_closure",
     "fn_try_arith",
     "agg_approx_topk",
+    "events_resample",
 ]
 
 

@@ -929,3 +929,80 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").alias("cnt"),
         )
     )
+
+
+# --- events_resample -------------------------------------------------------
+
+
+@register(
+    "events_resample",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+                      date_trunc('hour', max(ts)) AS h1
+      FROM events GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+      FROM b),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sv
+      FROM events GROUP BY 1, 2)
+    SELECT g.user_id, g.hour_ts,
+           COALESCE(h.n, 0)  AS n_events,
+           h.sv              AS sum_value,
+           last_value(h.sv IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.hour_ts = h.hour_ts
+    """,
+    tags=("events", "timeseries", "resample"),
+)
+def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill: regularize each user's event
+    stream onto a dense hourly grid (sequence + explode — the grid is
+    derived, never collected), left-join the hourly aggregate, and
+    forward-fill gaps with the last observed value (last() IGNORE
+    NULLS over the per-user time order) — the hypertable
+    continuous-aggregate / downsample shape every metrics store ships.
+    Empty hours are visible as n_events=0 with a NULL raw sum and a
+    carried filled_value. Distributed shape: hourly partial-aggregates
+    map-side and shuffles (user, hour) partial sums; the grid explodes
+    from a per-user bounds aggregate (2 timestamps/user); the
+    gap-fill window is one shuffle on user_id. Hour sums accumulate in
+    decimal (order-insensitive), and forward-fill copies values, so
+    every filled cell is bit-identical in both engines."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = b.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour_ts"),
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("sv"),
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour_ts"], "left")
+        .select(
+            "user_id",
+            "hour_ts",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.col("sv").alias("sum_value"),
+            F.last("sv", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
