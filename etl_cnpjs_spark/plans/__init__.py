@@ -132,6 +132,7 @@ _SECOND = [
     "fn_try_arith",
     "agg_approx_topk",
     "events_resample",
+    "events_ohlc",
 ]
 
 

@@ -1006,3 +1006,60 @@ def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sv", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+# --- events_ohlc -----------------------------------------------------------
+
+
+@register(
+    "events_ohlc",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour_ts, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id)      AS rn_a,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM events)
+    SELECT user_id, hour_ts,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value)                             AS high,
+           MIN(value)                             AS low,
+           MAX(CASE WHEN rn_z = 1 THEN value END) AS close,
+           COUNT(*)                               AS n_events
+    FROM r GROUP BY user_id, hour_ts
+    """,
+    tags=("events", "timeseries", "agg"),
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (user, hour) the opening value (earliest
+    event), high, low, closing value (latest event), and count — the
+    canonical financial/metrics bar aggregation. Open/close are
+    first/last BY EVENT TIME with event_id breaking timestamp ties, so
+    the bars are a deterministic function of the data in both engines;
+    the formulation (row_number inside, conditional aggregate outside)
+    is textually mirrored rather than trusting min_by/arg_min tie
+    behavior across engines. One shuffle on (user, hour) for the
+    windows; the final groupBy reuses that partitioning — high/low/
+    count collapse map-side would need a second pass, so the bar grain
+    keeps everything in the one windowed exchange."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    h = F.date_trunc("hour", "ts")
+    wa = W.partitionBy("user_id", h).orderBy("ts", "event_id")
+    wz = W.partitionBy("user_id", h).orderBy(F.desc("ts"), F.desc("event_id"))
+    r = ev.select(
+        "user_id",
+        h.alias("hour_ts"),
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wz).alias("rn_z"),
+    )
+    return r.groupBy("user_id", "hour_ts").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_z") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
