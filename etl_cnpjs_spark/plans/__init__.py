@@ -133,6 +133,7 @@ _SECOND = [
     "agg_approx_topk",
     "events_resample",
     "events_ohlc",
+    "agg_skew_kurtosis",
 ]
 
 

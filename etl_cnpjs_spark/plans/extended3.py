@@ -1063,3 +1063,81 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_z") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --- agg_skew_kurtosis -----------------------------------------------------
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)  AS s1,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,6)))
+                  AS DOUBLE)                                         AS s2,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+                           AS DECIMAL(27,6))) AS DOUBLE)             AS s3,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                           AS DECIMAL(27,6))) AS DOUBLE)             AS s4
+      FROM lineitem GROUP BY l_returnflag),
+    c AS (
+      SELECT l_returnflag, n,
+             s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS v,
+             s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n)
+               AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM m)
+    SELECT l_returnflag,
+           {{q_mu}}   AS mean_qty,
+           {{q_skew}} AS skewness,
+           {{q_kurt}} AS kurtosis_excess
+    FROM c
+    """.format(
+        q_mu="floor((mu) * 1e6 + 0.5) / 1e6",
+        q_skew="floor((m3 / sqrt(v * v * v)) * 1e6 + 0.5) / 1e6",
+        q_kurt="floor((m4 / (v * v) - 3) * 1e6 + 0.5) / 1e6",
+    ),
+    tags=("agg", "stats"),
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third/fourth-moment statistics (skewness, excess kurtosis) per
+    group — the distribution-shape signals a data-quality monitor
+    tracks for drift. Same discipline as agg_stats_advanced, one order
+    higher: raw power sums Σx..Σx⁴ accumulate as exact decimals (one
+    map-side-combined pass), central moments and the normalized ratios
+    derive through a textually mirrored IEEE double sequence, and the
+    6 dp floor-quantize seals the boundary. Spark's native skewness()/
+    kurtosis() are single-pass central-update aggregates whose
+    partition order leaks below the grid — same reason stddev/corr were
+    rewritten."""
+    li = table(spark, sf_dir, "lineitem")
+    dec = "decimal(27,6)"
+    x = F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("s1"),
+        F.sum((x * x).cast(dec)).cast("double").alias("s2"),
+        F.sum((x * x * x).cast(dec)).cast("double").alias("s3"),
+        F.sum((x * x * x * x).cast(dec)).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    v = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    return m.select(
+        "l_returnflag",
+        quantize(mu).alias("mean_qty"),
+        quantize(m3 / F.sqrt(v * v * v)).alias("skewness"),
+        quantize(m4 / (v * v) - 3).alias("kurtosis_excess"),
+    )
