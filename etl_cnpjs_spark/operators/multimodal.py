@@ -72,3 +72,83 @@ def decode_features_map_in_pandas(df: DataFrame) -> DataFrame:
 # ship this module's functions by value inside serialized tasks — executors
 # don't have the package installed (see serde.py)
 pickle_by_value(__name__)
+
+
+# --- real WAV encode/decode (pure stdlib — no codec libraries) -------------
+
+WAV_SCHEMA = (
+    "doc_id long, channels int, sample_rate int, bits int, "
+    "n_samples long, duration_ms long"
+)
+
+
+def synth_wav(doc_id: int, n_samples: int) -> bytes:
+    """Build a VALID RIFF/WAVE file (PCM, silence payload) with
+    parameters derived from the doc key: channels = 1 + doc_id % 2,
+    sample_rate = 8000 * (1 + doc_id % 3), 16-bit. Pure struct.pack —
+    a real container format, no codec library."""
+    import struct
+
+    channels = 1 + doc_id % 2
+    rate = 8000 * (1 + doc_id % 3)
+    bits = 16
+    block = channels * bits // 8
+    data = b"\x00" * (n_samples * block)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav(blob: bytes) -> tuple[int, int, int, int]:
+    """REAL decode of the WAV container: walk the RIFF chunks, unpack
+    the fmt header, size the data chunk. Returns (channels, rate, bits,
+    n_samples). Raises on malformed input — poison blobs surface, not
+    silently zero."""
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, channels, rate, bits, block, data_len = 12, None, None, None, None, None
+    while pos + 8 <= len(blob):
+        cid, clen = blob[pos : pos + 4], struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+        if cid == b"fmt ":
+            _, channels, rate, _, block, bits = struct.unpack(
+                "<HHIIHH", blob[pos + 8 : pos + 24]
+            )
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen % 2)
+    if None in (channels, rate, bits, block, data_len):
+        raise ValueError("missing fmt/data chunk")
+    return channels, rate, bits, data_len // block
+
+
+def wav_roundtrip_map_in_pandas(df: DataFrame) -> DataFrame:
+    """(doc_id, n_samples) → synthesize a real WAV per row, then PARSE
+    the bytes back — both halves executor-side over Arrow batches. The
+    output features come from the parser reading actual bytes, so this
+    is a true binary decode path (for an uncompressed container);
+    decode_media stays the seam for codec-backed formats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_samples in zip(pdf["doc_id"], pdf["n_samples"]):
+                blob = synth_wav(int(doc_id), int(n_samples))
+                ch, rate, bits, ns = parse_wav(blob)
+                rows.append(
+                    (int(doc_id), ch, rate, bits, ns, ns * 1000 // rate)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "channels", "sample_rate", "bits",
+                    "n_samples", "duration_ms",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=WAV_SCHEMA)

@@ -134,6 +134,7 @@ _SECOND = [
     "events_resample",
     "events_ohlc",
     "agg_skew_kurtosis",
+    "mm_decode_wav",
 ]
 
 

@@ -103,3 +103,36 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_frames = F.length("blob") % 120  # stub: fake frame count (see mm_decode)
     idx = F.sequence(F.lit(0), n_frames, F.lit(10))
     return d.select("doc_id", F.explode(idx).alias("frame_idx"))
+
+
+@register(
+    "mm_decode_wav",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INT)          AS channels,
+           CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+           CAST(16 AS INT)                      AS bits,
+           n_chars * 10                         AS n_samples,
+           (n_chars * 10 * 1000) // (8000 * (1 + doc_id % 3)) AS duration_ms
+    FROM documents
+    """,
+    tags=("north_star", "multimodal", "udf"),
+)
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary decode, end to end: each doc synthesizes a valid
+    RIFF/WAVE file (PCM silence, parameters derived from the doc key),
+    and the features come from PARSING those bytes back — chunk walk,
+    struct-unpacked fmt header, data-chunk sizing — all executor-side
+    over Arrow batches (operators/multimodal.py::synth_wav/parse_wav,
+    pure stdlib). The oracle re-derives the parameters from the
+    generation formulas, so the compare proves the encoder and the
+    parser agree through actual bytes. This retires 'decode is only a
+    stub' for uncompressed containers; decode_media remains the seam
+    for codec-backed formats (JPEG/MP4 need libraries this environment
+    lacks)."""
+    from etl_cnpjs_spark.operators.multimodal import wav_roundtrip_map_in_pandas
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") * 10).alias("n_samples")
+    )
+    return wav_roundtrip_map_in_pandas(d)

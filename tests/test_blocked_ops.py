@@ -70,3 +70,22 @@ def test_kmeans_ivf_recall_vs_exact(spark, sf_dir):
     assert sims == sorted(sims, reverse=True)
     overlap = len(set(exact) & {r.vec_id for r in got})
     assert overlap >= 2, f"ANN recall below floor: {overlap}/10"
+
+
+def test_wav_synth_parse_roundtrip_and_poison():
+    """The WAV encoder/parser pair agree field-by-field through real
+    bytes, and malformed blobs raise instead of silently zeroing."""
+    import pytest
+
+    from etl_cnpjs_spark.operators.multimodal import parse_wav, synth_wav
+
+    for doc_id, n in [(0, 1), (1, 7), (5, 300), (123456, 4410)]:
+        ch, rate, bits, ns = parse_wav(synth_wav(doc_id, n))
+        assert ch == 1 + doc_id % 2
+        assert rate == 8000 * (1 + doc_id % 3)
+        assert bits == 16
+        assert ns == n
+    with pytest.raises(ValueError):
+        parse_wav(b"not a wave file at all")
+    with pytest.raises(ValueError):
+        parse_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data chunks
