@@ -135,6 +135,7 @@ _SECOND = [
     "events_ohlc",
     "agg_skew_kurtosis",
     "mm_decode_wav",
+    "join_asof_tolerance",
 ]
 
 

@@ -769,3 +769,69 @@ def dedup_keep_latest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tiebreak on event_id). Single shuffle on the key — no self-join."""
     ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
     return dedup_keep_latest(ev, ["user_id"], [F.desc("ts"), F.desc("event_id")])
+
+
+_ASOF_TOL_US = 24 * 3600 * 1_000_000  # 24 hours in microseconds
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase') t
+      WHERE rn = 1
+    ), j AS (
+      SELECT e.event_id, e.user_id, e.ts, e.event_type,
+             p.event_id AS p_id, p.ts AS p_ts
+      FROM events e
+      ASOF JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+    )
+    SELECT event_id, user_id, ts, event_type,
+           CASE WHEN epoch_us(ts) - epoch_us(p_ts) <= {_ASOF_TOL_US}
+                THEN p_id END AS last_purchase_id,
+           CASE WHEN epoch_us(ts) - epoch_us(p_ts) <= {_ASOF_TOL_US}
+                THEN p_ts END AS last_purchase_ts,
+           (epoch_us(ts) - epoch_us(p_ts) > {_ASOF_TOL_US}) AS stale
+    FROM j
+    """,
+    tags=("join", "asof", "tolerance"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness tolerance (pandas
+    merge_asof(tolerance=...) semantics): each event looks up the same
+    user's most recent prior PURCHASE, but only if it happened within
+    the last 24 hours — older matches are nulled and FLAGGED stale
+    rather than silently joined, the guard a feature-store
+    point-in-time lookup needs so an old attribute never leaks into a
+    training row as if fresh (the 24 h bound splits this corpus
+    roughly in half, so both branches are exercised). Same
+    single-shuffle union-merge asof underneath (inner form — only
+    events with some prior purchase appear); the tolerance is a
+    post-join integer-microsecond comparison, identical in both
+    engines."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts0"),
+        F.col("event_id").alias("p_id"),
+    )
+    p1 = dedup_keep_latest(p, ["p_user", "p_ts0"], [F.desc("p_id")])
+    j = join_asof(
+        ev, p1,
+        left_key="user_id", right_key="p_user",
+        left_time="ts", right_time="p_ts0",
+        payload=["p_id", "p_ts0"],
+    )
+    age = F.unix_micros("ts") - F.unix_micros("matched_p_ts0")
+    fresh = age <= _ASOF_TOL_US
+    return j.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.when(fresh, F.col("matched_p_id")).alias("last_purchase_id"),
+        F.when(fresh, F.col("matched_p_ts0")).alias("last_purchase_ts"),
+        (~fresh).alias("stale"),
+    )
