@@ -136,6 +136,7 @@ _SECOND = [
     "agg_skew_kurtosis",
     "mm_decode_wav",
     "join_asof_tolerance",
+    "events_streaks",
 ]
 
 

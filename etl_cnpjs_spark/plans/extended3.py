@@ -1141,3 +1141,61 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize(m3 / F.sqrt(v * v * v)).alias("skewness"),
         quantize(m4 / (v * v) - 3).alias("kurtosis_excess"),
     )
+
+
+# --- events_streaks --------------------------------------------------------
+
+_STREAK_MIN_DAYS = 3
+
+
+@register(
+    "events_streaks",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events),
+    r AS (
+      SELECT user_id, day,
+             date_diff('day', DATE '2024-01-01', day)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM d)
+    SELECT user_id, MIN(day) AS streak_start, MAX(day) AS streak_end,
+           COUNT(*) AS streak_days
+    FROM r GROUP BY user_id, island
+    HAVING COUNT(*) >= {_STREAK_MIN_DAYS}
+    """,
+    tags=("events", "window", "islands"),
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    user (streaks ≥ {_STREAK_MIN_DAYS} days) — the engagement-streak /
+    uptime-run pattern, distinct from sessionization (which thresholds
+    time gaps; islands require exact integer adjacency). The classic
+    day-minus-row_number trick: within a user, consecutive days share
+    (day_index - row_number), so one window plus one groupBy on that
+    anchor finds every maximal run. All arithmetic is integer (day
+    index anchored at an epoch date), so the grouping key is exact in
+    both engines. Shuffle story: distinct collapses (user, day)
+    map-side; the window and the groupBy share hash(user) clustering —
+    the same one-exchange envelope as every window plan."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    r = d.withColumn(
+        "island", F.datediff("day", F.lit("2024-01-01").cast("date")) - rn
+    )
+    return (
+        r.groupBy("user_id", "island")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= _STREAK_MIN_DAYS)
+        .select("user_id", "streak_start", "streak_end", "streak_days")
+    )
