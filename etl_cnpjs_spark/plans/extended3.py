@@ -1152,11 +1152,11 @@ _STREAK_MIN_DAYS = 3
     "events_streaks",
     oracle=f"""
     WITH d AS (
-      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day
       FROM events),
     r AS (
       SELECT user_id, day,
-             date_diff('day', DATE '2024-01-01', day)
+             date_diff('day', DATE '2024-01-01', CAST(day AS DATE))
                - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
                AS island
       FROM d)
@@ -1183,11 +1183,12 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     d = ev.select(
-        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        "user_id", F.date_trunc("day", "ts").alias("day")
     ).distinct()
     rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
     r = d.withColumn(
-        "island", F.datediff("day", F.lit("2024-01-01").cast("date")) - rn
+        "island",
+        F.datediff(F.col("day").cast("date"), F.lit("2024-01-01").cast("date")) - rn,
     )
     return (
         r.groupBy("user_id", "island")
