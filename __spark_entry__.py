@@ -34,4 +34,11 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each SQL-expressible plan.
     Keys absent here (sketches, LSH, streaming state) get the driver's
     weaker rows-only check."""
+    # cnpj_flagship's oracle reads a staged feed (the CNPJ fixture drop
+    # ingested reference-faithfully) rather than the testdata views —
+    # publish it for the driver-correctness SF before handing the SQL out,
+    # so the oracle runs even if it is executed before the Spark side.
+    from etl_cnpjs_spark.plans.cnpj_parity import stage_oracle_feed
+
+    stage_oracle_feed()
     return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}

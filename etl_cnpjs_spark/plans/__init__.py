@@ -26,145 +26,125 @@ from etl_cnpjs_spark.plans import layout  # noqa: E402,F401
 from etl_cnpjs_spark.plans import cnpj_parity  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Registry presentation order.
+# Registry presentation order — COMPUTED from shipped driver evidence.
 #
 # The round driver's CORRECTNESS harness verifies a bounded prefix of
-# queries() in registration order (round 1: exactly the first 50 keys).
-# Import order above follows SURVEY.md §2, which put the entire
-# dedup/similarity/streaming/TPC-H/corpus surface after position 50 —
-# so none of it got a driver row. Registration order is a presentation
-# concern, so reorder the dict here: keys without a green driver row
-# (round 1), most valuable families first; previously driver-verified
-# keys last. Semantics of every plan are unchanged.
+# queries() in registration order (~50 keys per round). Registration
+# order is a presentation concern, so reorder the dict here from the
+# CORRECTNESS_r*.json files the driver itself ships back into the repo:
+# keys that already have a full-green row (rows+schema+hash) rotate to
+# the back; keys with no green row rotate to the front, highest-value
+# families first, so every round's window reaches evidence-less keys.
+# Semantics of every plan are unchanged.
 # ---------------------------------------------------------------------------
-_PRIORITY = [
-    "flagship",  # headline/smoke key stays first
-    # north-star: text dedup family
-    "dedup_ngram_jaccard",
-    "dedup_minhash",
-    "dedup_cluster",
-    "dedup_canonical",
-    "dedup_fuzzy_names",
-    "dedup_simhash",
-    # north-star: embeddings / similarity
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "sim_topk",
-    "sim_knn_join",
-    "sim_topk_ivf",
-    "sim_topk_kmeans",
-    "embedding_centroids",
-    "embedding_quantize",
-    # streaming windows
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    # TPC-H spine
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q10",
-    "tpch_q18",
-    "tpch_q6",
-    "tpch_q4",
-    "tpch_q14",
-    "tpch_q13",
-    "tpch_q22",
-    # corpus curation / text extras
-    "corpus_curate",
-    "text_pii_scrub",
-    "doc_chunk",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_filter_pipeline",
-    # round-1 driver FAIL, fixed this round — must re-verify
-    "fn_array_ops",
-    # multimodal plumbing
-    "mm_meta",
-    "mm_decode",
-    "mm_frame_sample",
-    # physical layout / skew
-    "join_bucketed",
-    "join_skew_salted",
-    "layout_zorder",
-    # UDTF + CNPJ end-to-end
-    "udtf_bigrams",
+
+# Within the no-green-row set, verify these first (capstone composites,
+# keys whose oracle was newly added, and the post-freeze round-2 tier the
+# r2 verdict called out); everything else follows registration order.
+_FRONT_HINT = [
+    # oracles added in round 3 — previously rows-only, must re-verify
     "cnpj_flagship",
-    # round-2 additions (no driver row ever) + highest-value extended
-    "dedup_incremental",
-    "text_repetition",
-    "text_tfidf",
-    "events_retention",
-    "agg_bitmap_distinct",
-    "source_python_ds",
-    "events_sessionize",
-    "sql_lateral",
-]
-# Second tier: never-driver-verified keys added after the priority list
-# froze — first in line past the window boundary if the driver's window
-# is wider than round 1's 50, rotated into _PRIORITY next round if not.
-_SECOND = [
-    "sample_weighted_mix",
-    "doc_pack_sequences",
-    "text_decontaminate",
+    "dedup_simhash",
+    # capstone composites / iterative
+    "corpus_training_set",
+    "dedup_stopshingle",
+    "cdc_apply",
+    "graph_pagerank",
+    "sql_recursive_closure",
+    # TPC-H additions
     "tpch_q1",
     "tpch_q7",
     "tpch_q8",
     "tpch_q15",
-    "events_funnel",
-    "agg_hll_sketch",
-    "window_topk_group",
-    "agg_grouping_sets",
-    "sample_stratified",
-    "window_range_frame",
-    "scan_orc",
-    "fn_xml",
-    # added later in round 2 (never driver-verified)
-    "corpus_training_set",
+    # streaming / events
     "stream_dedup",
+    "events_funnel",
     "events_anomaly",
-    "cdc_apply",
-    "dedup_stopshingle",
-    "graph_pagerank",
-    "window_percentiles",
-    "embedding_normalize",
-    "scan_merge_schema",
-    "sql_recursive_closure",
-    "fn_try_arith",
-    "agg_approx_topk",
     "events_resample",
     "events_ohlc",
-    "agg_skew_kurtosis",
-    "mm_decode_wav",
-    "join_asof_tolerance",
     "events_streaks",
+    # corpus / text
+    "sample_weighted_mix",
+    "doc_pack_sequences",
+    "text_decontaminate",
+    "text_ngram_freq",
+    # joins / scans / layout
+    "join_asof_tolerance",
+    "join_cross",
+    "join_full",
+    "join_null_safe",
+    "scan_orc",
+    "scan_merge_schema",
+    "scan_csv_permissive",
+    "scan_binaryfile",
+    # embeddings / multimodal
+    "embedding_normalize",
+    "mm_decode_wav",
+    # windows / aggs / sampling
+    "window_percentiles",
+    "window_topk_group",
+    "window_range_frame",
+    "agg_approx_topk",
+    "agg_skew_kurtosis",
+    "agg_grouping_sets",
+    "sample_stratified",
+    "sample_hash",
+    "fn_try_arith",
+    "fn_xml",
 ]
 
 
+def _driver_evidence() -> tuple[set[str], set[str]]:
+    """(green, seen) key sets from every CORRECTNESS_r*.json the driver
+    has shipped into the repo root. green = full rows+schema+hash pass in
+    at least one round; seen = any driver row at all."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    green: set[str] = set()
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for key, row in rows.items():
+            seen.add(key)
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                green.add(key)
+    return green, seen
+
+
 def _reorder() -> None:
-    missing = [k for k in [*_PRIORITY, *_SECOND] if k not in QUERIES]
-    assert not missing, f"priority lists name unknown keys: {missing}"
-    # Round-1 driver-verified keys (CORRECTNESS_r01.json) — safe at the back.
-    verified_r01 = {
-        "flagship", "scan_parquet", "scan_csv", "project_alias",
-        "filter_in_list", "filter_range", "filter_null", "join_inner_equi",
-        "join_left", "join_semi", "join_anti", "join_range", "join_asof",
-        "agg_count_by", "agg_stats", "agg_count_distinct",
-        "agg_approx_distinct", "agg_approx_quantile", "agg_rollup",
-        "agg_cube", "agg_pivot", "window_rank", "window_running",
-        "window_lag_lead", "sort_limit", "set_union", "set_intersect",
-        "set_except", "dedup_exact", "dedup_keep_latest", "sink_parquet",
-        "sink_csv_bom", "sink_partitioned", "scan_json", "udf_grouped_map",
-        "sink_idempotent", "sink_compact", "sink_table", "agg_incremental",
-        "scan_text", "fn_string", "fn_date", "fn_math", "fn_array",
-        "fn_json", "udf_cnpj_format", "text_stats", "text_tokens",
-        "text_quality",
-    }
-    head = [*_PRIORITY, *_SECOND]
-    rest_unverified = [
-        k for k in QUERIES if k not in head and k not in verified_r01
-    ]
-    tail = [k for k in QUERIES if k in verified_r01 and k not in head]
-    ordered = {k: QUERIES[k] for k in [*head, *rest_unverified, *tail]}
+    missing = [k for k in _FRONT_HINT if k not in QUERIES]
+    assert not missing, f"front hint names unknown keys: {missing}"
+    green, seen = _driver_evidence()
+
+    def bucket(k: str) -> int:
+        if k == "flagship":
+            return 0  # headline/smoke key stays first
+        if k in green:
+            return 4  # evidence exists — safe at the back
+        if k in seen and QUERIES[k].oracle is None:
+            return 3  # rows-only row exists and no oracle: re-run adds nothing
+        if QUERIES[k].oracle is not None:
+            return 1  # no green row, oracle-bearing: the window must see these
+        return 2  # no row at all, rows-only check still beats nothing
+
+    hint_rank = {k: i for i, k in enumerate(_FRONT_HINT)}
+    reg_rank = {k: i for i, k in enumerate(QUERIES)}
+    ordered_keys = sorted(
+        QUERIES,
+        key=lambda k: (bucket(k), hint_rank.get(k, len(_FRONT_HINT)), reg_rank[k]),
+    )
+    ordered = {k: QUERIES[k] for k in ordered_keys}
     assert len(ordered) == len(QUERIES)
     QUERIES.clear()
     QUERIES.update(ordered)

@@ -6,27 +6,38 @@ and the verbatim QUERY_FINAL star join (etl.py:191-234) — executed end
 to end inside one queries() key.
 
 The driver's testdata has no CNPJ tables, so this plan generates its
-fixtures in a temp dir and carries no DuckDB oracle (rows-only driver
-check); the STRICT oracle comparison lives in tests/test_cnpj_parity.py,
-which replays the same pipeline through a reference-faithful pandas →
-DuckDB path and demands bit-identical output, including the golden-quirk
-surface (decimal-comma capital, yyyymmdd text dates, padded municipio
-names, IN-list dedup, orphan-dropping inner joins).
+fixtures in a temp dir; the DuckDB oracle reads a reference-faithful
+FEED staged at a deterministic path (stage_oracle_feed): the same
+deterministic fixture shards ingested exactly as the reference ingests
+them — pandas dtype=str over latin-1 CSV (etl.py:87) — published as one
+parquet per table, then the same affinity views + the verbatim
+QUERY_FINAL run inside the oracle SQL itself. The two engines share only
+the fixture GENERATOR (the data); ingestion, typing, and the star join
+are computed independently end to end. The golden-quirk surface
+(decimal-comma capital, yyyymmdd text dates, padded municipio names,
+IN-list dedup, orphan-dropping inner joins) is therefore hash-checked by
+the driver, and additionally by tests/test_cnpj_parity.py.
 """
 
 from __future__ import annotations
 
 import os
 import re
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_cnpjs_spark.cnpj import fixtures
-from etl_cnpjs_spark.cnpj.flagship import register_affinity_views, run_flagship
+from etl_cnpjs_spark.cnpj.flagship import (
+    QUERY_FINAL,
+    affinity_view_sql,
+    register_affinity_views,
+    run_flagship,
+)
 from etl_cnpjs_spark.cnpj.ingest import discover
 from etl_cnpjs_spark.cnpj.load import load_raw_parquet, register_raw
-from etl_cnpjs_spark.cnpj.schemas import DIM_COLUMNS
+from etl_cnpjs_spark.cnpj.schemas import AFFINITY_KEYS, DIM_COLUMNS, TABLE_COLUMNS
 from etl_cnpjs_spark.plans.registry import register
 
 # Fixture volume tracks the requested SF so the bench measures the
@@ -43,10 +54,72 @@ def _sizes_for(sf_dir: str) -> tuple[int, int]:
     return _SIZES.get(m.group(1).rstrip(".") if m else "", _SIZES["0.001"])
 
 
+# Deterministic oracle-feed location baked into the oracle SQL string.
+_ORACLE_FEED_DIR = os.path.join(tempfile.gettempdir(), "cnpj_oracle_feed", "current")
+
+
+def stage_oracle_feed(sizes: tuple[int, int] | None = None) -> str:
+    """Publish the DuckDB oracle feed: deterministic fixture shards
+    (seed 42) ingested exactly as the reference ingests them — pandas
+    dtype=str over latin-1 ';' headerless CSV (etl.py:87) — one parquet
+    per QUERY_FINAL table at a deterministic path. Idempotent per size
+    (marker file); per-file os.replace keeps readers consistent. Only the
+    fixture generator is shared with the Spark path: the bytes under
+    comparison are produced by two independent ingestion stacks."""
+    sizes = sizes or _SIZES["0.01"]
+    marker = os.path.join(_ORACLE_FEED_DIR, "_SIZES")
+    want = f"{sizes[0]}x{sizes[1]}"
+    try:
+        with open(marker) as f:
+            if f.read() == want:
+                return _ORACLE_FEED_DIR
+    except OSError:
+        pass
+    import pandas as pd
+
+    os.makedirs(_ORACLE_FEED_DIR, exist_ok=True)
+    src = tempfile.mkdtemp(prefix="cnpj_feed_src_")
+    try:
+        paths = fixtures.generate(src, seed=42, n_empresas=sizes[0], n_estab=sizes[1])
+        for t in AFFINITY_KEYS:  # exactly the QUERY_FINAL-facing tables
+            pdf = pd.concat(
+                [
+                    pd.read_csv(
+                        p, sep=";", header=None, dtype=str,
+                        encoding="latin1", names=TABLE_COLUMNS[t],
+                    )
+                    for p in paths[t]
+                ],
+                ignore_index=True,
+            )
+            tmp = os.path.join(_ORACLE_FEED_DIR, f".{t}.tmp{os.getpid()}.parquet")
+            pdf.to_parquet(tmp, index=False)
+            os.replace(tmp, os.path.join(_ORACLE_FEED_DIR, f"{t}.parquet"))
+        tmp = f"{marker}.tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(want)
+        os.replace(tmp, marker)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return _ORACLE_FEED_DIR
+
+
+def _oracle_sql() -> str:
+    """WITH raw_* (read_parquet feed) + affinity views + QUERY_FINAL,
+    verbatim — the whole reference pipeline as one DuckDB statement."""
+    ctes = []
+    for t in AFFINITY_KEYS:
+        path = os.path.join(_ORACLE_FEED_DIR, f"{t}.parquet")
+        ctes.append(f"raw_{t} AS (SELECT * FROM read_parquet('{path}'))")
+        ctes.append(f"{t} AS ({affinity_view_sql(t, 'raw_' + t)})")
+    return "WITH " + ",\n     ".join(ctes) + QUERY_FINAL
+
+
 def ensure_cnpj_env(spark: SparkSession, sf_dir: str) -> None:
     """Generate fixtures + raw-load + register views, once per
     (session, size) — staging, not query work (bench pre-warms it)."""
     sizes = _sizes_for(sf_dir)
+    stage_oracle_feed(sizes)  # keep the DuckDB feed in lockstep with the SF
     if _env_cache.get(spark.sparkContext.applicationId) == sizes:
         return
     base = tempfile.mkdtemp(prefix="cnpj_plan_")
@@ -64,11 +137,13 @@ def ensure_cnpj_env(spark: SparkSession, sf_dir: str) -> None:
     _env_cache[spark.sparkContext.applicationId] = sizes
 
 
-@register("cnpj_flagship", oracle=None, tags=("cnpj", "parity", "pipeline"))
+@register("cnpj_flagship", oracle=_oracle_sql(), tags=("cnpj", "parity", "pipeline"))
 def cnpj_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUERY_FINAL (etl.py:191-234) over the synthetic CNPJ drop — the
     CNPJ tables aren't part of the TPC-H-ish testdata, so sf_dir only
     sets fixture VOLUME (see _SIZES); generation + raw load run once
-    per (session, size)."""
+    per (session, size). The oracle replays the same drop through the
+    reference's own ingestion shape (pandas dtype=str, latin-1) and the
+    verbatim SQL — see stage_oracle_feed."""
     ensure_cnpj_env(spark, sf_dir)
     return run_flagship(spark)
