@@ -14,8 +14,9 @@ Three scale regimes, all shuffle-disciplined:
   band equality (pigeonhole: hamming ≤ 3 ⇒ some 16-bit quarter equal),
   verified by bit_count(xor) hamming distance.
 
-Everything is deterministic: xxhash64 (fixed seed 42) for signatures —
-so the LSH candidate set is reproducible run-to-run and across clusters.
+Everything is deterministic: seeded xxhash64 for MinHash signatures and
+md5-derived bits for SimHash (engine-portable — see _SIMHASH_EXPR) — so
+the LSH candidate set is reproducible run-to-run and across clusters.
 """
 
 from __future__ import annotations
@@ -142,18 +143,30 @@ def exact_jaccard(
 # SimHash: 64-bit signature. For each bit position i, sum +1/-1 votes of
 # every token's hash bit i; bit i of the signature is the sign. Pure
 # nested higher-order expression — per-row, JVM-side, deterministic.
-# Structured so each token is hashed exactly ONCE (inner transform), then
-# folded into a 64-counter array in a single pass; the naive per-bit form
-# (aggregate over 64 bits, each re-aggregating all tokens) costs 64
-# xxhash evaluations per token and is ~20× slower, same signature.
+# Structured so each token is hashed in ONE inner transform, then folded
+# into a 64-counter array in a single pass; the naive per-bit form
+# (aggregate over 64 bits, each re-aggregating all tokens) re-hashes
+# every token 64× and is ~20× slower, same signature.
+#
+# The token hash is ENGINE-PORTABLE on purpose: the top/bottom 32 bits of
+# md5(token) via conv(hex, 16, 10) — DuckDB computes the identical value
+# as ('0x' || substr(md5(t), k, 8))::BIGINT, so the full signature,
+# banding recall guarantee, and hamming verify are oracle-checkable
+# (xxhash64 exists only in Spark and kept dedup_simhash rows-only through
+# round 2). Two 32-bit halves rather than one 64-bit conv because conv's
+# unsigned decimal string for values ≥ 2^63 won't cast back to BIGINT.
 _SIMHASH_EXPR = """
 aggregate(
   zip_with(
     aggregate(
-      transform({toks}, t -> xxhash64(t)),
+      transform({toks}, t -> named_struct(
+        'hi', cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint),
+        'lo', cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint))),
       array_repeat(0L, 64),
       (acc, h) -> zip_with(acc, sequence(0, 63),
-                           (a, i) -> a + IF((shiftright(h, i) & 1L) = 1L, 1L, -1L))
+                           (a, i) -> a + IF(((IF(i < 32, shiftright(h.lo, i),
+                                                 shiftright(h.hi, i - 32))) & 1L) = 1L,
+                                            1L, -1L))
     ),
     sequence(0, 63),
     (c, i) -> IF(c > 0L, shiftleft(1L, i), 0L)

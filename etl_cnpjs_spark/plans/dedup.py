@@ -12,7 +12,8 @@ Pair detectors — output (i, j, score) for pairs i<j:
   exhaustive on this corpus (tests assert equality with exact), so it
   shares the exact oracle. Linear in docs × bands — the scale path.
 - dedup_simhash — frequency-weighted 64-bit SimHash, 6×10-bit bands
-  (pigeonhole-complete for hamming ≤ 5). Engine hash → rows-only check.
+  (pigeonhole-complete for hamming ≤ 5). md5-half token hash → full
+  all-pairs oracle (completeness makes banded ≡ all-pairs).
 - dedup_fuzzy_names — edit-distance linkage with three stacked blocking
   passes (prefix + sorted neighborhood + reversed-key neighborhood).
 
@@ -367,10 +368,48 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_MAX_HAMMING = 5  # planted near-dups land ≤ 5 on this corpus;
-# random pairs bottom out at 6 (frequency-weighted signature)
+# random pairs bottom out above (frequency-weighted signature)
+
+# DuckDB twin of the ENTIRE simhash pipeline. The token hash is the
+# md5-half scheme of operators/dedup.py::_SIMHASH_EXPR (portable across
+# engines); the signature is carried as two 32-bit halves (slo/shi) so no
+# unsigned-64 value ever has to round-trip through a signed cast. The
+# oracle skips banding and checks ALL pairs at hamming ≤ 5 — sound
+# because 6×10-bit banding is pigeonhole-COMPLETE at that threshold
+# (≤ 5 differing bits cannot break all 6 slice equalities), so the Spark
+# side's banded candidate set provably loses nothing; band-hash
+# collisions only ever ADD candidates, which the hamming verify removes.
+_SQL_SIMHASH = rf"""
+  WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+    FROM documents
+  ), h AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+           ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+    FROM toks
+  ), votes AS (
+    SELECT doc_id, b.i AS i,
+           sum(CASE WHEN ((CASE WHEN b.i < 32 THEN lo >> b.i
+                                ELSE hi >> (b.i - 32) END) & 1) = 1
+                    THEN 1 ELSE -1 END) AS c
+    FROM h CROSS JOIN (SELECT unnest(range(64)) AS i) b
+    GROUP BY 1, 2
+  ), sig AS (
+    SELECT doc_id,
+           sum(CASE WHEN i < 32 AND c > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS slo,
+           sum(CASE WHEN i >= 32 AND c > 0 THEN (1::BIGINT << (i - 32)) ELSE 0 END)::BIGINT AS shi
+    FROM votes GROUP BY 1
+  )
+  SELECT a.doc_id AS i, b.doc_id AS j,
+         bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi))
+          <= {SIMHASH_MAX_HAMMING}
+"""
 
 
-@register("dedup_simhash", oracle=None, tags=("north_star", "dedup", "lsh"))
+@register("dedup_simhash", oracle=_SQL_SIMHASH, tags=("north_star", "dedup", "lsh"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-weighted SimHash(64-bit) near-dup pairs: band on 10-bit
     slices (pigeonhole: hamming ≤ 5 ⇒ some one of 6 slices untouched ⇒
@@ -380,9 +419,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighting is what separates near-dups from unrelated docs on
     low-vocabulary corpora. Band count is the recall/candidate-volume
     dial: B must exceed the hamming threshold, and every band beyond
-    that only multiplies candidates. Engine-specific hash (xxhash64) →
-    rows-only driver check; cross-checked against Jaccard ground truth
-    in tests."""
+    that only multiplies candidates. The md5-half token hash makes the
+    signature engine-portable, so the key carries a FULL all-pairs
+    oracle (complete banding ⇒ banded output ≡ all-pairs output); also
+    cross-checked against Jaccard ground truth in tests."""
     d = table(spark, sf_dir, "documents")
     # Materialize the signature before banding: simhash_band_keys refers
     # to the sig column 8 times, and CollapseProject would otherwise
