@@ -263,6 +263,64 @@ def hyperplane_signatures(
     )
 
 
+def salted_buckets(signed, bucket_cap: int):
+    """Group exploded (band, key) bucket members into verify TASKS of
+    bounded size — the hot-bucket guard for embedding_lsh_pairs.
+
+    A hot bucket (low-entropy band slice) would otherwise collect_list
+    an unbounded (id, vector) payload into ONE row/task. Instead: a
+    keys-only pre-aggregate finds buckets over ``bucket_cap`` (tiny
+    rows, map-side combined); those — by construction few — broadcast
+    back onto the exploded members, which salt into G = ⌈m/cap⌉ hash
+    groups; each member replicates to the G group-pair tasks it
+    participates in (the triangle-join blocking scheme), so a task
+    collects members of TWO groups: ≈ 2·cap vectors expected, and every
+    i<j pair co-occurs in exactly one task — (min(gᵢ,gⱼ), max(gᵢ,gⱼ)).
+    Cold buckets take G=1 and degenerate to the original single-task
+    path with zero replication. The data shuffle count is unchanged
+    (one, keyed by (band, key, ga, gb)); the pre-aggregate shuffles
+    only (band, key, partial-count) triples.
+
+    Each collected struct carries its member's group so the verifier
+    scores a pair only in its owning task (same-group pairs would
+    otherwise be re-scored by every task that sees that group)."""
+    exploded = signed.select(
+        "__id", "__v", F.posexplode("__bk").alias("__band", "__key")
+    )
+    hot = (
+        exploded.groupBy("__band", "__key")
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .filter(F.col("__m") > bucket_cap)
+    )
+    e = exploded.join(F.broadcast(hot), ["__band", "__key"], "left")
+    num_groups = F.coalesce(
+        F.ceil(F.col("__m") / bucket_cap).cast("int"), F.lit(1)
+    )
+    member = e.select(
+        "__band",
+        "__key",
+        "__id",
+        "__v",
+        F.pmod(F.xxhash64("__id"), num_groups).cast("int").alias("__g"),
+        F.explode(F.sequence(F.lit(0), num_groups - 1)).alias("__x"),
+    )
+    return (
+        member.select(
+            "__band",
+            "__key",
+            F.least("__g", "__x").alias("ga"),  # plain names: itertuples
+            F.greatest("__g", "__x").alias("gb"),  # mangles _-prefixes
+            "__id",
+            "__v",
+            "__g",
+        )
+        .groupBy("__band", "__key", "ga", "gb")
+        .agg(F.collect_list(F.struct("__id", "__v", "__g")).alias("vs"))
+        .filter(F.size("vs") > 1)
+        .select("ga", "gb", "vs")
+    )
+
+
 def embedding_lsh_pairs(
     vecs,
     id_col: str,
@@ -271,39 +329,35 @@ def embedding_lsh_pairs(
     bands: int,
     rows: int,
     seed: int = 42,
+    bucket_cap: int = 1024,
 ):
     """Embedding near-dup pairs via hyperplane-LSH banding with
-    bucket-local verification: signature → ONE shuffle keyed by
-    (band, key) that collects each bucket's (id, vector) rows together →
-    exact cosine scored INSIDE the bucket with a vectorized numpy outer
-    fold → global distinct. The n² pair space is never materialized:
-    shuffle volume is n·bands signature rows (each with one vector
-    copy), and scoring cost is Σ bucket², i.e. whatever selectivity the
-    (bands, rows) operating point buys at the corpus's similarity gap.
-    Verification makes output ⊆ exact pairs ≥ τ; recall is
-    1 − (1 − p^rows)^bands per true pair with p = 1 − arccos(τ)/π.
+    bucket-local verification: signature → ONE data shuffle keyed by
+    (band, key, salt-group pair) that collects each verify task's
+    (id, vector) rows together → exact cosine scored INSIDE the task
+    with a vectorized numpy outer fold → global distinct. The n² pair
+    space is never materialized: shuffle volume is n·bands signature
+    rows (each with one vector copy), and scoring cost is Σ bucket²,
+    i.e. whatever selectivity the (bands, rows) operating point buys at
+    the corpus's similarity gap. Verification makes output ⊆ exact
+    pairs ≥ τ; recall is 1 − (1 − p^rows)^bands per true pair with
+    p = 1 − arccos(τ)/π.
+
+    Hot buckets are BOUNDED: any bucket over ``bucket_cap`` members is
+    salted into group-pair tasks of ≈ 2·cap vectors with exact pair
+    coverage (see salted_buckets) — no single task ever collects an
+    unbounded payload, the standard cap-and-salt LSH practice.
 
     The same pair can surface from several bands — scores are
     bit-identical everywhere (same sequential dimension-order fold as
-    the Catalyst/DuckDB oracle), so the final distinct collapses them.
-    At cluster scale a hot bucket (low-entropy band slice) is a skew key
-    like any other: cap bucket size and re-band its members with a
-    fresh seed, or salt the verify — standard LSH practice."""
+    the Catalyst/DuckDB oracle), so the final distinct collapses them."""
     import numpy as np
     import pandas as pd
 
     signed = hyperplane_signatures(
         vecs, id_col, vec_col, bands=bands, rows=rows, seed=seed
-    )
-    buckets = (
-        signed.select(
-            "__id", "__v", F.posexplode("__bk").alias("__band", "__key")
-        )
-        .groupBy("__band", "__key")
-        .agg(F.collect_list(F.struct("__id", "__v")).alias("vs"))
-        .filter(F.size("vs") > 1)
-        .select("vs")  # plain name: itertuples mangles _-prefixed fields
-    )
+    ).localCheckpoint()  # two consumers (size pre-agg + data path): one signature job
+    buckets = salted_buckets(signed, bucket_cap)
 
     def _seq_dot(A, B):
         acc = np.zeros((A.shape[0], B.shape[0]))
@@ -323,9 +377,15 @@ def embedding_lsh_pairs(
             for row in pdf.itertuples(index=False):
                 ids = np.array([r["__id"] for r in row.vs], dtype=np.int64)
                 V = np.array([r["__v"] for r in row.vs], dtype=np.float64)
+                gs = np.array([r["__g"] for r in row.vs], dtype=np.int64)
                 nrm = _seq_norm(V)
                 cos = _seq_dot(V, V) / np.multiply.outer(nrm, nrm)
-                mask = (cos >= tau) & (ids[:, None] < ids[None, :])
+                # score a pair only in its owning task: (min g, max g)
+                # must equal this task's (ga, gb)
+                owns = (np.minimum.outer(gs, gs) == row.ga) & (
+                    np.maximum.outer(gs, gs) == row.gb
+                )
+                mask = owns & (cos >= tau) & (ids[:, None] < ids[None, :])
                 ii, jj = np.nonzero(mask)
                 out_i.append(ids[ii])
                 out_j.append(ids[jj])

@@ -114,7 +114,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacement for dedup_embedding_cosine's all-pairs layout: random-
     hyperplane sign signatures (Arrow-batched matmul), one band-bucket
     equi-join for candidates, exact-cosine verify on candidates only.
-    Nothing in the plan materializes the n² pair space.
+    Nothing in the plan materializes the n² pair space, and no verify
+    task collects an unbounded payload: buckets over 1024 members salt
+    into bounded group-pair tasks with exact pair coverage
+    (operators/similarity.py::salted_buckets; planted hot-bucket proof
+    in tests/test_dedup_recall.py::test_lsh_hot_bucket_cap).
 
     Operating point (32 bands × 2 bits, measured on this corpus): per-pair
     miss probability at τ=0.4 is (1−0.631²)^32 ≈ 9e-8, and measured recall

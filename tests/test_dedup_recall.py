@@ -112,3 +112,65 @@ def test_stopshingle_recall_at_tested_sfs(spark, sf_dir):
         (r.i, r.j) for r in QUERIES["dedup_stopshingle"].fn(spark, sf_dir).collect()
     }
     assert capped == full
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """Planted hot bucket (r2 verdict item #4): a tight cluster of
+    near-identical vectors collides in EVERY band, so each (band, key)
+    bucket holds the whole cluster. With bucket_cap far below the
+    cluster size, salted_buckets must split verification into bounded
+    group-pair tasks — no task may collect an unbounded payload — while
+    embedding_lsh_pairs still returns exactly the brute-force >= tau
+    pair set (exact pair coverage across tasks, each pair scored in its
+    one owning task)."""
+    import itertools
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_cnpjs_spark.operators.similarity import (
+        embedding_lsh_pairs,
+        hyperplane_signatures,
+        salted_buckets,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal(16)
+    cluster = base + 0.001 * rng.standard_normal((300, 16))
+    background = rng.standard_normal((100, 16))
+    V = np.vstack([cluster, background])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(len(V))],
+        "id bigint, v array<double>",
+    )
+
+    cap = 32
+    signed = hyperplane_signatures(df, "id", "v", bands=4, rows=4).localCheckpoint()
+    tasks = salted_buckets(signed, cap)
+    stats = tasks.agg(
+        F.max(F.size("vs")).alias("mx"), F.max("gb").alias("max_gb")
+    ).collect()[0]
+    # a task holds members of TWO hash groups of expected size <= cap;
+    # 3*cap leaves headroom for hash imbalance while still proving the
+    # 300-member bucket never lands in one task
+    assert stats.mx <= 3 * cap, f"task collected {stats.mx} vectors"
+    assert stats.max_gb > 0, "hot-bucket salting was not exercised"
+
+    got = {
+        (r.i, r.j)
+        for r in embedding_lsh_pairs(
+            df, "id", "v", tau=0.9, bands=4, rows=4, bucket_cap=cap
+        ).collect()
+    }
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    want = {
+        (i, j)
+        for i, j in itertools.combinations(range(len(V)), 2)
+        if cos(V[i], V[j]) >= 0.9
+    }
+    # recall on a cos~1 cluster is certain (p(bit agree) ~ 1); verify
+    # guarantees precision — so equality, not subset
+    assert got == want, f"missed {want - got} / invented {got - want}"
