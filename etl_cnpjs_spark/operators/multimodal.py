@@ -116,9 +116,15 @@ def parse_wav(blob: bytes) -> tuple[int, int, int, int]:
     while pos + 8 <= len(blob):
         cid, clen = blob[pos : pos + 4], struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
         if cid == b"fmt ":
+            # a truncated fmt chunk or a zero block size must surface as
+            # the documented ValueError, not struct.error/ZeroDivisionError
+            if len(blob) < pos + 24 or clen < 16:
+                raise ValueError("truncated fmt chunk")
             _, channels, rate, _, block, bits = struct.unpack(
                 "<HHIIHH", blob[pos + 8 : pos + 24]
             )
+            if block == 0:
+                raise ValueError("fmt chunk declares zero block align")
         elif cid == b"data":
             data_len = clen
         pos += 8 + clen + (clen % 2)

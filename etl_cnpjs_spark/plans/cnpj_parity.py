@@ -21,6 +21,7 @@ the driver, and additionally by tests/test_cnpj_parity.py.
 
 from __future__ import annotations
 
+import atexit
 import os
 import re
 import shutil
@@ -123,6 +124,7 @@ def ensure_cnpj_env(spark: SparkSession, sf_dir: str) -> None:
     if _env_cache.get(spark.sparkContext.applicationId) == sizes:
         return
     base = tempfile.mkdtemp(prefix="cnpj_plan_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)  # scratch, not output
     paths = fixtures.generate(
         base, seed=42, n_empresas=sizes[0], n_estab=sizes[1]
     )

@@ -287,7 +287,14 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rand(): re-runs, backfills, and a resumed 100 TB job all select the
     same rows, and changing one rate re-decides only that stratum.
     Physically a scan-side filter — no shuffle, no state, prunes to the
-    three needed columns."""
+    three needed columns.
+
+    Key-domain caveat (same as extended.py::sample_hash): the Knuth
+    multiplicative hash runs in BIGINT, so doc_id must stay < 2^63 /
+    2654435761 ≈ 3.47e9 or the product overflows (errors under Spark
+    ANSI and DuckDB alike). Fine for this corpus's dense ids; above
+    ~2^31 keys switch the PRF to a portable 64-bit hash (e.g. the
+    md5-half scheme operators/dedup.py uses for SimHash)."""
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", "source").filter(
         (F.col("doc_id") * _MIX_KNUTH) % _MIX_MOD < _mix_threshold_col()

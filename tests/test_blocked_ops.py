@@ -89,3 +89,22 @@ def test_wav_synth_parse_roundtrip_and_poison():
         parse_wav(b"not a wave file at all")
     with pytest.raises(ValueError):
         parse_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data chunks
+    # contract holds for in-structure corruption too (ADVICE r2): a
+    # zero block-align and a truncated fmt chunk are ValueError, not
+    # ZeroDivisionError / struct.error
+    import struct
+
+    zero_block = struct.pack("<HHIIHH", 1, 1, 8000, 0, 0, 16)
+    blob = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(zero_block)) + zero_block
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="zero block"):
+        parse_wav(blob)
+    truncated = (
+        b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+    )
+    with pytest.raises(ValueError, match="truncated fmt"):
+        parse_wav(truncated)

@@ -334,13 +334,13 @@ def test_catalog_normalizes_every_timestamp(spark, sf_dir):
 
 
 def test_training_set_shuffles_flags_only(spark, sf_dir):
-    """The composite's exchange inventory is exactly the documented
-    three flag-frame shuffles (fp window, doc_id anti-join both sides
-    count as one logical shuffle but two exchanges, lang packing) plus
-    the broadcast benchmark side — and the shuffled columns are flags,
-    never the text column."""
+    """The composite shuffles at most the documented four exchanges (fp
+    window, doc_id anti-join's two sides, lang packing) — an upper
+    bound, not an exact count, so a Spark/AQE planning change that
+    merges exchanges doesn't fail the test (ADVICE r2); the invariant
+    that matters is below: no exchange ever carries the text column."""
     plan = explain_str(QUERIES["corpus_training_set"].fn(spark, sf_dir), "simple")
-    assert plan.count("Exchange hashpartitioning") == 4
+    assert plan.count("Exchange hashpartitioning") <= 4
     assert "BroadcastHashJoin" in plan, "benchmark n-grams must broadcast"
     # the shuffled PAYLOAD must be flags, not text: in formatted mode each
     # Exchange node lists its Input columns — none may carry the text col
