@@ -17,6 +17,14 @@ timed loop and reported as their own entry ("shared_dedup_build"), so
 per-query numbers measure each plan's own work and stay comparable
 across rounds regardless of registry-name ordering.
 
+Noise control (r2 verdict item #5): wall-clock on this box swings
+3-10× between identical runs, so each query reports the MEDIAN of
+$SPARK_GRAFT_BENCH_REPS runs (default 3; all reps recorded in
+BENCH_DETAIL.json under "queries_reps") — a 1.5× round-over-round
+delta on a median is signal, on a single run it was noise. Pre-warm
+entries stay single-run: they time one-off staging, and a re-run would
+measure the memo hit, not the work.
+
 Each query is fully materialized through the noop DataSourceV2 sink —
 every operator executes, nothing collects to the driver (the 100 TB
 posture: the "fetch" is a distributed write, never collect();
@@ -145,14 +153,23 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: python_ds_infra_warmup failed: {exc}", file=sys.stderr)
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    all_reps: dict[str, list[float]] = {}
     failures = 0
     for name in sorted(QUERIES):
-        try:
-            timings[name] = round(run_once(spark, QUERIES[name].fn, sf_dir), 4)
-        except Exception as exc:  # a failing query must not hide the rest
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(reps):
+            try:
+                runs.append(round(run_once(spark, QUERIES[name].fn, sf_dir), 4))
+            except Exception as exc:  # a failing query must not hide the rest
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+                break
+        all_reps[name] = runs
+        if len(runs) < reps:
             timings[name] = -1.0
             failures += 1
+        else:
+            timings[name] = sorted(runs)[len(runs) // 2]
     total = round(sum(t for t in timings.values() if t >= 0), 4)
 
     detail_path = os.path.join(
@@ -166,6 +183,8 @@ def main() -> None:
                     "value": total,
                     "unit": "sec",
                     "queries": timings,
+                    "queries_reps": all_reps,
+                    "reps": reps,
                     "sf": sf,
                     "failures": failures,
                 },
