@@ -122,9 +122,26 @@ def _driver_evidence() -> tuple[set[str], set[str]]:
     return green, seen
 
 
+# Keys ADDED in round 3 (surface growth is otherwise frozen per the r2
+# verdict): they queue BEHIND every pre-existing evidence-less key so
+# they displace nothing from the rotation plan — the driver window
+# reaches them once the backlog clears.
+_ADDED_R3 = [
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+]
+
+
 def _reorder() -> None:
-    missing = [k for k in _FRONT_HINT if k not in QUERIES]
-    assert not missing, f"front hint names unknown keys: {missing}"
+    missing = [k for k in [*_FRONT_HINT, *_ADDED_R3] if k not in QUERIES]
+    assert not missing, f"priority lists name unknown keys: {missing}"
     green, seen = _driver_evidence()
 
     def bucket(k: str) -> int:
@@ -142,7 +159,12 @@ def _reorder() -> None:
     reg_rank = {k: i for i, k in enumerate(QUERIES)}
     ordered_keys = sorted(
         QUERIES,
-        key=lambda k: (bucket(k), hint_rank.get(k, len(_FRONT_HINT)), reg_rank[k]),
+        key=lambda k: (
+            bucket(k),
+            1 if k in _ADDED_R3 else 0,  # new keys never displace the backlog
+            hint_rank.get(k, len(_FRONT_HINT)),
+            reg_rank[k],
+        ),
     )
     ordered = {k: QUERIES[k] for k in ordered_keys}
     assert len(ordered) == len(QUERIES)
