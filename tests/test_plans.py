@@ -357,3 +357,24 @@ def test_training_set_shuffles_flags_only(spark, sf_dir):
             assert "text#" not in m.group(1), (
                 f"document text shuffled through Exchange ({node_id})"
             )
+
+
+def test_derived_partsupp_is_scan_side(spark, sf_dir):
+    """The derived partsupp (tpch.py banner) must be generated scan-side:
+    part × explode(4) with the supplier count as a broadcast 1-row
+    frame — NO hash exchange anywhere in its plan. If a refactor turns
+    the count into a shuffle or the explode into a join, the 9
+    derived-input TPC-H queries inherit an extra exchange each."""
+    from etl_cnpjs_spark.plans.tpch import _partsupp
+
+    plan = explain_str(_partsupp(spark, sf_dir), "simple")
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_tpch_q9_one_data_shuffle(spark, sf_dir):
+    """Q9's fact spine should shuffle at most twice (join spine +
+    group); every dimension side (part filtered, supplier, nation,
+    derived partsupp, orders under AQE at this SF) broadcasts."""
+    plan = explain_str(QUERIES["tpch_q9"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("BroadcastHashJoin") >= 4
