@@ -553,13 +553,15 @@ def dedup_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     while recall is lost only for pairs whose ENTIRE overlap is
     stop-shingles (boilerplate-only matches — the pairs a curation
     pipeline wants to drop anyway). Shuffles: one posting join keyed by
-    shingle hash (now bounded), one candidate-verify join."""
+    shingle hash (now bounded), one candidate-verify join. The df count
+    is a window over the SAME hash(s) partitioning the self-join needs
+    (not a groupBy + re-join, which would shuffle the posting list by s
+    twice); the self-join then reuses that exchange on both sides."""
     sh = _doc_shingles(spark, sf_dir)
     e = sh.select("doc_id", F.explode("sh").alias("s"))
-    keep = e.groupBy("s").agg(F.count(F.lit(1)).alias("__df")).filter(
-        F.col("__df") <= STOP_SHINGLE_DF
-    ).select("s")
-    ek = e.join(keep, "s")
+    ek = e.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    ).filter(F.col("__df") <= STOP_SHINGLE_DF).drop("__df")
     a, b = ek.alias("a"), ek.alias("b")
     cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
