@@ -378,3 +378,35 @@ def test_tpch_q9_one_data_shuffle(spark, sf_dir):
     plan = explain_str(QUERIES["tpch_q9"].fn(spark, sf_dir), "simple")
     assert plan.count("Exchange hashpartitioning") <= 2
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_tpch_q17_decorrelated_avg_broadcasts(spark, sf_dir):
+    """Q17's correlated per-part AVG subquery must run as ONE aggregate
+    broadcast-joined back to lineitem (not a per-row subquery re-scan):
+    a single group shuffle for the avg, every join broadcast."""
+    plan = explain_str(QUERIES["tpch_q17"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q21_no_exists_probe_joins(spark, sf_dir):
+    """Q21 replaces the spec's per-row EXISTS/NOT EXISTS lineitem
+    self-probes with one order-grain aggregate over lineitem — the plan
+    must stay broadcast-joined with no sort-merge self-join of the fact
+    table and at most the aggregate's own shuffles."""
+    plan = explain_str(QUERIES["tpch_q21"].fn(spark, sf_dir), "simple")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_stopshingle_df_filter_shares_posting_shuffle(spark, sf_dir):
+    """The stop-shingle df cap computes as a count window over hash(s) —
+    the SAME partitioning the candidate self-join needs — not as a
+    groupBy + re-join (which would shuffle the exploded posting list by
+    shingle twice). Static plan: at most 3 exchanges total (postings by
+    s, candidate distinct, verify); AQE additionally reuses the posting
+    exchange across the self-join's two sides at runtime."""
+    plan = explain_str(QUERIES["dedup_stopshingle"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") <= 3
