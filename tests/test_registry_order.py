@@ -1,0 +1,61 @@
+"""The registry presentation order IS the driver's verification plan:
+the round driver hashes a bounded prefix (~50 keys) of queries() against
+DuckDB each round, so keys with no green CORRECTNESS row from any shipped
+round must sort ahead of keys the scoreboard has already verified, and
+round-3 additions must queue behind the pre-existing backlog (they
+displace nothing). A refactor that silently breaks `_reorder` would cost
+a full round of driver evidence — cheap insurance to pin it.
+"""
+
+from __future__ import annotations
+
+from etl_cnpjs_spark.plans import QUERIES
+from etl_cnpjs_spark.plans import _ADDED_R3, _driver_evidence
+
+
+def test_flagship_first():
+    assert next(iter(QUERIES)) == "flagship"
+
+
+def test_green_keys_sort_behind_unverified_oracle_keys():
+    green, _seen = _driver_evidence()
+    order = list(QUERIES)
+    unverified_oracle = [
+        k for k in order if k != "flagship" and k not in green and QUERIES[k].oracle is not None
+    ]
+    assert unverified_oracle, "sanity: some keys still lack driver evidence"
+    last_unverified = max(order.index(k) for k in unverified_oracle)
+    early_green = [k for k in green if k in QUERIES and order.index(k) < last_unverified]
+    assert early_green == ["flagship"] or early_green == [], (
+        f"driver-green keys occupy window slots ahead of unverified keys: {early_green[:5]}"
+    )
+
+
+def test_round3_additions_queue_behind_backlog():
+    green, _seen = _driver_evidence()
+    order = list(QUERIES)
+    backlog = [
+        k
+        for k in order
+        if k != "flagship"
+        and k not in green
+        and k not in _ADDED_R3
+        and QUERIES[k].oracle is not None
+    ]
+    if not backlog:  # backlog fully verified in a later round — rule is moot
+        return
+    last_backlog = max(order.index(k) for k in backlog)
+    early_new = [k for k in _ADDED_R3 if order.index(k) < last_backlog]
+    assert early_new == [], (
+        f"round-3 keys displace pre-existing unverified keys: {early_new}"
+    )
+
+
+def test_window_prefix_is_all_oracle_bearing():
+    # The driver's compare adds nothing for rows-only keys it has already
+    # seen; the 50-key window should spend its slots on hash-checkable rows.
+    prefix = list(QUERIES)[:50]
+    rows_only = [k for k in prefix if QUERIES[k].oracle is None]
+    _green, seen = _driver_evidence()
+    wasted = [k for k in rows_only if k in seen]
+    assert wasted == [], f"window slots wasted on already-seen rows-only keys: {wasted}"
