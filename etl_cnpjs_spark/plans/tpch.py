@@ -20,6 +20,17 @@ Determinism: revenue accumulates in decimal (registry convention) and the
 top-k ORDER BY sorts on the EXACT decimal with a unique-key tiebreaker,
 so the LIMIT selects an identical set in both engines; the double cast
 happens after.
+
+Broadcast-hint policy at 100 TB: hard `F.broadcast()` hints go only on
+(a) bounded-cardinality frames (nation/region/derived scalars) and
+(b) dimension sides that stay a small fixed FRACTION of the fact table
+under scale-up (part/supplier — TPC-H holds part ≈ lineitem/30 and
+supplier ≈ lineitem/10⁴, and the hinted sides are filtered further), so
+the broadcast grows ~500 MB–1 GB at SF100k versus re-shuffling the fact
+table twice — the right trade on a 1000-executor cluster. Frames that
+grow WITH the fact table (customer, orders) are never hard-hinted; AQE
+picks broadcast at small SF and sort-merge once they outgrow the
+threshold.
 """
 
 from __future__ import annotations
