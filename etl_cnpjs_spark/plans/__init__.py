@@ -136,6 +136,7 @@ _ADDED_R3 = [
     "tpch_q19",
     "tpch_q20",
     "tpch_q21",
+    "text_lm_score",
 ]
 
 

@@ -291,3 +291,85 @@ def text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (stop_ratio >= _MIN_STOP_RATIO)
         ).alias("keep"),
     )
+
+
+# --- text_lm_score ---------------------------------------------------------
+#
+# Bigram-LM fluency score — the perplexity-proxy member of the quality
+# family (stats/quality/repetition gate on surface shape; this gates on
+# SEQUENCE likelihood, the signal an actual LM-based quality filter uses).
+# Everything stays in INTEGER arithmetic so the score is engine-portable
+# and the oracle bit-exact: a float chain (log-probs summed in partition
+# order) would drift between engines, so each conditional probability
+# P(w_i | w_{i-1}) = c(bigram)/c(prev) is quantized to parts-per-1e9 with
+# bigint floor-division, and the per-doc mean is again a bigint DIV — no
+# double is ever produced on either side.
+
+_SQL_LM_SCORE = rf"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 2
+                    THEN list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i] || ' ' || toks[i + 1])
+                    ELSE [] END) AS bigram
+      FROM t),
+    cb AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY 1),
+    cp AS (SELECT split_part(bigram, ' ', 1) AS prev, sum(cb) AS cp
+           FROM cb GROUP BY 1),
+    sc AS (SELECT doc_id, (cb.cb * 1000000000) // cp.cp AS q9
+           FROM bg JOIN cb USING (bigram)
+           JOIN cp ON split_part(bg.bigram, ' ', 1) = cp.prev)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)            AS n_bigrams,
+           CAST(sum(q9) // count(*) AS BIGINT) AS lm_q9
+    FROM sc GROUP BY doc_id
+"""
+
+
+@register("text_lm_score", oracle=_SQL_LM_SCORE, tags=("north_star", "text", "lm"))
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-model fluency score: mean conditional bigram probability
+    per document, in parts-per-1e9 (higher = the document's word
+    transitions are typical of the corpus; boilerplate and shuffled-word
+    spam score low). lm_q9 = mean_i floor(1e9·c(w_{i-1}w_i)/c(w_{i-1}·)),
+    docs with ≥1 bigram.
+
+    Scale shape: the bigram model is ONE groupBy over exploded bigrams
+    (the training pass — at 100 TB it runs offline and persists); the
+    context model derives from the BIGRAM model (sum of cb grouped by
+    prefix — model-sized, never re-shuffles the postings); both join
+    back by broadcast, so scoring is scan-side and the only corpus-grain
+    exchange is the final doc_id aggregate. Integer quantization (not
+    log-prob doubles) keeps the whole pipeline oracle-checkable — same
+    convention as graph_pagerank's 1e15 contributions."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    bigrams = F.when(F.size(toks) >= 2, make).otherwise(
+        F.array().cast("array<string>")
+    )
+    bg = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    cp = (
+        cb.withColumn("prev", F.substring_index(F.col("bigram"), " ", 1))
+        .groupBy("prev")
+        .agg(F.sum("cb").alias("cp"))
+    )
+    scored = (
+        bg.join(F.broadcast(cb), "bigram")
+        .join(
+            F.broadcast(cp),
+            F.substring_index(F.col("bigram"), " ", 1) == F.col("prev"),
+        )
+        .select("doc_id", F.expr("cb * 1000000000L DIV cp").alias("q9"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("sum(q9) DIV count(1)").cast("bigint").alias("lm_q9"),
+    )
