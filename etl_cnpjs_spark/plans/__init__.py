@@ -137,6 +137,7 @@ _ADDED_R3 = [
     "tpch_q20",
     "tpch_q21",
     "text_lm_score",
+    "text_dup_span_frac",
 ]
 
 

@@ -571,3 +571,55 @@ def dedup_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard(cand, sh, "doc_id", "sh").filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
+
+
+# --- text_dup_span_frac ----------------------------------------------------
+
+
+@register(
+    "text_dup_span_frac",
+    oracle=_SQL_SHINGLES
+    + """
+  , e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+  df AS (SELECT doc_id, count(*) OVER (PARTITION BY s) AS df FROM e)
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT)                                   AS n_shingles,
+         CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)   AS n_dup,
+         CAST((sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000)
+              // count(*) AS BIGINT)                                AS dup_frac_q6
+  FROM df GROUP BY doc_id
+    """,
+    tags=("north_star", "dedup", "text"),
+)
+def text_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-text fraction — the Gopher/RefinedWeb
+    repetition-ACROSS-documents gate (text_repetition measures repetition
+    WITHIN a doc): the share of a doc's distinct 3-gram shingles that
+    appear in at least one OTHER document, in parts-per-1e6 (bigint
+    floor-division — engine-portable, no doubles). Boilerplate-heavy and
+    templated pages score high and get dropped/downweighted before
+    near-dup pair detection ever runs, shrinking the posting join's
+    candidate volume at the source.
+
+    Scale shape: corpus-level document frequency is a count window over
+    hash(shingle) — the one posting-grain exchange (same convention as
+    dedup_stopshingle, NOT a groupBy + re-join that would shuffle the
+    postings twice) — followed by the doc-grain aggregate. Reuses the
+    memoized shingle frame the rest of the dedup family shares."""
+    sh = _doc_shingles(spark, sf_dir)
+    e = sh.select("doc_id", F.explode("sh").alias("s"))
+    df = e.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+    n_dup = F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0)).cast("bigint")
+    return (
+        df.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            n_dup.alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            F.expr("n_dup * 1000000L DIV n_shingles").alias("dup_frac_q6"),
+        )
+    )
