@@ -36,9 +36,15 @@ def oracle_sql() -> dict[str, str]:
     weaker rows-only check."""
     # cnpj_flagship's oracle reads a staged feed (the CNPJ fixture drop
     # ingested reference-faithfully) rather than the testdata views —
-    # publish it for the driver-correctness SF before handing the SQL out,
-    # so the oracle runs even if it is executed before the Spark side.
-    from etl_cnpjs_spark.plans.cnpj_parity import stage_oracle_feed
+    # publish it for the SF the oracle SQL embeds (size-keyed dir; the
+    # driver's sf0.01 unless the local suite overrode it) before handing
+    # the SQL out, so the oracle runs even if executed before the Spark
+    # side.
+    import os as _os
 
-    stage_oracle_feed()
+    from etl_cnpjs_spark.plans.cnpj_parity import _sizes_for, stage_oracle_feed
+
+    stage_oracle_feed(
+        _sizes_for(_os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "sf0.01"))
+    )
     return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}

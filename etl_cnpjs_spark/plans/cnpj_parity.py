@@ -56,29 +56,37 @@ def _sizes_for(sf_dir: str) -> tuple[int, int]:
 
 
 # Deterministic oracle-feed location baked into the oracle SQL string.
-_ORACLE_FEED_DIR = os.path.join(tempfile.gettempdir(), "cnpj_oracle_feed", "current")
+# SIZE-KEYED: each fixture volume stages into its own directory, so
+# processes comparing at different SFs (the driver at sf0.01, the local
+# suite at sf0.001/0.1, bench at sf0.1 — possibly concurrently) never
+# clobber each other's feed between the Spark run and the oracle run.
+_ORACLE_FEED_ROOT = os.path.join(tempfile.gettempdir(), "cnpj_oracle_feed")
+
+
+def _feed_dir(sizes: tuple[int, int]) -> str:
+    return os.path.join(_ORACLE_FEED_ROOT, f"{sizes[0]}x{sizes[1]}")
 
 
 def stage_oracle_feed(sizes: tuple[int, int] | None = None) -> str:
     """Publish the DuckDB oracle feed: deterministic fixture shards
     (seed 42) ingested exactly as the reference ingests them — pandas
     dtype=str over latin-1 ';' headerless CSV (etl.py:87) — one parquet
-    per QUERY_FINAL table at a deterministic path. Idempotent per size
-    (marker file); per-file os.replace keeps readers consistent. Only the
-    fixture generator is shared with the Spark path: the bytes under
-    comparison are produced by two independent ingestion stacks."""
+    per QUERY_FINAL table at a deterministic size-keyed path. Idempotent
+    per size (marker file); per-file os.replace keeps readers consistent.
+    Only the fixture generator is shared with the Spark path: the bytes
+    under comparison are produced by two independent ingestion stacks."""
     sizes = sizes or _SIZES["0.01"]
-    marker = os.path.join(_ORACLE_FEED_DIR, "_SIZES")
-    want = f"{sizes[0]}x{sizes[1]}"
+    feed = _feed_dir(sizes)
+    marker = os.path.join(feed, "_DONE")
     try:
         with open(marker) as f:
-            if f.read() == want:
-                return _ORACLE_FEED_DIR
+            if f.read() == "done":
+                return feed
     except OSError:
         pass
     import pandas as pd
 
-    os.makedirs(_ORACLE_FEED_DIR, exist_ok=True)
+    os.makedirs(feed, exist_ok=True)
     src = tempfile.mkdtemp(prefix="cnpj_feed_src_")
     try:
         paths = fixtures.generate(src, seed=42, n_empresas=sizes[0], n_estab=sizes[1])
@@ -93,24 +101,30 @@ def stage_oracle_feed(sizes: tuple[int, int] | None = None) -> str:
                 ],
                 ignore_index=True,
             )
-            tmp = os.path.join(_ORACLE_FEED_DIR, f".{t}.tmp{os.getpid()}.parquet")
+            tmp = os.path.join(feed, f".{t}.tmp{os.getpid()}.parquet")
             pdf.to_parquet(tmp, index=False)
-            os.replace(tmp, os.path.join(_ORACLE_FEED_DIR, f"{t}.parquet"))
+            os.replace(tmp, os.path.join(feed, f"{t}.parquet"))
         tmp = f"{marker}.tmp{os.getpid()}"
         with open(tmp, "w") as f:
-            f.write(want)
+            f.write("done")
         os.replace(tmp, marker)
     finally:
         shutil.rmtree(src, ignore_errors=True)
-    return _ORACLE_FEED_DIR
+    return feed
 
 
 def _oracle_sql() -> str:
     """WITH raw_* (read_parquet feed) + affinity views + QUERY_FINAL,
-    verbatim — the whole reference pipeline as one DuckDB statement."""
+    verbatim — the whole reference pipeline as one DuckDB statement.
+    The feed path is size-keyed and resolved AT IMPORT from the same SF
+    the local suite compares at (SPARK_GRAFT_TEST_SF_DIR, default the
+    driver's sf0.01), so a process comparing at one SF always reads the
+    feed staged for that SF, whatever other processes stage elsewhere."""
+    sizes = _sizes_for(os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "sf0.01"))
+    feed = _feed_dir(sizes)
     ctes = []
     for t in AFFINITY_KEYS:
-        path = os.path.join(_ORACLE_FEED_DIR, f"{t}.parquet")
+        path = os.path.join(feed, f"{t}.parquet")
         ctes.append(f"raw_{t} AS (SELECT * FROM read_parquet('{path}'))")
         ctes.append(f"{t} AS ({affinity_view_sql(t, 'raw_' + t)})")
     return "WITH " + ",\n     ".join(ctes) + QUERY_FINAL
