@@ -158,3 +158,91 @@ def wav_roundtrip_map_in_pandas(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=WAV_SCHEMA)
+
+
+# --- real PCM feature extraction (decode → samples → features) -------------
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, n_samples long, peak_abs long, energy long, zero_crossings long"
+)
+
+
+def synth_wav_tone(doc_id: int, n_samples: int) -> bytes:
+    """Like synth_wav but with a NON-TRIVIAL payload: a mono 16-bit
+    integer sawtooth whose period varies per doc
+    (period = 16 + doc_id % 17, sample_i = (i % period)·65536 // period
+    − 32768). Pure integer arithmetic, so downstream features have exact
+    closed forms any engine can re-derive."""
+    import struct
+
+    import numpy as np
+
+    rate = 8000 * (1 + doc_id % 3)
+    period = 16 + doc_id % 17
+    i = np.arange(n_samples, dtype=np.int64)
+    vals = ((i % period) * 65536 // period - 32768).astype("<i2")
+    data = vals.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav_pcm16(blob: bytes):
+    """Decode a 16-bit PCM WAV payload to its sample array: header via
+    parse_wav (same validation), then the data chunk located by a second
+    chunk walk. Returns a numpy int16 array."""
+    import struct
+
+    import numpy as np
+
+    channels, rate, bits, n_samples = parse_wav(blob)
+    if bits != 16:
+        raise ValueError(f"expected 16-bit PCM, got {bits}")
+    pos = 12
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        clen = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+        if cid == b"data":
+            return np.frombuffer(blob, dtype="<i2", count=clen // 2, offset=pos + 8)
+        pos += 8 + clen + (clen % 2)
+    raise ValueError("missing data chunk")
+
+
+def audio_features_map_in_pandas(df: DataFrame) -> DataFrame:
+    """(doc_id, n_samples) → synthesize a tone WAV, parse the BYTES back
+    to samples, and compute integer features over the decoded PCM:
+    peak_abs = max |s|, energy = Σ s² (exact bigint), zero_crossings =
+    sign flips between consecutive samples (sign(0) = +1). All work is
+    vectorized numpy over Arrow batches on executors — the feature
+    extraction an audio curation pipeline runs after decode, proven
+    through actual container bytes."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_samples in zip(pdf["doc_id"], pdf["n_samples"]):
+                blob = synth_wav_tone(int(doc_id), int(n_samples))
+                s = parse_wav_pcm16(blob).astype(np.int64)
+                signs = np.where(s >= 0, 1, -1)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(s.size),
+                        int(np.abs(s).max()) if s.size else 0,
+                        int((s * s).sum()),
+                        int((signs[1:] != signs[:-1]).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "peak_abs", "energy", "zero_crossings",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)

@@ -138,6 +138,7 @@ _ADDED_R3 = [
     "tpch_q21",
     "text_lm_score",
     "text_dup_span_frac",
+    "mm_audio_features",
 ]
 
 

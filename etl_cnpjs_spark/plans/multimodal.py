@@ -136,3 +136,50 @@ def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("n_chars") * 10).alias("n_samples")
     )
     return wav_roundtrip_map_in_pandas(d)
+
+
+@register(
+    "mm_audio_features",
+    oracle="""
+    WITH p AS (SELECT doc_id, n_chars * 10 AS n, 16 + doc_id % 17 AS per
+               FROM documents WHERE n_chars > 0),
+    v AS (SELECT doc_id, n, per, unnest(generate_series(0, n - 1)) AS i FROM p),
+    s AS (SELECT doc_id, n, i,
+                 ((i % per) * 65536 // per) - 32768 AS smp
+          FROM v),
+    w AS (SELECT doc_id, n, smp,
+                 lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+          FROM s)
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT)            AS n_samples,
+           CAST(max(abs(smp)) AS BIGINT)     AS peak_abs,
+           CAST(sum(smp * smp) AS BIGINT)    AS energy,
+           CAST(sum(CASE WHEN prev IS NOT NULL
+                          AND (CASE WHEN smp >= 0 THEN 1 ELSE -1 END)
+                           <> (CASE WHEN prev >= 0 THEN 1 ELSE -1 END)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM w GROUP BY doc_id
+    """,
+    tags=("north_star", "multimodal", "udf"),
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over DECODED samples — the step after
+    mm_decode_wav a curation pipeline actually needs (energy/silence
+    gates, clipping detection): each doc synthesizes a sawtooth-PCM WAV
+    (operators/multimodal.py::synth_wav_tone), the BYTES are parsed back
+    to int16 samples, and peak |s|, exact Σ s² energy, and
+    zero-crossing counts are computed with vectorized numpy over Arrow
+    batches, executor-side. All-integer features, so the oracle
+    re-derives them in closed form from the same sample formula — the
+    compare proves encode → byte-walk → PCM decode → feature math end
+    to end. Scale shape: scan-side mapInPandas, no shuffle; at 100 TB
+    media bytes never leave the task (only the 4-number feature row
+    does), the rule SCALE.md's multimodal section sets."""
+    from etl_cnpjs_spark.operators.multimodal import audio_features_map_in_pandas
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", (F.col("n_chars") * 10).alias("n_samples"))
+        .filter(F.col("n_samples") > 0)
+    )
+    return audio_features_map_in_pandas(d)
