@@ -108,3 +108,34 @@ def test_wav_synth_parse_roundtrip_and_poison():
     )
     with pytest.raises(ValueError, match="truncated fmt"):
         parse_wav(truncated)
+
+
+def test_wav_tone_pcm_roundtrip_and_poison():
+    """synth_wav_tone → parse_wav_pcm16 must hand back the exact sample
+    array the synthesizer computed (the feature math upstream of the
+    oracle depends on it), and non-16-bit or data-less blobs must raise
+    the documented ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etl_cnpjs_spark.operators.multimodal import (
+        parse_wav_pcm16,
+        synth_wav_tone,
+    )
+
+    for doc_id, n in [(0, 1), (3, 17), (12, 1280)]:
+        s = parse_wav_pcm16(synth_wav_tone(doc_id, n))
+        period = 16 + doc_id % 17
+        i = np.arange(n, dtype=np.int64)
+        expect = ((i % period) * 65536 // period - 32768).astype(np.int16)
+        assert np.array_equal(s, expect)
+
+    # 8-bit fmt header → documented error, not silent garbage
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+    body += b"data" + struct.pack("<I", 0)
+    blob8 = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="16-bit"):
+        parse_wav_pcm16(blob8)
