@@ -139,6 +139,7 @@ _ADDED_R3 = [
     "text_lm_score",
     "text_dup_span_frac",
     "mm_audio_features",
+    "join_interval_overlap",
 ]
 
 

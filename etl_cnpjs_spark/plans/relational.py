@@ -835,3 +835,101 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("matched_p_ts0")).alias("last_purchase_ts"),
         (~fresh).alias("stale"),
     )
+
+
+# --- join_interval_overlap -------------------------------------------------
+
+_IVL_BIN = 16  # days per blocking bin; intervals here span ≤ 14 days → ≤ 2 bins
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey AS a_id,
+             date_diff('day', DATE '1992-01-01', o_orderdate) AS a_start,
+             date_diff('day', DATE '1992-01-01', o_orderdate)
+               + 1 + o_orderkey % 14 AS a_end
+      FROM orders WHERE o_orderkey % 251 = 0),
+    b AS (
+      SELECT DISTINCT l_orderkey * 10 + l_linenumber AS b_id,
+             date_diff('day', DATE '1992-01-01', l_shipdate) AS b_start,
+             date_diff('day', DATE '1992-01-01', l_shipdate)
+               + 1 + l_linenumber AS b_end
+      FROM lineitem WHERE (l_orderkey * 10 + l_linenumber) % 7 = 0)
+    SELECT DISTINCT a_id, b_id,
+           CAST(least(a_end, b_end) - greatest(a_start, b_start) AS BIGINT)
+             AS overlap_days
+    FROM a JOIN b ON a_start < b_end AND b_start < a_end
+    """,
+    tags=("join", "interval"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join with NO equi key — the shape equi+range
+    residual (join_range) can't express: order validity windows
+    [start, start+1..14d) × shipment windows, pairs where the intervals
+    intersect. Naive Spark plans this as a nested-loop cross product;
+    the scalable form BLOCKS BOTH SIDES TO FIXED-WIDTH BINS (the
+    Databricks range-join-hint technique, hand-built): each interval
+    explodes to the {_IVL_BIN}-day bins it covers (≤ 2 here), the join
+    becomes a bin equi-join with the overlap predicate as residual, and
+    a distinct collapses double-matches from pairs sharing two bins.
+    Work is Σ bin²-per-bucket — linear for bounded interval length,
+    never |A|×|B|. All arithmetic in integer epoch days, so the oracle
+    (the naive overlap join, fine at oracle scale) is bit-exact.
+    tests/test_plans.py pins the no-cartesian claim."""
+    epoch = F.lit("1992-01-01").cast("date")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 251 == 0)
+    a = o.select(
+        F.col("o_orderkey").alias("a_id"),
+        F.datediff(F.col("o_orderdate"), epoch).alias("a_start"),
+        (
+            F.datediff(F.col("o_orderdate"), epoch)
+            + 1
+            + F.col("o_orderkey") % 14
+        ).alias("a_end"),
+    )
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "b_id", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    ).filter(F.col("b_id") % 7 == 0)
+    # the testdata's lineitem repeats (orderkey, linenumber), so the
+    # interval set is declared DISTINCT on both sides; output is the
+    # distinct (a, b, overlap) set (bin double-matches collapse in the
+    # same distinct)
+    b = li.select(
+        "b_id",
+        F.datediff(F.col("l_shipdate"), epoch).alias("b_start"),
+        (F.datediff(F.col("l_shipdate"), epoch) + 1 + F.col("l_linenumber")).alias(
+            "b_end"
+        ),
+    ).distinct()
+
+    def binned(df, start, end):
+        return df.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{start} DIV {_IVL_BIN}"),
+                    F.expr(f"({end} - 1) DIV {_IVL_BIN}"),
+                )
+            ),
+        )
+
+    pairs = (
+        binned(a, "a_start", "a_end")
+        .join(
+            binned(b, "b_start", "b_end"),
+            ["__bin"],
+        )
+        .filter((F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end")))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.least(F.col("a_end"), F.col("b_end"))
+                - F.greatest(F.col("a_start"), F.col("b_start"))
+            ).cast("bigint").alias("overlap_days"),
+        )
+        .distinct()
+    )
+    return pairs

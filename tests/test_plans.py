@@ -410,3 +410,13 @@ def test_stopshingle_df_filter_shares_posting_shuffle(spark, sf_dir):
     exchange across the self-join's two sides at runtime."""
     plan = explain_str(QUERIES["dedup_stopshingle"].fn(spark, sf_dir), "simple")
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_interval_overlap_join_is_not_cartesian(spark, sf_dir):
+    """The no-equi-key interval overlap join must plan as a bin
+    equi-join (hash/sort-merge) with the overlap predicate as residual —
+    never a nested-loop cross product, which is what Spark does with a
+    raw interval-intersection condition."""
+    plan = explain_str(QUERIES["join_interval_overlap"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

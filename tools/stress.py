@@ -179,8 +179,44 @@ def main() -> None:
             F.count(F.lit(1)).alias("nd")
         )
 
+    # stop-shingle posting join: replication multiplies every shingle's
+    # document frequency by k, so at k=10 most of the head crosses the
+    # df≤64 cap and is dropped BEFORE candidate generation — the bounded
+    # candidate volume is the claim under stress. (Pairs whose entire
+    # overlap goes over-cap are lost by design; the pair counts report
+    # that honestly.)
+    def stopshingle_pairs(d):
+        from pyspark.sql import Window as W
+
+        sh = (
+            d.select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
+            .filter(F.size("sh") > 0)
+            .localCheckpoint()
+        )
+        e = sh.select("doc_id", F.explode("sh").alias("s"))
+        ek = (
+            e.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("s")))
+            .filter(F.col("df") <= 64)
+            .drop("df")
+        )
+        a, b = ek.alias("a"), ek.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+            .distinct()
+        )
+        return exact_jaccard(cand, sh, "doc_id", "sh").filter(
+            F.col("jaccard") >= 0.8
+        )
+
     x1, c1 = timed(lambda: decontaminate(docs).count())
     xk, ck = timed(lambda: decontaminate(docs_k).count())
+    w1, a1 = timed(lambda: stopshingle_pairs(docs).count())
+    wk, ak = timed(lambda: stopshingle_pairs(docs_k).count())
     z1, b1 = timed(lambda: pack(docs).count())
     zk, bk = timed(lambda: pack(docs_k).count())
 
@@ -202,6 +238,8 @@ def main() -> None:
         "decontaminate_ratio": round(xk / x1, 1), "decontaminate_flagged": [c1, ck],
         "pack_1x_sec": z1, "pack_kx_sec": zk,
         "pack_ratio": round(zk / z1, 1), "pack_sequences": [b1, bk],
+        "stopshingle_1x_sec": w1, "stopshingle_kx_sec": wk,
+        "stopshingle_ratio": round(wk / w1, 1), "stopshingle_pairs": [a1, ak],
     }))
 
 
