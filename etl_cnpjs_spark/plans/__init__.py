@@ -140,6 +140,7 @@ _ADDED_R3 = [
     "text_dup_span_frac",
     "mm_audio_features",
     "join_interval_overlap",
+    "stream_join",
 ]
 
 

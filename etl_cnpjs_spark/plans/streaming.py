@@ -12,6 +12,7 @@ exercised in the streaming tests).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_cnpjs_spark.catalog import table
 from etl_cnpjs_spark.plans.registry import register
@@ -131,3 +132,42 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cnpjs_spark.streaming.windows import dedup_events
 
     return dedup_events(table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_join",
+    oracle="""
+    SELECT c.event_id AS cid, b.event_id AS bid,
+           CAST(epoch_us(b.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+    FROM events c JOIN events b
+      ON c.event_type = 'click' AND b.event_type = 'purchase'
+     AND c.user_id = b.user_id
+     AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+    tags=("streaming", "join"),
+)
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch form: clicks matched to the
+    same user's purchases within 10 minutes (attribution). The identical
+    transform (streaming/windows.py::click_purchase_join) runs under
+    readStream with watermarks on BOTH sides in
+    tests/test_streaming.py::test_stream_stream_interval_join — the
+    interval + watermark bound state retention, which is what makes the
+    join runnable unbounded. Batch plan shape: one hash(user) exchange
+    feeding an equi-join with the time interval as residual (never a
+    cross product); lag is exact epoch-µs integer arithmetic so the
+    oracle hash-matches."""
+    from etl_cnpjs_spark.streaming.windows import click_purchase_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("bu"),
+        F.col("ts").alias("bts"),
+        F.col("event_id").alias("bid"),
+    )
+    return click_purchase_join(clicks, buys)

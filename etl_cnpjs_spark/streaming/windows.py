@@ -111,3 +111,26 @@ def dedup_events(events: DataFrame, streaming: bool = False) -> DataFrame:
             list(DEDUP_KEYS)
         )
     return keyed.dropDuplicates(list(DEDUP_KEYS))
+
+
+def click_purchase_join(clicks: DataFrame, buys: DataFrame) -> DataFrame:
+    """Event-time interval join: each click matched to the same user's
+    purchases within the next 10 minutes. Shared by the batch plan
+    (stream_join) and the streaming test
+    (tests/test_streaming.py::test_stream_stream_interval_join); under
+    readStream both sides carry watermarks, and the interval + watermark
+    BOUND click-state retention — the property that makes a
+    stream-stream join runnable forever. Inputs must carry
+    (cu, cts, cid) / (bu, bts, bid) columns."""
+    cond = (
+        (F.col("cu") == F.col("bu"))
+        & (F.col("bts") >= F.col("cts"))
+        & (F.col("bts") <= F.col("cts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return clicks.join(buys, cond).select(
+        F.col("cid"),
+        F.col("bid"),
+        (F.unix_micros(F.col("bts")) - F.unix_micros(F.col("cts"))).alias(
+            "lag_us"
+        ),
+    )

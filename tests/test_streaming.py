@@ -162,13 +162,11 @@ def test_stream_stream_interval_join(spark, sf_dir, events_dir):
     buys_b = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("bu"), F.col("ts").alias("bts"), F.col("event_id").alias("bid")
     )
-    cond = (
-        (F.col("cu") == F.col("bu"))
-        & (F.col("bts") >= F.col("cts"))
-        & (F.col("bts") <= F.col("cts") + F.expr("INTERVAL 10 MINUTES"))
-    )
+    from etl_cnpjs_spark.streaming.windows import click_purchase_join
+
     batch = {
-        (r.cid, r.bid) for r in clicks_b.join(buys_b, cond).select("cid", "bid").collect()
+        (r.cid, r.bid)
+        for r in click_purchase_join(clicks_b, buys_b).select("cid", "bid").collect()
     }
 
     src = spark.readStream.schema(spark.read.parquet(events_dir).schema).parquet(events_dir)
@@ -183,7 +181,9 @@ def test_stream_stream_interval_join(spark, sf_dir, events_dir):
         .withWatermark("bts", "1 hour")
     )
     _run_to_memory(
-        clicks_s.join(buys_s, cond).select("cid", "bid"), "t_ssjoin", "append"
+        click_purchase_join(clicks_s, buys_s).select("cid", "bid"),
+        "t_ssjoin",
+        "append",
     )
     got = {(r.cid, r.bid) for r in spark.table("t_ssjoin").collect()}
     assert got == batch
