@@ -355,7 +355,15 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array().cast("array<string>")
     )
     bg = d.select("doc_id", F.explode(bigrams).alias("bigram"))
-    cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    # the model frame has two consumers (context derivation + broadcast
+    # scoring join); materialize it so the posting-grain groupBy runs
+    # once (localCheckpoint per the repo's multi-consumer convention —
+    # persist/staged parquet on a cluster)
+    cb = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint()
+    )
     cp = (
         cb.withColumn("prev", F.substring_index(F.col("bigram"), " ", 1))
         .groupBy("prev")
