@@ -213,12 +213,137 @@ def main() -> None:
             F.col("jaccard") >= 0.8
         )
 
+    # bigram-LM scoring (text_lm_score shape): replication leaves the
+    # VOCABULARY unchanged (every replica emits the same bigrams), so the
+    # model frame stays constant-size while the scored postings grow k× —
+    # exactly the bounded-model production regime the plan's broadcast
+    # presumes. Near-linear wall is the claim.
+    def lm_score(d):
+        toks = tokens(F.col("text"))
+        n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+        make = F.zip_with(
+            F.slice(toks, 1, n1), F.slice(toks, 2, n1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        bigrams = F.when(F.size(toks) >= 2, make).otherwise(
+            F.array().cast("array<string>")
+        )
+        bg = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        cb = (
+            bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb")).localCheckpoint()
+        )
+        cp = (
+            cb.withColumn("prev", F.substring_index(F.col("bigram"), " ", 1))
+            .groupBy("prev")
+            .agg(F.sum("cb").alias("cp"))
+        )
+        return (
+            bg.join(F.broadcast(cb), "bigram")
+            .join(
+                F.broadcast(cp),
+                F.substring_index(F.col("bigram"), " ", 1) == F.col("prev"),
+            )
+            .select("doc_id", F.expr("cb * 1000000000L DIV cp").alias("q9"))
+            .groupBy("doc_id")
+            .agg(F.expr("sum(q9) DIV count(1)").alias("lm_q9"))
+        )
+
+    # across-document duplicated-span fraction (text_dup_span_frac
+    # shape): one count window over hash(shingle). Replication multiplies
+    # every posting list by k — the window partitions grow k× but the
+    # work stays Σ|postings|, not Σ|postings|².
+    def dup_span_frac(d):
+        from pyspark.sql import Window as W
+
+        sh = d.select("doc_id", shingles(tokens(F.col("text"))).alias("sh")).filter(
+            F.size("sh") > 0
+        )
+        e = sh.select("doc_id", F.explode("sh").alias("s"))
+        dfc = e.withColumn("__df", F.count(F.lit(1)).over(W.partitionBy("s")))
+        return dfc.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0)).alias("nd"),
+        )
+
+    # interval-overlap join (join_interval_overlap shape), on integer-day
+    # interval frames. Growth axis = MORE HISTORY: each replica shifts its
+    # intervals by i×10 000 days, so the time range (and bin count) grows
+    # k× while per-bin density stays constant — the realistic scale-up for
+    # time-interval data, under which bin blocking is linear. (Replicating
+    # WITHOUT the shift would k²-grow pairs inside each bin — that regime
+    # is corpus-density growth, same class as the LSH corpus point above.)
+    def interval_frames(k_reps: int):
+        o = table(spark, SF_DIR, "orders").filter(F.col("o_orderkey") % 17 == 0)
+        li2 = table(spark, SF_DIR, "lineitem").withColumn(
+            "b_id", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+        ).filter(F.col("b_id") % 3 == 0)
+        epoch = F.lit("1992-01-01").cast("date")
+        a0 = o.select(
+            F.col("o_orderkey").alias("a_id"),
+            F.datediff(F.col("o_orderdate"), epoch).alias("a_start"),
+            (F.datediff(F.col("o_orderdate"), epoch) + 1 + F.col("o_orderkey") % 14).alias("a_end"),
+        )
+        b0 = li2.select(
+            "b_id",
+            F.datediff(F.col("l_shipdate"), epoch).alias("b_start"),
+            (F.datediff(F.col("l_shipdate"), epoch) + 1 + F.col("l_linenumber")).alias("b_end"),
+        ).distinct()
+        def shift(df, ks, day_cols):
+            parts = []
+            for i in range(k_reps):
+                p = df
+                for c in ks:
+                    p = p.withColumn(c, F.col(c) + i * KEY_STRIDE)
+                for c in day_cols:
+                    p = p.withColumn(c, F.col(c) + i * 10_000)
+                parts.append(p)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+        if k_reps == 1:
+            return a0, b0
+        return (
+            shift(a0, ["a_id"], ["a_start", "a_end"]),
+            shift(b0, ["b_id"], ["b_start", "b_end"]),
+        )
+
+    def interval_overlap(a, b, bin_days=16):
+        def binned(df, start, end):
+            return df.withColumn(
+                "__bin",
+                F.explode(
+                    F.sequence(
+                        F.expr(f"{start} DIV {bin_days}"),
+                        F.expr(f"({end} - 1) DIV {bin_days}"),
+                    )
+                ),
+            )
+        return (
+            binned(a, "a_start", "a_end")
+            .join(binned(b, "b_start", "b_end"), ["__bin"])
+            .filter(
+                (F.col("a_start") < F.col("b_end"))
+                & (F.col("b_start") < F.col("a_end"))
+            )
+            .select("a_id", "b_id")
+            .distinct()
+        )
+
     x1, c1 = timed(lambda: decontaminate(docs).count())
     xk, ck = timed(lambda: decontaminate(docs_k).count())
     w1, a1 = timed(lambda: stopshingle_pairs(docs).count())
     wk, ak = timed(lambda: stopshingle_pairs(docs_k).count())
     z1, b1 = timed(lambda: pack(docs).count())
     zk, bk = timed(lambda: pack(docs_k).count())
+    m1t, mr1 = timed(lambda: lm_score(docs).count())
+    mkt, mrk = timed(lambda: lm_score(docs_k).count())
+    u1, ur1 = timed(lambda: dup_span_frac(docs).count())
+    uk, urk = timed(lambda: dup_span_frac(docs_k).count())
+    ia1, ib1 = interval_frames(1)
+    iak, ibk = interval_frames(k)
+    v1, vr1 = timed(lambda: interval_overlap(ia1, ib1).count())
+    vk, vrk = timed(lambda: interval_overlap(iak, ibk).count())
 
     print(json.dumps({
         "k": k,
@@ -240,6 +365,12 @@ def main() -> None:
         "pack_ratio": round(zk / z1, 1), "pack_sequences": [b1, bk],
         "stopshingle_1x_sec": w1, "stopshingle_kx_sec": wk,
         "stopshingle_ratio": round(wk / w1, 1), "stopshingle_pairs": [a1, ak],
+        "lm_score_1x_sec": m1t, "lm_score_kx_sec": mkt,
+        "lm_score_ratio": round(mkt / m1t, 1), "lm_score_rows": [mr1, mrk],
+        "dup_span_1x_sec": u1, "dup_span_kx_sec": uk,
+        "dup_span_ratio": round(uk / u1, 1), "dup_span_rows": [ur1, urk],
+        "interval_1x_sec": v1, "interval_kx_sec": vk,
+        "interval_ratio": round(vk / v1, 1), "interval_pairs": [vr1, vrk],
     }))
 
 
