@@ -141,6 +141,7 @@ _ADDED_R3 = [
     "mm_audio_features",
     "join_interval_overlap",
     "stream_join",
+    "cdc_scd2",
 ]
 
 

@@ -727,6 +727,100 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- cdc_scd2 --------------------------------------------------------------
+
+
+@register(
+    "cdc_scd2",
+    oracle="""
+    WITH feed AS (
+      SELECT o_orderkey AS key, o_orderdate AS eff_ts,
+             'v1-' || lower(o_orderstatus) AS status
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY,
+             CASE WHEN o_orderkey % 60 = 0 THEN 'v1-' || lower(o_orderstatus)
+                  ELSE 'v2-' || lower(o_orderstatus) END
+      FROM orders WHERE o_orderkey % 20 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderdate + INTERVAL 60 DAY,
+             'v3-' || lower(o_orderstatus)
+      FROM orders WHERE o_orderkey % 40 = 0
+    ), ch AS (
+      SELECT key, eff_ts, status,
+             lag(status) OVER (PARTITION BY key ORDER BY eff_ts) AS prev
+      FROM feed
+    ), kept AS (
+      SELECT key, eff_ts, status FROM ch
+      WHERE prev IS NULL OR status <> prev
+    )
+    SELECT key, status, eff_ts AS valid_from,
+           lead(eff_ts) OVER (PARTITION BY key ORDER BY eff_ts) AS valid_to,
+           (lead(eff_ts) OVER (PARTITION BY key ORDER BY eff_ts) IS NULL)
+             AS is_current
+    FROM kept
+    """,
+    tags=("cdc", "scd2", "window"),
+)
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build — the history half of the
+    CDC pair (cdc_apply is the type-1 latest-wins snapshot): turn a
+    change feed of (key, effective-time, attribute) into validity
+    intervals [valid_from, valid_to) with an is_current flag, the shape
+    every warehouse dimension load and feature-store history table
+    needs. Consecutive no-change rows are suppressed first (lag over
+    the per-key time order — a v2 record restating v1's value must NOT
+    open a new interval; keys % 60 exercise exactly that), then
+    valid_to = lead(eff_ts) and the open interval marks the current
+    row.
+
+    Scale shape: the feed is derived from orders (deterministic, so
+    the oracle re-derives it — the cdc_apply pattern); both windows
+    share one (key) partitioning and one (eff_ts) sort, so the whole
+    build is a SINGLE feed-sized exchange + sort reused by lag and
+    lead — never a self-join of the feed, and the base table is not
+    involved at all. At 100 TB the feed is the small CDC side; the
+    interval table appends partition-by-current-date."""
+    o = table(spark, sf_dir, "orders")
+
+    def slice_(mod: int, ver: int):
+        f = o.filter(F.col("o_orderkey") % mod == 0)
+        if ver == 1:
+            st = F.concat(F.lit("v1-"), F.lower("o_orderstatus"))
+            ts = F.col("o_orderdate")
+        elif ver == 2:
+            st = F.when(
+                F.col("o_orderkey") % 60 == 0,
+                F.concat(F.lit("v1-"), F.lower("o_orderstatus")),
+            ).otherwise(F.concat(F.lit("v2-"), F.lower("o_orderstatus")))
+            ts = F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+        else:
+            st = F.concat(F.lit("v3-"), F.lower("o_orderstatus"))
+            ts = F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        return f.select(
+            F.col("o_orderkey").alias("key"),
+            ts.alias("eff_ts"),
+            st.alias("status"),
+        )
+
+    feed = slice_(10, 1).unionAll(slice_(20, 2)).unionAll(slice_(40, 3))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("key").orderBy("eff_ts")
+    kept = (
+        feed.withColumn("prev", F.lag("status").over(w))
+        .filter(F.col("prev").isNull() | (F.col("status") != F.col("prev")))
+        .select("key", "eff_ts", "status")
+    )
+    return kept.select(
+        "key",
+        "status",
+        F.col("eff_ts").alias("valid_from"),
+        F.lead("eff_ts").over(w).alias("valid_to"),
+        F.lead("eff_ts").over(w).isNull().alias("is_current"),
+    )
+
+
 # --- graph_pagerank --------------------------------------------------------
 
 _PR_D = 0.85  # damping

@@ -420,3 +420,13 @@ def test_interval_overlap_join_is_not_cartesian(spark, sf_dir):
     plan = explain_str(QUERIES["join_interval_overlap"].fn(spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_single_exchange_shared_by_both_windows(spark, sf_dir):
+    """The SCD2 build's lag (no-change suppression) and lead (valid_to)
+    windows share one (key) partitioning and one eff_ts sort — the whole
+    history build must be a single feed-sized exchange + sort, never a
+    feed self-join or a second shuffle for the second window."""
+    plan = explain_str(QUERIES["cdc_scd2"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") == 1
