@@ -67,6 +67,27 @@ def _feed_dir(sizes: tuple[int, int]) -> str:
     return os.path.join(_ORACLE_FEED_ROOT, f"{sizes[0]}x{sizes[1]}")
 
 
+# Generated fixture SOURCE (the CSV/zip drop), memoized per size and
+# process: the Spark env and the DuckDB feed each ingest it with their
+# own independent stack, but the deterministic generator (seed 42) need
+# only run once — it produces byte-identical shards either way, and at
+# sf0.1 volume it costs ~5 s of the staging budget.
+_fixture_src_cache: dict[tuple[int, int], tuple[str, dict]] = {}
+
+
+def _generated_fixtures(sizes: tuple[int, int]) -> tuple[str, dict]:
+    hit = _fixture_src_cache.get(sizes)
+    if hit is not None:
+        return hit
+    src = tempfile.mkdtemp(prefix="cnpj_fixtures_")
+    atexit.register(shutil.rmtree, src, ignore_errors=True)
+    paths = fixtures.generate(
+        src, seed=42, n_empresas=sizes[0], n_estab=sizes[1]
+    )
+    _fixture_src_cache[sizes] = (src, paths)
+    return src, paths
+
+
 def stage_oracle_feed(sizes: tuple[int, int] | None = None) -> str:
     """Publish the DuckDB oracle feed: deterministic fixture shards
     (seed 42) ingested exactly as the reference ingests them — pandas
@@ -87,29 +108,25 @@ def stage_oracle_feed(sizes: tuple[int, int] | None = None) -> str:
     import pandas as pd
 
     os.makedirs(feed, exist_ok=True)
-    src = tempfile.mkdtemp(prefix="cnpj_feed_src_")
-    try:
-        paths = fixtures.generate(src, seed=42, n_empresas=sizes[0], n_estab=sizes[1])
-        for t in AFFINITY_KEYS:  # exactly the QUERY_FINAL-facing tables
-            pdf = pd.concat(
-                [
-                    pd.read_csv(
-                        p, sep=";", header=None, dtype=str,
-                        encoding="latin1", names=TABLE_COLUMNS[t],
-                    )
-                    for p in paths[t]
-                ],
-                ignore_index=True,
-            )
-            tmp = os.path.join(feed, f".{t}.tmp{os.getpid()}.parquet")
-            pdf.to_parquet(tmp, index=False)
-            os.replace(tmp, os.path.join(feed, f"{t}.parquet"))
-        tmp = f"{marker}.tmp{os.getpid()}"
-        with open(tmp, "w") as f:
-            f.write("done")
-        os.replace(tmp, marker)
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
+    _, paths = _generated_fixtures(sizes)
+    for t in AFFINITY_KEYS:  # exactly the QUERY_FINAL-facing tables
+        pdf = pd.concat(
+            [
+                pd.read_csv(
+                    p, sep=";", header=None, dtype=str,
+                    encoding="latin1", names=TABLE_COLUMNS[t],
+                )
+                for p in paths[t]
+            ],
+            ignore_index=True,
+        )
+        tmp = os.path.join(feed, f".{t}.tmp{os.getpid()}.parquet")
+        pdf.to_parquet(tmp, index=False)
+        os.replace(tmp, os.path.join(feed, f"{t}.parquet"))
+    tmp = f"{marker}.tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write("done")
+    os.replace(tmp, marker)
     return feed
 
 
@@ -137,12 +154,10 @@ def ensure_cnpj_env(spark: SparkSession, sf_dir: str) -> None:
     stage_oracle_feed(sizes)  # keep the DuckDB feed in lockstep with the SF
     if _env_cache.get(spark.sparkContext.applicationId) == sizes:
         return
+    src, paths = _generated_fixtures(sizes)
     base = tempfile.mkdtemp(prefix="cnpj_plan_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)  # scratch, not output
-    paths = fixtures.generate(
-        base, seed=42, n_empresas=sizes[0], n_estab=sizes[1]
-    )
-    routed = discover(os.path.join(base, "zips"))
+    routed = discover(os.path.join(src, "zips"))
     table_paths = load_raw_parquet(spark, routed, os.path.join(base, "raw"))
     dim_routed = {t: paths[t] for t in DIM_COLUMNS}
     table_paths.update(
