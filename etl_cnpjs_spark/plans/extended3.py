@@ -401,8 +401,12 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval). Distributed shape: ONE (doc, token) count shuffle feeds
     both term frequency and (re-keyed by token) document frequency; IDF
     is a token-keyed aggregate joined back to the postings (at 100 TB:
-    the IDF table is vocabulary-sized — broadcast it); final per-doc
-    top-k is one window pass. Scores quantize to 6 dp via
+    the IDF table is vocabulary-sized — broadcast it); document length
+    is a sum window over the SAME doc_id partitioning the final top-k
+    window needs — not a groupBy + re-join, which would add two more
+    exchanges (sharp-edge #7: window-over-partition beats
+    groupBy+rejoin whenever a same-key consumer follows; 6 → 4
+    exchanges here). Scores quantize to 6 dp via
     floor(x*1e6 + 0.5)/1e6 — NOT round(): the engines' round()
     implementations disagree on identical doubles that sit on a decimal
     half boundary (Spark goes through BigDecimal HALF_UP on the
@@ -421,7 +425,6 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("dlen"))
     idf = (
         tf.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -433,8 +436,10 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    from pyspark.sql import Window
+
     scored = (
-        tf.join(dl, "doc_id")
+        tf.withColumn("dlen", F.sum("cnt").over(Window.partitionBy("doc_id")))
         .join(F.broadcast(idf), "tok")
         .select(
             "doc_id",
@@ -448,8 +453,6 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
