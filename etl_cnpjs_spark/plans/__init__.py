@@ -142,6 +142,7 @@ _ADDED_R3 = [
     "join_interval_overlap",
     "stream_join",
     "cdc_scd2",
+    "dedup_url_canonical",
 ]
 
 

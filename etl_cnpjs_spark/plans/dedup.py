@@ -623,3 +623,113 @@ def text_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_dup * 1000000L DIV n_shingles").alias("dup_frac_q6"),
         )
     )
+
+
+# --- dedup_url_canonical ---------------------------------------------------
+#
+# The URL is DERIVED deterministically from (doc_id, source) — the
+# testdata carries no URL column — using the same derived-input
+# convention as the TPC-H partsupp family: both engines re-derive
+# identical raw URLs, then canonicalize independently. The raw form
+# bakes in every mess canonicalization must fix: mixed-case scheme and
+# host, an explicit default port, tracking (utm_*) query parameters
+# around a real parameter, and a fragment.
+_SQL_URL_CANON = """
+  WITH raw AS (
+    SELECT doc_id,
+           'HTTPS://WWW.' || upper(source) || '.Example.COM:443/articles/'
+             || CAST(doc_id % 100 AS VARCHAR)
+             || '?utm_campaign=share&id=' || CAST(doc_id % 7 AS VARCHAR)
+             || CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END
+             || '#section-' || CAST(doc_id % 5 AS VARCHAR) AS url
+    FROM documents
+  ), canon AS (
+    SELECT doc_id, url,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   lower(regexp_extract(url, '^([A-Za-z]+://[^/]+)', 1))
+                     || regexp_replace(url, '^[A-Za-z]+://[^/]+', ''),
+                   '#.*$', ''),
+                 ':443/', '/'),
+               'utm_[^&#]*&', ''),
+             '[?&]utm_[^&#]*$', '') AS curl
+    FROM raw
+  )
+  SELECT curl AS canonical_url,
+         CAST(count(*) AS BIGINT)  AS n_dups,
+         CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+  FROM canon GROUP BY curl
+"""
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=_SQL_URL_CANON,
+    tags=("north_star", "dedup", "url"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-frontier member of the
+    dedup family: pages fetched under trivially-different URLs (case in
+    scheme/host, explicit default port, utm_* tracking params, fragment)
+    are one document. Canonicalize scan-side with pure regexp kernels
+    (lowercase scheme+authority only — paths stay case-sensitive; drop
+    the :443 default port, every utm_* parameter wherever it sits, and
+    the fragment), then ONE groupBy on the canonical string keeps the
+    smallest doc_id as survivor — the same keep-policy as
+    dedup_canonical. The raw URL is derived deterministically from
+    (doc_id, source) so the oracle re-derives identical input (TPC-H
+    derived-input convention; the regexps are the shared spec, computed
+    independently by each engine — Java regex and RE2 agree on these
+    anchored character-class patterns).
+
+    Scale shape: canonicalization is codegen string work at the scan;
+    the only exchange is the groupBy on canonical_url (pre-aggregated
+    map-side). At 100 TB this runs before any content fetch/dedup and
+    typically shrinks the frontier 10-30%."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper("source"),
+        F.lit(".Example.COM:443/articles/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("?utm_campaign=share&id="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("&utm_source=feed")).otherwise(
+            F.lit("")
+        ),
+        F.lit("#section-"),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.concat(
+                        F.lower(
+                            F.regexp_extract("url", r"^([A-Za-z]+://[^/]+)", 1)
+                        ),
+                        F.regexp_replace("url", r"^[A-Za-z]+://[^/]+", ""),
+                    ),
+                    r"#.*$",
+                    "",
+                ),
+                ":443/",
+                "/",
+            ),
+            r"utm_[^&#]*&",
+            "",
+        ),
+        r"[?&]utm_[^&#]*$",
+        "",
+    )
+    return (
+        raw.select("doc_id", curl.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+    )
