@@ -153,12 +153,32 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: python_ds_infra_warmup failed: {exc}", file=sys.stderr)
 
+    # First use of an Arrow-batched Python path (mapInPandas /
+    # pandas_udf) spins up the Python worker pool + Arrow IPC once per
+    # session; whichever mm_/sim_ key ran first was absorbing it. Warm
+    # with a 1-row no-op so the timed entries measure their own work.
+    try:
+        import pandas as _pd
+
+        t0 = time.perf_counter()
+        spark.range(1).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
+        timings["arrow_infra_warmup"] = round(time.perf_counter() - t0, 4)
+    except Exception as exc:
+        print(f"bench: arrow_infra_warmup failed: {exc}", file=sys.stderr)
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # Per-key wall budget for extra reps: keys whose runs have already
     # consumed this many seconds stop re-running (their absolute size
     # already dwarfs the noise band the medians exist to defeat), so the
     # whole bench stays inside the driver's capture window instead of
-    # tripling its slowest keys.
+    # tripling its slowest keys. The budget gates only the THIRD rep on:
+    # with a single rep, one noise-inflated draw (the documented 3-10×
+    # swings) becomes the recorded number with nothing to correct it —
+    # an 18 s outlier for a key that measures 7-8 s in isolation did
+    # exactly that. Two reps bound the damage (lower-of-2) for at most
+    # one extra slow-key run.
     rep_budget = float(os.environ.get("SPARK_GRAFT_BENCH_REP_BUDGET_SEC", "12"))
     all_reps: dict[str, list[float]] = {}
     failures = 0
@@ -172,7 +192,7 @@ def main() -> None:
                 print(f"bench: {name} failed: {exc}", file=sys.stderr)
                 failed = True
                 break
-            if sum(runs) >= rep_budget:
+            if len(runs) >= 2 and sum(runs) >= rep_budget:
                 break
         all_reps[name] = runs
         if failed or not runs:
