@@ -246,3 +246,61 @@ def audio_features_map_in_pandas(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# --- image resize / thumbnail (stub decode, REAL resize) -------------------
+
+THUMB = 8  # target thumbnail edge
+
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, thumb_sum long, thumb_hash long"
+)
+
+
+def _stub_image(doc_id: int, w: int, h: int):
+    """Deterministic fake image decode (the image-codec seam is
+    decode_media): pixel(y, x) = (doc_id·31 + y·w + x) mod 256 as a
+    uint8-range int array. Stands in for PIL.Image.open → np.asarray."""
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    return (doc_id * 31 + y * w + x) % 256
+
+
+def resize_thumb_map_in_pandas(df: DataFrame) -> DataFrame:
+    """(doc_id, width, height) → decode (stub) → REAL nearest-neighbor
+    resize to THUMB×THUMB via numpy fancy indexing (the same gather a
+    PIL/cv2 NN resize performs) → integer thumbnail features. Per-batch
+    Arrow transfer; per-row work is vectorized numpy over the image
+    array. Feature math is all-integer (sum and a position-weighted
+    hash), so the oracle re-derives it in closed form from the stub
+    pixel formula — proving decode → resize-gather → feature end to
+    end. At 100 TB the image bytes never leave the task; only the
+    5-number feature row crosses the wire (SCALE.md multimodal rule)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        t = np.arange(THUMB)
+        wgt = 1 + t[None, :] + THUMB * t[:, None]  # 1 + x + 8·y
+        for pdf in batches:
+            rows = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"]):
+                doc_id, w, h = int(doc_id), int(w), int(h)
+                img = _stub_image(doc_id, w, h)
+                sx = (t * w) // THUMB  # floor NN source coords
+                sy = (t * h) // THUMB
+                thumb = img[np.ix_(sy, sx)]
+                rows.append(
+                    (
+                        doc_id, w, h,
+                        int(thumb.sum()),
+                        int((thumb * wgt).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "thumb_sum", "thumb_hash"],
+            )
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -143,6 +143,7 @@ _ADDED_R3 = [
     "stream_join",
     "cdc_scd2",
     "dedup_url_canonical",
+    "mm_resize",
 ]
 
 

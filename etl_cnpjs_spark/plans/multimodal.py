@@ -183,3 +183,53 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_samples") > 0)
     )
     return audio_features_map_in_pandas(d)
+
+
+@register(
+    "mm_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(16 + doc_id % 17 AS INT) AS width,
+             CAST(16 + doc_id % 13 AS INT) AS height
+      FROM documents
+    ),
+    grid AS (
+      SELECT d.doc_id, d.width, d.height, gy.y, gx.x,
+             (d.doc_id * 31
+              + ((gy.y * d.height) // 8) * d.width
+              + ((gx.x * d.width) // 8)) % 256 AS px
+      FROM dims d
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) gy
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) gx
+    )
+    SELECT doc_id,
+           CAST(max(width) AS INT)                 AS width,
+           CAST(max(height) AS INT)                AS height,
+           CAST(sum(px) AS BIGINT)                 AS thumb_sum,
+           CAST(sum(px * (1 + x + 8 * y)) AS BIGINT) AS thumb_hash
+    FROM grid GROUP BY doc_id
+    """,
+    tags=("north_star", "multimodal", "udf"),
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize/thumbnail — the remaining member of the multimodal
+    set (decode / feature-extract / frame-sample / RESIZE): decode each
+    image (deterministic stub — the codec seam is
+    operators/multimodal.py::decode_media) and nearest-neighbor resize
+    it to an 8×8 thumbnail with REAL numpy gather indexing, the exact
+    access pattern a PIL/cv2 NN resize performs, executor-side over
+    Arrow batches. Output features (pixel sum + position-weighted hash)
+    are all-integer, so the oracle re-derives them in closed form from
+    the stub pixel formula — the compare proves decode → source-coord
+    mapping floor(t·dim/8) → gather → feature math end to end. Scale
+    shape: scan-side mapInPandas after any frame/partition pruning;
+    image bytes never enter a shuffle."""
+    from etl_cnpjs_spark.operators.multimodal import resize_thumb_map_in_pandas
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (16 + F.col("doc_id") % 17).cast("int").alias("width"),
+        (16 + F.col("doc_id") % 13).cast("int").alias("height"),
+    )
+    return resize_thumb_map_in_pandas(d)
