@@ -430,3 +430,20 @@ def test_scd2_single_exchange_shared_by_both_windows(spark, sf_dir):
     plan = explain_str(QUERIES["cdc_scd2"].fn(spark, sf_dir), "simple")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Sort ") == 1
+
+
+def test_mm_resize_scan_side_no_shuffle(spark, sf_dir):
+    """The resize UDF runs at the scan: image bytes (and thumbnails)
+    must never enter an exchange — only the integer feature row exists
+    at the plan boundary."""
+    plan = explain_str(QUERIES["mm_resize"].fn(spark, sf_dir), "simple")
+    assert "Exchange hashpartitioning" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_url_canonical_single_map_combined_exchange(spark, sf_dir):
+    """URL canonicalization is scan-side string work; the only shuffle
+    is the canonical-url groupBy with a map-side partial aggregate."""
+    plan = explain_str(QUERIES["dedup_url_canonical"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "partial_" in plan
