@@ -184,3 +184,28 @@ def sessionize(
         F.max("ts").alias("session_end"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
     )
+
+
+def scd2_intervals(
+    feed: DataFrame, key: str, ts: str, attr: str
+) -> DataFrame:
+    """Type-2 SCD interval build over a change feed: suppress consecutive
+    no-change records (a restated value must not open a new interval),
+    then close each interval with the next effective time. Returns
+    (key, attr, valid_from, valid_to, is_current) — valid_to NULL on the
+    open/current interval. Both windows share one (key) partitioning and
+    one (ts) sort: a single feed-sized exchange, never a self-join.
+    (ts must be unique per key — the caller's feed grain.)"""
+    w = Window.partitionBy(key).orderBy(ts)
+    kept = (
+        feed.withColumn("__prev", F.lag(attr).over(w))
+        .filter(F.col("__prev").isNull() | (F.col(attr) != F.col("__prev")))
+        .select(key, ts, attr)
+    )
+    return kept.select(
+        key,
+        attr,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w).alias("valid_to"),
+        F.lead(ts).over(w).isNull().alias("is_current"),
+    )

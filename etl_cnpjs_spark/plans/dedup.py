@@ -664,6 +664,32 @@ _SQL_URL_CANON = """
 """
 
 
+def canonical_url(url) -> "F.Column":
+    """Canonical form of a URL column: lowercase scheme+authority (paths
+    stay case-sensitive), drop the :443 default port, every utm_*
+    query parameter wherever it sits, and the fragment. Pure regexp
+    kernels, property-tested for idempotence and against a sequential
+    Python canonicalizer in tests/test_properties.py."""
+    url = F.col(url) if isinstance(url, str) else url
+    base = F.concat(
+        F.lower(F.regexp_extract(url, r"^([A-Za-z]+://[^/]+)", 1)),
+        F.regexp_replace(url, r"^[A-Za-z]+://[^/]+", ""),
+    )
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(base, r"#.*$", ""),
+                ":443/",
+                "/",
+            ),
+            r"utm_[^&#]*&",
+            "",
+        ),
+        r"[?&]utm_[^&#]*$",
+        "",
+    )
+
+
 @register(
     "dedup_url_canonical",
     oracle=_SQL_URL_CANON,
@@ -703,30 +729,8 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 5).cast("string"),
     )
     raw = d.select("doc_id", url.alias("url"))
-    curl = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.concat(
-                        F.lower(
-                            F.regexp_extract("url", r"^([A-Za-z]+://[^/]+)", 1)
-                        ),
-                        F.regexp_replace("url", r"^[A-Za-z]+://[^/]+", ""),
-                    ),
-                    r"#.*$",
-                    "",
-                ),
-                ":443/",
-                "/",
-            ),
-            r"utm_[^&#]*&",
-            "",
-        ),
-        r"[?&]utm_[^&#]*$",
-        "",
-    )
     return (
-        raw.select("doc_id", curl.alias("canonical_url"))
+        raw.select("doc_id", canonical_url("url").alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_dups"),

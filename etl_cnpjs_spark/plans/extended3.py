@@ -806,22 +806,10 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             st.alias("status"),
         )
 
-    feed = slice_(10, 1).unionAll(slice_(20, 2)).unionAll(slice_(40, 3))
-    from pyspark.sql import Window as W
+    from etl_cnpjs_spark.operators.relational import scd2_intervals
 
-    w = W.partitionBy("key").orderBy("eff_ts")
-    kept = (
-        feed.withColumn("prev", F.lag("status").over(w))
-        .filter(F.col("prev").isNull() | (F.col("status") != F.col("prev")))
-        .select("key", "eff_ts", "status")
-    )
-    return kept.select(
-        "key",
-        "status",
-        F.col("eff_ts").alias("valid_from"),
-        F.lead("eff_ts").over(w).alias("valid_to"),
-        F.lead("eff_ts").over(w).isNull().alias("is_current"),
-    )
+    feed = slice_(10, 1).unionAll(slice_(20, 2)).unionAll(slice_(40, 3))
+    return scd2_intervals(feed, "key", "eff_ts", "status")
 
 
 # --- graph_pagerank --------------------------------------------------------

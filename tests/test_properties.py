@@ -336,3 +336,115 @@ def test_pack_report_matches_sequential(spark, docs):
         for r in _pack_report(df).collect()
     }
     assert got == _py_pack(docs, _PACK_BUDGET)
+
+
+# --- SCD2 interval build ---------------------------------------------------
+
+_scd2_feed = st.lists(
+    st.tuples(
+        st.integers(0, 3),            # key
+        st.integers(0, 20),           # eff time (int stand-in)
+        st.sampled_from(["a", "b", "c"]),  # attribute value
+    ),
+    min_size=1,
+    max_size=20,
+).map(lambda rows: list({(k, t): v for k, t, v in rows}.items()))
+# dedupe (key, ts) — the operator's documented feed grain
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(feed=_scd2_feed)
+def test_scd2_intervals_match_sequential(spark, feed):
+    """scd2_intervals vs a 10-line sequential build: consecutive
+    no-change records never open an interval, intervals chain
+    (valid_to == next valid_from), and exactly the last change per key
+    is current."""
+    from etl_cnpjs_spark.operators.relational import scd2_intervals
+
+    rows = [(k, t, v) for (k, t), v in feed]
+    expected = set()
+    bykey: dict[int, list[tuple[int, str]]] = {}
+    for k, t, v in sorted(rows):
+        bykey.setdefault(k, []).append((t, v))
+    for k, seq in bykey.items():
+        kept = []
+        for t, v in sorted(seq):
+            if not kept or kept[-1][1] != v:
+                kept.append((t, v))
+        for i, (t, v) in enumerate(kept):
+            nxt = kept[i + 1][0] if i + 1 < len(kept) else None
+            expected.add((k, v, t, nxt, nxt is None))
+
+    sdf = spark.createDataFrame(rows, "k long, ts long, val string")
+    got = {
+        (r.k, r.val, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_intervals(sdf, "k", "ts", "val").collect()
+    }
+    assert got == expected
+
+
+# --- URL canonicalization --------------------------------------------------
+
+def _py_canonical(url: str) -> str:
+    import re as _re
+
+    m = _re.match(r"^([A-Za-z]+://[^/]+)", url)
+    head = m.group(1).lower() if m else ""
+    rest = _re.sub(r"^[A-Za-z]+://[^/]+", "", url)
+    u = head + rest
+    u = _re.sub(r"#.*$", "", u)
+    u = u.replace(":443/", "/")
+    u = _re.sub(r"utm_[^&#]*&", "", u)
+    u = _re.sub(r"[?&]utm_[^&#]*$", "", u)
+    return u
+
+
+_url = st.builds(
+    lambda scheme, host, port, path, utm_mid, qid, utm_end, frag: (
+        scheme
+        + "://"
+        + host
+        + (":443" if port else "")
+        + "/"
+        + path
+        + "?"
+        + ("utm_campaign=share&" if utm_mid else "")
+        + "id="
+        + str(qid)
+        + ("&utm_source=feed" if utm_end else "")
+        + ("#sec" if frag else "")
+    ),
+    scheme=st.sampled_from(["https", "HTTPS", "Https", "http"]),
+    host=st.sampled_from(["WWW.A.Example.COM", "b.example.com", "C.Example.Org"]),
+    port=st.booleans(),
+    path=st.sampled_from(["Articles/7", "x/Y/z", ""]),
+    utm_mid=st.booleans(),
+    qid=st.integers(0, 9),
+    utm_end=st.booleans(),
+    frag=st.booleans(),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(urls=st.lists(_url, min_size=1, max_size=12, unique=True))
+def test_url_canonicalization_matches_python_and_is_idempotent(spark, urls):
+    from etl_cnpjs_spark.plans.dedup import canonical_url
+
+    sdf = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = sdf.select(
+        "url", canonical_url("url").alias("c1")
+    )
+    twice = once.select("url", "c1", canonical_url("c1").alias("c2"))
+    got = {r.url: (r.c1, r.c2) for r in twice.collect()}
+    for u in urls:
+        expect = _py_canonical(u)
+        assert got[u][0] == expect, f"{u}: {got[u][0]} != {expect}"
+        assert got[u][1] == got[u][0], f"not idempotent on {u}"
