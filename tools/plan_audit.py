@@ -1,0 +1,80 @@
+"""Registry-wide physical-plan smell audit — the 100 TB hygiene check.
+
+Builds every registered plan (no execution beyond staging some inputs)
+and scans the physical plan string for the shapes that kill a large
+cluster run:
+
+- CartesianProduct              — an unbounded cross product
+- BroadcastNestedLoopJoin       — OK only when one side is a scalar/
+                                  tiny broadcast (scalar-subquery shape);
+                                  listed so a human can adjudicate
+- BatchEvalPython               — a row-at-a-time Python UDF on the hot
+                                  path (Arrow paths show ArrowEvalPython /
+                                  MapInPandas instead)
+- high Exchange counts          — shuffle-discipline watchlist
+
+tests/test_plans.py pins the per-key claims; this tool is the sweep that
+finds NEW offenders before they earn a pin. Run:
+    python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# BNLJ appearances that are the CORRECT scalar/tiny-broadcast shape,
+# adjudicated by reading the plan: scalar thresholds (tpch_q11/q22),
+# per-part minima (q2/q9/q16/q20), broadcast query vectors (sim_*,
+# dedup_embedding_cosine), the deliberate cross join, z-order bounds,
+# and sketch scalar joins.
+BNLJ_OK = {
+    "join_cross", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
+    "tpch_q20", "tpch_q22", "agg_hll_sketch", "sim_topk",
+    "sim_topk_ivf", "sim_topk_kmeans", "sim_knn_join",
+    "dedup_embedding_cosine", "layout_zorder", "text_tfidf",
+}
+
+# The one deliberate row-at-a-time Python path: the UDTF demonstration.
+ROW_PY_OK = {"udtf_bigrams"}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = SparkSession.builder.master("local[32]").getOrCreate()
+    qs = entrymod.queries()
+
+    bad = 0
+    for k, fn in qs.items():
+        try:
+            p = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:
+            print(f"ERROR {k}: {type(ex).__name__}: {ex}")
+            bad += 1
+            continue
+        issues = []
+        if "CartesianProduct" in p:
+            issues.append("CARTESIAN")
+        if "BroadcastNestedLoopJoin" in p and k not in BNLJ_OK:
+            issues.append("BNLJ(unadjudicated)")
+        if "BatchEvalPython" in p and k not in ROW_PY_OK:
+            issues.append("ROW_PYTHON_UDF")
+        ne = p.count("Exchange hashpartitioning")
+        if ne >= 6:
+            issues.append(f"EXCHANGES={ne}")
+        if issues:
+            print(f"FLAG {k}: {', '.join(issues)}")
+            bad += 1
+    print(f"plan audit: {len(qs) - bad}/{len(qs)} clean")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
