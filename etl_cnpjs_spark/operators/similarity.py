@@ -411,3 +411,54 @@ def sql_cosine(a: str, b: str) -> str:
         f"list_dot_product({a}, {b})"
         f" / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
     )
+
+
+# --- exact Gram / covariance sufficient statistics -------------------------
+
+EMB_Q = 1_000_000  # component quantization: w = floor(v * 1e6) as int64
+
+GRAM_PARTIAL_SCHEMA = "i int, j int, s long"
+
+
+def gram_upper_map_in_pandas(df: DataFrame, vec_col: str = "v") -> DataFrame:
+    """Exact Gram matrix (Σ w·wᵀ upper triangle) over quantized
+    embeddings — the sufficient statistic for covariance / PCA /
+    whitening. The scale shape: each Arrow batch computes ONE integer
+    matmul (Wᵀ@W, vectorized BLAS) and emits a dim·(dim+1)/2-row
+    partial; the only shuffle carries partials (2080 rows per batch for
+    dim 64), never vectors — the classic partial-aggregation layout for
+    moment matrices. Components quantize to floor(v·1e6) int64 first,
+    so partial sums are exact, associative, and engine-portable (no
+    float accumulation order anywhere); with |w| ≤ ~2·10⁶ the int64
+    budget holds to ~10⁹ vectors per (i,j) cell — beyond that,
+    hierarchical re-aggregation or decimal partials."""
+
+    import pandas as pd  # noqa: F401 — shipped by value into the task
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            W = np.floor(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * EMB_Q
+            ).astype(np.int64)
+            iu = np.triu_indices(W.shape[1])
+            C = W.T @ W
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "s": C[iu],
+                }
+            )
+
+    from pyspark.sql import functions as _F
+
+    return (
+        df.mapInPandas(run, schema=GRAM_PARTIAL_SCHEMA)
+        .groupBy("i", "j")
+        .agg(_F.sum("s").alias("gram_q"))
+    )

@@ -144,6 +144,7 @@ _ADDED_R3 = [
     "cdc_scd2",
     "dedup_url_canonical",
     "mm_resize",
+    "embedding_gram",
 ]
 
 

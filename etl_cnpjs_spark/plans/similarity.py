@@ -16,6 +16,7 @@ from etl_cnpjs_spark.operators.similarity import (
     all_pairs_cosine_blocked,
     cosine,
     embedding_lsh_pairs,
+    gram_upper_map_in_pandas,
     knn_join_blocked,
     sql_cosine,
     vec_double,
@@ -398,3 +399,38 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         as int) as string))
              END, ',') AS q8_csv""",
     )
+
+
+@register(
+    "embedding_gram",
+    oracle="""
+    WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    w AS (SELECT vec_id,
+                 list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS w
+          FROM n),
+    e AS (SELECT vec_id, w, unnest(generate_series(1, len(w))) AS i FROM w)
+    SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.i - 1 AS INT) AS j,
+           CAST(SUM(a.w[a.i] * b.w[b.i]) AS BIGINT) AS gram_q
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    """,
+    tags=("north_star", "similarity", "moments"),
+)
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram matrix Σ wᵀw over the embedding corpus — the
+    sufficient statistic every second-order embedding operation derives
+    from (covariance via S − n·μμᵀ with the mean from
+    embedding_centroids, then PCA / whitening / Mahalanobis
+    driver-side on the dim×dim result). Distributed shape
+    (operators/similarity.py::gram_upper_map_in_pandas): one integer
+    BLAS matmul per Arrow batch, dim(dim+1)/2-row partials, one
+    partial-sum shuffle — vectors never shuffle, the matrix does. The
+    oracle computes the same upper triangle via a position self-join
+    (quadratic in dim, fine at oracle scale); exact int64 sums of
+    floor-quantized components make the compare bit-for-bit. This is
+    the engine-primitive twin of pyspark.ml's Summarizer/RowMatrix
+    covariance (which are float-accumulating and rows-only-checkable
+    by construction)."""
+    e = table(spark, sf_dir, "embeddings")
+    d = e.select("vec_id", vec_double(F.col("embedding")).alias("v"))
+    return gram_upper_map_in_pandas(d, "v")
