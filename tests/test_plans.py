@@ -447,3 +447,13 @@ def test_url_canonical_single_map_combined_exchange(spark, sf_dir):
     plan = explain_str(QUERIES["dedup_url_canonical"].fn(spark, sf_dir), "simple")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan or "partial_" in plan
+
+
+def test_embedding_gram_shuffles_partials_not_vectors(spark, sf_dir):
+    """The Gram build's only exchange carries (i, j, s) integer partials
+    — the embedding vectors themselves must never shuffle."""
+    plan = explain_str(QUERIES["embedding_gram"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    import re
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert ex and "embedding" not in ex[0] and "v#" not in ex[0]
