@@ -145,6 +145,7 @@ _ADDED_R3 = [
     "dedup_url_canonical",
     "mm_resize",
     "embedding_gram",
+    "dq_check",
 ]
 
 

@@ -1337,3 +1337,107 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("streak_days") >= _STREAK_MIN_DAYS)
         .select("user_id", "streak_start", "streak_end", "streak_days")
     )
+
+
+# --- dq_check --------------------------------------------------------------
+
+
+@register(
+    "dq_check",
+    oracle="""
+    SELECT 'orders_key_unique' AS rule,
+           CAST((SELECT count(*) FROM (
+              SELECT o_orderkey FROM orders GROUP BY o_orderkey
+              HAVING count(*) > 1)) AS BIGINT)             AS n_violations,
+           CAST((SELECT count(*) FROM orders) AS BIGINT)   AS n_checked
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'quantity_in_1_50',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'orderdate_not_null',
+           CAST((SELECT count(*) FROM orders WHERE o_orderdate IS NULL) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'price_non_negative',
+           CAST((SELECT count(*) FROM lineitem WHERE l_extendedprice < 0) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    """,
+    tags=("qa", "dq", "constraints"),
+)
+def dq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate — the constraint checks the
+    reference's readme names as manual QA (orphan counts, load
+    reconciliation, readme.md:140-145) run as ONE engine job:
+    uniqueness (key groupBy, violations = keys seen twice),
+    referential integrity (left-anti orphan count — the check form of
+    the flagship's orphan-DROPPING inner joins), range and null rules
+    (scan-side conditional aggregates). Output is one (rule,
+    n_violations, n_checked) row per rule — the contract a pipeline
+    asserts on before publishing a load.
+
+    Scale shape: the three lineitem rules share one scan (a single
+    multi-conditional aggregate); uniqueness shuffles only keys;
+    the FK check is a left-anti join on the orderkey — at 100 TB AQE
+    picks broadcast/shuffle by dim size, and a bloom-filter prejoin
+    (tests/test_plans.py pins the rule) screens the fact side. A
+    violation count of zero on every rule is the EXPECTED testdata
+    state — the rules still execute their full plans."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    n_orders = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_dates"),
+    )
+    orphans = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    li_stats = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("qty_bad"),
+        F.sum(F.when(F.col("l_extendedprice") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("neg_price"),
+    )
+
+    def row(rule, v_col, n_col, frame):
+        return frame.select(
+            F.lit(rule).alias("rule"),
+            F.col(v_col).alias("n_violations"),
+            F.col(n_col).alias("n_checked"),
+        )
+
+    uniq = dup.crossJoin(F.broadcast(n_orders.select("n"))).select(
+        F.lit("orders_key_unique").alias("rule"),
+        F.col("v").alias("n_violations"),
+        F.col("n").alias("n_checked"),
+    )
+    fk = orphans.crossJoin(F.broadcast(li_stats.select("n"))).select(
+        F.lit("lineitem_fk_orders").alias("rule"),
+        F.col("v").alias("n_violations"),
+        F.col("n").alias("n_checked"),
+    )
+    qty = row("quantity_in_1_50", "qty_bad", "n", li_stats)
+    nd = row("orderdate_not_null", "null_dates", "n", n_orders)
+    neg = row("price_non_negative", "neg_price", "n", li_stats)
+    return uniq.unionAll(fk).unionAll(qty).unionAll(nd).unionAll(neg)
