@@ -36,6 +36,7 @@ BNLJ_OK = {
     "tpch_q20", "tpch_q22", "agg_hll_sketch", "sim_topk",
     "sim_topk_ivf", "sim_topk_kmeans", "sim_knn_join",
     "dedup_embedding_cosine", "layout_zorder", "text_tfidf",
+    "dq_check",  # (rule, violations, checked) rows from 1-row stat frames
 }
 
 # The one deliberate row-at-a-time Python path: the UDTF demonstration.
