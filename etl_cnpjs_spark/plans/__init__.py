@@ -146,6 +146,7 @@ _ADDED_R3 = [
     "mm_resize",
     "embedding_gram",
     "dq_check",
+    "text_sentiment",
 ]
 
 

@@ -393,3 +393,61 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.expr("sum(q9) DIV count(1)").cast("bigint").alias("lm_q9"),
     )
+
+
+# --- text_sentiment --------------------------------------------------------
+
+# Keyword polarity lexicon over this corpus's vocabulary (the synthetic
+# docs talk about query execution; fast = praise, slow/dup = complaint).
+# In production the lexicon is a curated dictionary (AFINN/VADER-style);
+# the MECHANISM — lexicon hits as pure column math, no model runtime —
+# is what the key demonstrates (PAPERS.md: Spark sentiment at scale).
+_SENT_POS = ["fast"]
+_SENT_NEG = ["slow", "dup"]
+
+
+@register(
+    "text_sentiment",
+    oracle=rf"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST({_sql_hits(_SENT_POS)} AS BIGINT) AS pos_hits,
+             CAST({_sql_hits(_SENT_NEG)} AS BIGINT) AS neg_hits
+      FROM documents)
+    SELECT doc_id, pos_hits, neg_hits,
+           pos_hits - neg_hits AS polarity,
+           CASE WHEN pos_hits > neg_hits THEN 'positive'
+                WHEN neg_hits > pos_hits THEN 'negative'
+                ELSE 'neutral' END AS label
+    FROM s
+    """,
+    tags=("north_star", "text", "sentiment"),
+)
+def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment classification — the sentiment-style keyword
+    classifier SURVEY §2.2 plans against the Spark-sentiment paper
+    (PAPERS.md): positive/negative lexicon hit counts via a single
+    array filter per row, integer polarity, CASE label. Pure codegen
+    column math — no model, no UDF, no shuffle; the 100 TB form is
+    identical (a bigger lexicon broadcasts as an array literal or a
+    map_filter against a broadcast set)."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    pos = token_overlap_count(toks, _SENT_POS).cast("bigint")
+    neg = token_overlap_count(toks, _SENT_NEG).cast("bigint")
+    out = d.select(
+        "doc_id",
+        pos.alias("pos_hits"),
+        neg.alias("neg_hits"),
+        (pos - neg).alias("polarity"),
+    )
+    return out.select(
+        "doc_id",
+        "pos_hits",
+        "neg_hits",
+        "polarity",
+        F.when(F.col("pos_hits") > F.col("neg_hits"), "positive")
+        .when(F.col("neg_hits") > F.col("pos_hits"), "negative")
+        .otherwise("neutral")
+        .alias("label"),
+    )
