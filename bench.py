@@ -158,8 +158,6 @@ def main() -> None:
     # session; whichever mm_/sim_ key ran first was absorbing it. Warm
     # with a 1-row no-op so the timed entries measure their own work.
     try:
-        import pandas as _pd
-
         t0 = time.perf_counter()
         spark.range(1).mapInPandas(
             lambda it: it, "id long"
