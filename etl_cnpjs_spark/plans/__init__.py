@@ -147,6 +147,7 @@ _ADDED_R3 = [
     "embedding_gram",
     "dq_check",
     "text_sentiment",
+    "stream_stateful_totals",
 ]
 
 

@@ -171,3 +171,35 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("bid"),
     )
     return click_purchase_join(clicks, buys)
+
+
+@register(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)                            AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)   AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's arbitrary-state surface (applyInPandasWithState —
+    the KeyedProcessFunction analog), batch form: per-user running
+    (count, value total). The STREAMING face
+    (streaming/stateful.py::running_user_totals) carries two numbers of
+    state per key across micro-batches and is proven in
+    tests/test_streaming.py::test_stateful_running_totals to converge
+    to exactly this aggregate once the stream drains — the final-state
+    equivalence that lets a batch oracle validate a stateful streaming
+    operator (the same contract stream_dedup and stream_join use). The
+    batch twin accumulates in decimal so the oracle is bit-exact; the
+    streaming op's float state is arrival-ordered and is checked to
+    1e-6 in its own test. One hash(user_id) exchange either way."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias(
+            "total_value"
+        ),
+    )
