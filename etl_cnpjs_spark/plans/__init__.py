@@ -160,9 +160,9 @@ def _reorder() -> None:
         if k == "flagship":
             return 0  # headline/smoke key stays first
         if k in green:
-            return 4  # evidence exists — safe at the back
+            return 3  # evidence exists — safe at the back
         if k in seen and QUERIES[k].oracle is None:
-            return 3  # rows-only row exists and no oracle: re-run adds nothing
+            return 4  # rows-only row exists and no oracle: re-run adds nothing
         if QUERIES[k].oracle is not None:
             return 1  # no green row, oracle-bearing: the window must see these
         return 2  # no row at all, rows-only check still beats nothing
