@@ -652,8 +652,8 @@ _SQL_URL_CANON = """
                    lower(regexp_extract(url, '^([A-Za-z]+://[^/]+)', 1))
                      || regexp_replace(url, '^[A-Za-z]+://[^/]+', ''),
                    '#.*$', ''),
-                 ':443/', '/'),
-               'utm_[^&#]*&', ''),
+                 '^(https://[^/:]+):443([/?]|$)', '\\1\\2'),
+               '([?&])(?:utm_[^&#]*&)+', '\\1', 'g'),
              '[?&]utm_[^&#]*$', '') AS curl
     FROM raw
   )
@@ -666,10 +666,14 @@ _SQL_URL_CANON = """
 
 def canonical_url(url) -> "F.Column":
     """Canonical form of a URL column: lowercase scheme+authority (paths
-    stay case-sensitive), drop the :443 default port, every utm_*
-    query parameter wherever it sits, and the fragment. Pure regexp
-    kernels, property-tested for idempotence and against a sequential
-    Python canonicalizer in tests/test_properties.py."""
+    stay case-sensitive), drop the :443 default port (anchored to the
+    https authority — a literal `host:443/` inside a path/query is NOT
+    touched, and http://h:443 keeps its non-default port), every utm_*
+    query parameter at a real `?`/`&` delimiter (a parameter merely
+    *containing* `utm_` mid-name, e.g. `xutm_b=2`, survives), and the
+    fragment. Pure regexp kernels, property-tested for idempotence and
+    against a sequential Python canonicalizer in
+    tests/test_properties.py."""
     url = F.col(url) if isinstance(url, str) else url
     base = F.concat(
         F.lower(F.regexp_extract(url, r"^([A-Za-z]+://[^/]+)", 1)),
@@ -679,11 +683,11 @@ def canonical_url(url) -> "F.Column":
         F.regexp_replace(
             F.regexp_replace(
                 F.regexp_replace(base, r"#.*$", ""),
-                ":443/",
-                "/",
+                r"^(https://[^/:]+):443([/?]|$)",
+                r"$1$2",
             ),
-            r"utm_[^&#]*&",
-            "",
+            r"([?&])(?:utm_[^&#]*&)+",
+            r"$1",
         ),
         r"[?&]utm_[^&#]*$",
         "",

@@ -982,7 +982,8 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE CAST(floor(l_extendedprice) AS BIGINT)
                      % CAST(floor(l_quantity) AS BIGINT)
            END                                                 AS mod_qty,
-           TRY_CAST(l_returnflag AS INTEGER)                   AS flag_as_int,
+           CASE WHEN regexp_matches(l_returnflag, '^\\s*[+-]?\\d+\\s*$')
+                THEN TRY_CAST(l_returnflag AS INTEGER) END     AS flag_as_int,
            TRY_CAST(CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR)
                     AS INTEGER)                                AS qty_as_int
     FROM lineitem
@@ -1009,7 +1010,12 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1). A cheap rlike guard keeps the exception path off the hot
     rows — try_cast then runs only on plausible integers, where it
     still owns range/overflow — identical NULL set, 5× faster here and
-    unboundedly better at 100 TB on mostly-invalid columns."""
+    unboundedly better at 100 TB on mostly-invalid columns. The guard
+    is mirrored in the oracle (regexp_matches before TRY_CAST) because
+    the two engines' bare casts diverge on fractional/exponent strings
+    ('1.5', '1e2'): DuckDB TRY_CAST rounds them to an int, Spark
+    try_cast returns NULL — the shared pre-screen makes both sides NULL
+    on anything that is not a plain optionally-signed integer."""
     li = table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",

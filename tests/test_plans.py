@@ -454,6 +454,5 @@ def test_embedding_gram_shuffles_partials_not_vectors(spark, sf_dir):
     — the embedding vectors themselves must never shuffle."""
     plan = explain_str(QUERIES["embedding_gram"].fn(spark, sf_dir), "simple")
     assert plan.count("Exchange hashpartitioning") == 1
-    import re
     ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert ex and "embedding" not in ex[0] and "v#" not in ex[0]

@@ -397,14 +397,14 @@ def _py_canonical(url: str) -> str:
     rest = _re.sub(r"^[A-Za-z]+://[^/]+", "", url)
     u = head + rest
     u = _re.sub(r"#.*$", "", u)
-    u = u.replace(":443/", "/")
-    u = _re.sub(r"utm_[^&#]*&", "", u)
+    u = _re.sub(r"^(https://[^/:]+):443([/?]|$)", r"\1\2", u)
+    u = _re.sub(r"([?&])(?:utm_[^&#]*&)+", r"\1", u)
     u = _re.sub(r"[?&]utm_[^&#]*$", "", u)
     return u
 
 
 _url = st.builds(
-    lambda scheme, host, port, path, utm_mid, qid, utm_end, frag: (
+    lambda scheme, host, port, path, utm_mid, utm_mid2, decoy, qid, utm_end, frag: (
         scheme
         + "://"
         + host
@@ -413,6 +413,8 @@ _url = st.builds(
         + path
         + "?"
         + ("utm_campaign=share&" if utm_mid else "")
+        + ("utm_medium=rss&" if utm_mid2 else "")
+        + ("xutm_keep=1&" if decoy else "")
         + "id="
         + str(qid)
         + ("&utm_source=feed" if utm_end else "")
@@ -421,8 +423,12 @@ _url = st.builds(
     scheme=st.sampled_from(["https", "HTTPS", "Https", "http"]),
     host=st.sampled_from(["WWW.A.Example.COM", "b.example.com", "C.Example.Org"]),
     port=st.booleans(),
-    path=st.sampled_from(["Articles/7", "x/Y/z", ""]),
+    # "Mirror:443/x" pins the port rule to the authority (a literal
+    # host:443 inside the path must survive canonicalization).
+    path=st.sampled_from(["Articles/7", "x/Y/z", "Mirror:443/x", ""]),
     utm_mid=st.booleans(),
+    utm_mid2=st.booleans(),
+    decoy=st.booleans(),
     qid=st.integers(0, 9),
     utm_end=st.booleans(),
     frag=st.booleans(),
