@@ -422,7 +422,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     that only multiplies candidates. The md5-half token hash makes the
     signature engine-portable, so the key carries a FULL all-pairs
     oracle (complete banding ⇒ banded output ≡ all-pairs output); also
-    cross-checked against Jaccard ground truth in tests."""
+    cross-checked against Jaccard ground truth in tests.
+
+    Production note: md5 here is the CONFORMANCE hash — it exists so the
+    driver oracle can recompute the identical signature in DuckDB. It is
+    also the whole cost of this key (~3× vs a seeded 64-bit mix; 4.8 s →
+    ~1.6 s at sf0.1 — the slowest non-composite bench entry). At
+    production scale swap ``simhash(toks)`` →
+    ``simhash(toks, token_hash="xxhash64")`` (one argument) and keep md5
+    only for conformance runs: the vote loop, 6×10-bit banding,
+    pigeonhole recall guarantee, and hamming verify are hash-agnostic —
+    tests/test_dedup_recall.py::test_simhash_hash_swap_same_structure
+    pins that both hashes recover the identical planted pair set."""
     d = table(spark, sf_dir, "documents")
     # Materialize the signature before banding: simhash_band_keys refers
     # to the sig column 8 times, and CollapseProject would otherwise

@@ -41,6 +41,68 @@ def test_simhash_covers_planted_pairs(spark, sf_dir):
     )
 
 
+def test_simhash_hash_swap_same_structure(spark):
+    """The md5 token hash is the conformance choice (oracle-portable);
+    production swaps to xxhash64 (~3× cheaper — plan docstring). Pin that
+    the swap changes ONLY the bit source, not the detector's structure:
+    on planted near-identical docs in a random background, both hashes
+    run the same vote loop → 6×10-bit banding → hamming ≤ 5 verify and
+    must recover exactly the planted pair set (an unrelated pair needs
+    hamming ≤ 5 out of 64 by chance ≈ 1e-14, so set equality is stable
+    under any sane 64-bit hash)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_cnpjs_spark.operators.dedup import (
+        candidate_pairs,
+        simhash,
+        simhash_band_keys,
+    )
+    from etl_cnpjs_spark.plans.dedup import SIMHASH_MAX_HAMMING
+
+    rng = random.Random(11)
+    vocab = [f"w{k}" for k in range(500)]
+    docs, planted = [], set()
+    # 200-token docs: vote margins grow ~sqrt(len), so one substituted
+    # token flips ~1 bit in expectation — comfortably under the ≤ 5
+    # verify threshold for EITHER hash (40-token docs sit too close to
+    # the threshold: observed 6-bit flips from a single substitution).
+    for i in range(12):  # base docs
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(200))))
+    for i in range(12):  # near-dup: one token substituted
+        toks = docs[i][1].split()
+        toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        docs.append((100 + i, " ".join(toks)))
+        planted.add((i, 100 + i))
+    for i in range(24):  # unrelated background
+        docs.append((200 + i, " ".join(rng.choice(vocab) for _ in range(200))))
+    d = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    def pairs(token_hash):
+        sigs = d.select(
+            "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+        ).select(
+            "doc_id", simhash("toks", token_hash=token_hash).alias("sig")
+        ).localCheckpoint()
+        signed = sigs.select(
+            "doc_id", "sig", simhash_band_keys(F.col("sig"), bands=6).alias("bk")
+        )
+        cands = candidate_pairs(signed, "doc_id", "bk")
+        sa = sigs.select(F.col("doc_id").alias("i"), F.col("sig").alias("sa"))
+        sb = sigs.select(F.col("doc_id").alias("j"), F.col("sig").alias("sb"))
+        ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+        return _pairs(
+            cands.join(sa, "i").join(sb, "j")
+            .select("i", "j")
+            .where(ham <= SIMHASH_MAX_HAMMING)
+        )
+
+    p_md5, p_xxh = pairs("md5"), pairs("xxhash64")
+    assert p_md5 == planted, f"md5 structure drift: {p_md5 ^ planted}"
+    assert p_xxh == planted, f"xxhash64 structure drift: {p_xxh ^ planted}"
+
+
 def test_embedding_lsh_equals_exact(spark, sf_dir):
     """dedup_embedding_lsh carries the exact all-pairs oracle on the claim
     that 32×2 banding recall is 100% at the tested SFs (per-pair miss
