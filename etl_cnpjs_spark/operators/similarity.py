@@ -42,8 +42,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+ALL_PAIRS_MAX_ROWS = 50_000  # above this, brute force is the wrong shape
+
+
 def all_pairs_cosine_blocked(
-    vecs, id_col: str, vec_col: str, tau: float, block_target: int = 256
+    vecs,
+    id_col: str,
+    vec_col: str,
+    tau: float,
+    block_target: int = 256,
+    max_rows: int = ALL_PAIRS_MAX_ROWS,
 ):
     """All-pairs cosine ≥ τ via block-cross-product + vectorized numpy
     scoring — the distributed shape of brute-force pairwise similarity.
@@ -67,6 +75,17 @@ def all_pairs_cosine_blocked(
     from pyspark.sql import functions as F  # noqa: F811 (local for clarity)
 
     n_rows = vecs.count()
+    if max_rows is not None and n_rows > max_rows:
+        raise ValueError(
+            f"all_pairs_cosine_blocked: {n_rows} vectors exceeds the "
+            f"{max_rows}-row guard. Brute-force all-pairs is the exact "
+            "ORACLE baseline, not a scale path — its work grows O(n²) no "
+            "matter how it is blocked. Use embedding_lsh_pairs "
+            "(dedup_embedding_lsh: banded candidates + bucket-local "
+            "verify) or the IVF ANN path (sim_topk_ivf) instead; to run "
+            "brute force anyway (e.g. conformance on a sampled slice), "
+            "pass max_rows=None explicitly."
+        )
     nb = max(1, -(-n_rows // block_target))
     blocks = (
         vecs.select(
@@ -124,7 +143,12 @@ def all_pairs_cosine_blocked(
 
 
 def knn_join_blocked(
-    vecs, id_col: str, vec_col: str, k: int, block_target: int = 256
+    vecs,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    block_target: int = 256,
+    max_rows: int = ALL_PAIRS_MAX_ROWS,
 ):
     """k-NN self-join: every vector → its k nearest neighbors by cosine.
     Same blocked layout as all_pairs_cosine_blocked, but each task emits
@@ -141,6 +165,14 @@ def knn_join_blocked(
     from pyspark.sql import functions as F
 
     n_rows = vecs.count()
+    if max_rows is not None and n_rows > max_rows:
+        raise ValueError(
+            f"knn_join_blocked: {n_rows} vectors exceeds the {max_rows}-row "
+            "guard. The blocked brute-force k-NN self-join scores O(n²) "
+            "pairs — the exact baseline, not a scale path. Use sim_topk_ivf "
+            "(centroid-pruned probes) for ANN at scale, or pass "
+            "max_rows=None explicitly to run brute force anyway."
+        )
     nb = max(1, -(-n_rows // block_target))
     blocks = (
         vecs.select(

@@ -93,7 +93,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB brute force itself is the wrong shape — this key is the
     oracle-grade exact baseline; the production path is
     dedup_embedding_lsh (banded candidates, bucket-local verify), with
-    sim_topk_ivf's centroid bucketing as the ANN alternative."""
+    sim_topk_ivf's centroid bucketing as the ANN alternative. That split
+    is ENFORCED, not advisory: the operator refuses corpora above 50k
+    vectors (ValueError naming the twins; max_rows=None opts back in for
+    deliberate conformance runs on sampled slices), so the baseline
+    cannot be silently misused as a scale path."""
     n = _vecs(spark, sf_dir)
     return all_pairs_cosine_blocked(
         n.select("vec_id", "v"), "vec_id", "v", NEAR_DUP_TAU
