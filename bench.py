@@ -20,10 +20,12 @@ across rounds regardless of registry-name ordering.
 Noise control (r2 verdict item #5): wall-clock on this box swings
 3-10× between identical runs, so each query reports the MEDIAN of
 $SPARK_GRAFT_BENCH_REPS runs (default 3; all reps recorded in
-BENCH_DETAIL.json under "queries_reps") — a 1.5× round-over-round
-delta on a median is signal, on a single run it was noise. Pre-warm
-entries stay single-run: they time one-off staging, and a re-run would
-measure the memo hit, not the work.
+BENCH_DETAIL.json under "queries_reps", per-key max/median ratios under
+"queries_noise", and a fleet-level noise summary {med, p90, max} in the
+stdout line) — a 1.5× round-over-round delta on a median is signal, on
+a single run it was noise. Pre-warm entries stay single-run: they time
+one-off staging, and a re-run would measure the memo hit, not the
+work.
 
 Each query is fully materialized through the noop DataSourceV2 sink —
 every operator executes, nothing collects to the driver (the 100 TB
@@ -202,6 +204,27 @@ def main() -> None:
             timings[name] = sorted(runs)[(len(runs) - 1) // 2]
     total = round(sum(t for t in timings.values() if t >= 0), 4)
 
+    # Noise indicator (r3 verdict item #7): per-key max/median rep ratio,
+    # plus a fleet-level summary in the one-line output, so a reader can
+    # judge how much of any round-over-round delta is the documented
+    # 3-10× box swing without opening the raw reps.
+    noise_per_key = {
+        name: round(max(runs) / timings[name], 3)
+        for name, runs in all_reps.items()
+        if len(runs) >= 2 and timings.get(name, -1.0) > 0
+    }
+    ratios = sorted(noise_per_key.values())
+    fleet_noise = (
+        {
+            "keys": len(ratios),
+            "med": ratios[(len(ratios) - 1) // 2],
+            "p90": ratios[min(len(ratios) - 1, int(0.9 * len(ratios)))],
+            "max": ratios[-1],
+        }
+        if ratios
+        else None
+    )
+
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -214,6 +237,7 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "queries_reps": all_reps,
+                    "queries_noise": noise_per_key,
                     "reps": reps,
                     "sf": sf,
                     "failures": failures,
@@ -236,6 +260,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": sum(1 for t in timings.values() if t >= 0),
                 "failures": failures,
+                "noise": fleet_noise,
                 "queries_full_file": "BENCH_DETAIL.json",
             },
             separators=(",", ":"),

@@ -159,7 +159,7 @@ _SIMHASH_EXPR = """
 aggregate(
   zip_with(
     aggregate(
-      transform({toks}, t -> {token_hash}),
+      transform(transform({toks}, t -> {hash_pre}), h -> {hash_split}),
       array_repeat(0L, 64),
       (acc, h) -> zip_with(acc, sequence(0, 63),
                            (a, i) -> a + IF(((IF(i < 32, shiftright(h.lo, i),
@@ -175,24 +175,33 @@ aggregate(
 """
 
 
-# Pluggable 64-bit token hash, split into (hi, lo) 32-bit halves for the
-# per-bit vote loop. 'md5' is the CONFORMANCE hash (engine-portable, so
-# the driver oracle hash-checks the full signature); 'xxhash64' is the
-# PRODUCTION hash — one seeded 64-bit mix per token instead of a full
-# cryptographic digest + hex decode, ~3× cheaper on dedup_simhash (the
-# slowest non-composite bench key at 4.8 s sf0.1 under md5). Same vote
-# loop, same banding structure, same hamming guarantee; only the bit
-# source differs. Swap is one argument: simhash(toks, token_hash=...).
+# Pluggable 64-bit token hash as (pre, split): `pre` maps a token to its
+# raw hash ONCE in an inner transform, `split` unpacks the (hi, lo)
+# 32-bit halves for the vote loop. The two-step shape guarantees one
+# digest per token by construction rather than leaning on Catalyst's
+# subexpression elimination (measured: codegen already CSEs the twice-
+# referenced md5(t) here — A/B at sf0.1 showed 2.31 s vs 2.26 s — so
+# this is structure insurance, not a speedup; the vote-loop fold, 64
+# ops/token, is where the key's time actually goes).
+# 'md5' is the CONFORMANCE hash (engine-portable, so the driver oracle
+# hash-checks the full signature); 'xxhash64' is the PRODUCTION hash —
+# one seeded 64-bit mix per token instead of a cryptographic digest +
+# hex decode, ~3× cheaper on dedup_simhash (the slowest non-composite
+# bench key under md5). Same vote loop, same banding structure, same
+# hamming guarantee; only the bit source differs. Swap is one argument:
+# simhash(toks, token_hash=...).
 _SIMHASH_TOKEN_HASH = {
     "md5": (
+        "md5(t)",
         "named_struct("
-        "'hi', cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint), "
-        "'lo', cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint))"
+        "'hi', cast(conv(substring(h, 1, 8), 16, 10) as bigint), "
+        "'lo', cast(conv(substring(h, 9, 8), 16, 10) as bigint))",
     ),
     "xxhash64": (
+        "xxhash64(t)",
         "named_struct("
-        "'hi', shiftright(xxhash64(t), 32) & 4294967295L, "
-        "'lo', xxhash64(t) & 4294967295L)"
+        "'hi', shiftright(h, 32) & 4294967295L, "
+        "'lo', h & 4294967295L)",
     ),
 }
 
@@ -202,10 +211,9 @@ def simhash(tokens_col_sql: str, token_hash: str = "md5") -> Column:
     e.g. ``"toks"``). ``token_hash='md5'`` (default) is oracle-portable;
     ``'xxhash64'`` is the ~3× cheaper production swap — identical
     band/verify structure (pinned in tests/test_dedup_recall.py)."""
+    pre, split = _SIMHASH_TOKEN_HASH[token_hash]
     return F.expr(
-        _SIMHASH_EXPR.format(
-            toks=tokens_col_sql, token_hash=_SIMHASH_TOKEN_HASH[token_hash]
-        )
+        _SIMHASH_EXPR.format(toks=tokens_col_sql, hash_pre=pre, hash_split=split)
     )
 
 
