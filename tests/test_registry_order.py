@@ -23,7 +23,12 @@ def test_green_keys_sort_behind_unverified_oracle_keys():
     unverified_oracle = [
         k for k in order if k != "flagship" and k not in green and QUERIES[k].oracle is not None
     ]
-    assert unverified_oracle, "sanity: some keys still lack driver evidence"
+    if not unverified_oracle:
+        # Scoreboard fully green (the r4 goal state): there is no backlog
+        # to order ahead of anything — the rule is moot, not violated.
+        # (Asserting non-emptiness here would turn full driver coverage
+        # into a red suite, the exact failure class of the r3 guard.)
+        return
     last_unverified = max(order.index(k) for k in unverified_oracle)
     early_green = [k for k in green if k in QUERIES and order.index(k) < last_unverified]
     assert early_green == ["flagship"] or early_green == [], (
