@@ -184,12 +184,15 @@ aggregate(
 # this is structure insurance, not a speedup; the vote-loop fold, 64
 # ops/token, is where the key's time actually goes).
 # 'md5' is the CONFORMANCE hash (engine-portable, so the driver oracle
-# hash-checks the full signature); 'xxhash64' is the PRODUCTION hash —
-# one seeded 64-bit mix per token instead of a cryptographic digest +
-# hex decode, ~3× cheaper on dedup_simhash (the slowest non-composite
-# bench key under md5). Same vote loop, same banding structure, same
-# hamming guarantee; only the bit source differs. Swap is one argument:
-# simhash(toks, token_hash=...).
+# hash-checks the full signature); 'xxhash64' is the alternative for
+# engines/clusters where a cryptographic digest + hex decode measurably
+# costs more than one seeded 64-bit mix. On THIS box it does not:
+# interleaved A/B of the full dedup_simhash pipeline at sf0.1 lands
+# md5 2.1/1.7 s vs xxhash64 2.1/2.0 s — the r3 verdict's "~3× hash
+# cost" suspicion is refuted; the vote-loop fold (64 ops/token)
+# dominates, and md5's conformance portability is effectively free.
+# Same vote loop, same banding structure, same hamming guarantee under
+# either hash; swap is one argument: simhash(toks, token_hash=...).
 _SIMHASH_TOKEN_HASH = {
     "md5": (
         "md5(t)",
@@ -208,9 +211,10 @@ _SIMHASH_TOKEN_HASH = {
 
 def simhash(tokens_col_sql: str, token_hash: str = "md5") -> Column:
     """64-bit SimHash of a token array (pass the column as a SQL fragment,
-    e.g. ``"toks"``). ``token_hash='md5'`` (default) is oracle-portable;
-    ``'xxhash64'`` is the ~3× cheaper production swap — identical
-    band/verify structure (pinned in tests/test_dedup_recall.py)."""
+    e.g. ``"toks"``). ``token_hash='md5'`` (default) is oracle-portable
+    and measured cost-neutral here; ``'xxhash64'`` is the swap for
+    engines where the digest dominates — identical band/verify
+    structure (pinned in tests/test_dedup_recall.py)."""
     pre, split = _SIMHASH_TOKEN_HASH[token_hash]
     return F.expr(
         _SIMHASH_EXPR.format(toks=tokens_col_sql, hash_pre=pre, hash_split=split)

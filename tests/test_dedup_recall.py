@@ -43,8 +43,9 @@ def test_simhash_covers_planted_pairs(spark, sf_dir):
 
 def test_simhash_hash_swap_same_structure(spark):
     """The md5 token hash is the conformance choice (oracle-portable);
-    production swaps to xxhash64 (~3× cheaper — plan docstring). Pin that
-    the swap changes ONLY the bit source, not the detector's structure:
+    xxhash64 is the swap for engines where the digest dominates (measured
+    cost parity on this box — plan docstring). Pin that the swap changes
+    ONLY the bit source, not the detector's structure:
     on planted near-identical docs in a random background, both hashes
     run the same vote loop → 6×10-bit banding → hamming ≤ 5 verify and
     must recover exactly the planted pair set (an unrelated pair needs
