@@ -567,10 +567,16 @@ def dedup_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     while recall is lost only for pairs whose ENTIRE overlap is
     stop-shingles (boilerplate-only matches — the pairs a curation
     pipeline wants to drop anyway). Shuffles: one posting join keyed by
-    shingle hash (now bounded), one candidate-verify join. The df count
-    is a window over the SAME hash(s) partitioning the self-join needs
-    (not a groupBy + re-join, which would shuffle the posting list by s
-    twice); the self-join then reuses that exchange on both sides."""
+    shingle (now bounded), one candidate-verify join. The df count is a
+    window over the SAME partitioning the self-join needs (not a
+    groupBy + re-join, which would shuffle the posting list by s
+    twice); the self-join then reuses that exchange on both sides.
+    Postings deliberately carry the raw shingle, not xxhash64(shingle)
+    as dedup_ngram_jaccard does: an interleaved A/B at sf0.1 measured
+    the hashed variant slightly SLOWER warm (5.2 vs 4.8 s — the extra
+    array-transform pass costs more than the ~3× smaller keys save
+    here). On a real cluster where the posting shuffle is
+    network-bound, hashing the key is the first knob to revisit."""
     sh = _doc_shingles(spark, sf_dir)
     e = sh.select("doc_id", F.explode("sh").alias("s"))
     ek = e.withColumn(
