@@ -22,6 +22,7 @@ from etl_cnpjs_spark.catalog import table
 from etl_cnpjs_spark.operators.relational import (
     dedup_keep_latest,
     filter_in_lists,
+    interval_overlap_join,
     join_asof,
     star_join,
     top_k,
@@ -904,24 +905,10 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).distinct()
 
-    def binned(df, start, end):
-        return df.withColumn(
-            "__bin",
-            F.explode(
-                F.sequence(
-                    F.expr(f"{start} DIV {_IVL_BIN}"),
-                    F.expr(f"({end} - 1) DIV {_IVL_BIN}"),
-                )
-            ),
+    return (
+        interval_overlap_join(
+            a, b, "a_start", "a_end", "b_start", "b_end", bin_width=_IVL_BIN
         )
-
-    pairs = (
-        binned(a, "a_start", "a_end")
-        .join(
-            binned(b, "b_start", "b_end"),
-            ["__bin"],
-        )
-        .filter((F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end")))
         .select(
             "a_id",
             "b_id",
@@ -932,4 +919,3 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pairs

@@ -454,3 +454,55 @@ def test_url_canonicalization_matches_python_and_is_idempotent(spark, urls):
         expect = _py_canonical(u)
         assert got[u][0] == expect, f"{u}: {got[u][0]} != {expect}"
         assert got[u][1] == got[u][0], f"not idempotent on {u}"
+
+
+# --- interval-overlap join (bin blocking) -----------------------------------
+
+# Boundary-heavy intervals: starts cluster around bin edges (bin widths
+# under test are 3 and 16), lengths run from 1 day to several bins wide.
+_ivl = st.tuples(
+    st.sampled_from([0, 1, 2, 3, 5, 15, 16, 17, 31, 32, 40, 47, 48]),
+    st.sampled_from([1, 2, 3, 4, 16, 17, 33]),
+).map(lambda t: (t[0], t[0] + t[1]))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a_ivls=st.lists(_ivl, min_size=1, max_size=8, unique=True),
+    b_ivls=st.lists(_ivl, min_size=1, max_size=8, unique=True),
+)
+def test_interval_overlap_join_matches_bruteforce(spark, a_ivls, b_ivls):
+    """Bin blocking is a physical rewrite: for ANY bin width and ANY
+    interval lengths (including intervals spanning several bins and
+    ends landing exactly on bin edges) the blocked join must equal the
+    brute-force all-pairs overlap test on half-open intervals."""
+    from etl_cnpjs_spark.operators.relational import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(a_ivls)],
+        "a_id bigint, a_start bigint, a_end bigint",
+    )
+    b = spark.createDataFrame(
+        [(j, s, e) for j, (s, e) in enumerate(b_ivls)],
+        "b_id bigint, b_start bigint, b_end bigint",
+    )
+    want = {
+        (i, j)
+        for i, (as_, ae) in enumerate(a_ivls)
+        for j, (bs, be) in enumerate(b_ivls)
+        if as_ < be and bs < ae
+    }
+    for width in (3, 16):
+        got = {
+            (r.a_id, r.b_id)
+            for r in interval_overlap_join(
+                a, b, "a_start", "a_end", "b_start", "b_end", bin_width=width
+            ).collect()
+        }
+        assert got == want, (
+            f"width={width}: missed {want - got} / invented {got - want}"
+        )
