@@ -506,3 +506,51 @@ def test_interval_overlap_join_matches_bruteforce(spark, a_ivls, b_ivls):
         assert got == want, (
             f"width={width}: missed {want - got} / invented {got - want}"
         )
+
+
+# --- exact Gram sufficient statistic ----------------------------------------
+
+_vec = st.lists(
+    st.floats(
+        min_value=-2.0, max_value=2.0, allow_nan=False, allow_infinity=False
+    ),
+    min_size=3,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=st.lists(_vec, min_size=1, max_size=12))
+def test_gram_partials_match_numpy(spark, vecs):
+    """The Arrow-batched Gram build (per-batch int matmul → dim² partial
+    sums) must equal a single-shot numpy Wᵀ@W on the same floor-quantized
+    int64 matrix for ANY batching — quantized integer partials are exact
+    and associative, so the distributed sum is order-insensitive. Run at
+    tiny parallelism AND repartitioned to force multi-batch partials."""
+    import numpy as np
+
+    from etl_cnpjs_spark.operators.similarity import (
+        EMB_Q,
+        gram_upper_map_in_pandas,
+    )
+
+    W = np.floor(np.array(vecs, dtype=np.float64) * EMB_Q).astype(np.int64)
+    C = W.T @ W
+    want = {
+        (i, j): int(C[i, j])
+        for i in range(W.shape[1])
+        for j in range(i, W.shape[1])
+    }
+    df = spark.createDataFrame(
+        [([float(x) for x in v],) for v in vecs], "v array<double>"
+    )
+    for parts in (1, 4):
+        got = {
+            (r.i, r.j): r.gram_q
+            for r in gram_upper_map_in_pandas(df.repartition(parts), "v").collect()
+        }
+        assert got == want, f"parts={parts}"
