@@ -24,10 +24,20 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20, probe_stride: int = 3
 ) -> DataFrame:
     """(node) × (src, dst) → (node, component) with component = min node id
-    reachable. Singletons map to themselves. Deterministic."""
+    reachable. Singletons map to themselves. Deterministic.
+
+    ``probe_stride`` controls how often the one-row convergence probe
+    runs, in fused (2-hop) rounds: the first probe fires after
+    2*(probe_stride-1)+2 hops, then every ``probe_stride`` rounds. The
+    default 3 probes after hops 4, 10, 16 — diameter ≤ 4 components (the
+    common near-dup shape) are caught by the FIRST probe with zero
+    overshoot rounds, while bigger components still amortize probe
+    barriers 3:1. Pass probe_stride=1 for per-round probing on
+    small/local runs where a probe job is cheaper than a propagation
+    round."""
     # Materialize the (possibly expensive) edge plan once — the loop
     # re-reads it every iteration, and without the barrier each round
     # would recompute the full upstream pair-detection job.
@@ -57,16 +67,19 @@ def connected_components(
         # 2 hops per checkpoint+convergence barrier — at cluster scale
         # the per-round barrier, not the shuffle volume, dominates
         # small-graph CC cost. The convergence probe (join + limit +
-        # count) is itself a driver job, so it runs only every 3rd fused
-        # round (after hops 6, 12, …): near-dup components have diameter
-        # 2-4 and converge before the first probe, cutting the loop's
-        # driver jobs roughly in half. The overshoot rounds between
+        # count) is itself a driver job, so it runs only every
+        # probe_stride'th fused round, phased so the FIRST probe fires
+        # after 4 hops (r == probe_stride - 1, i.e. hops 4, 10, 16 at
+        # the default stride): near-dup components have diameter 2-4 and
+        # converge by hop 4, so the common case pays zero overshoot
+        # rounds AND skips 2 of every 3 probe barriers. The overshoot
+        # rounds (diameter-6+ graphs only) between
         # convergence and the probe are idempotent min-propagations over
         # the (small) edge-touched subgraph — shuffle work traded for
         # barriers, the right direction once a barrier costs more than a
         # round (see SCALE.md).
         new_labels = propagate(propagate(labels)).localCheckpoint()
-        if r % 3 == 0 or r == max_iter:
+        if r % probe_stride == probe_stride - 1 or r == max_iter:
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "node")

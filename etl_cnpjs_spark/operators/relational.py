@@ -234,14 +234,19 @@ def interval_overlap_join(
     Σ per-bin |A_bin|·|B_bin| — linear for bounded interval length and
     bounded per-bin density, never |A|×|B|.
 
-    Requires non-empty intervals (end > start; an empty interval covers
-    no bin and the sequence() bounds invert) and distinct rows per side
-    (the double-match collapse is a full-row distinct). Column names must
+    Requires non-empty intervals (end > start) — ENFORCED: empty or
+    inverted intervals are filtered out before binning, because
+    sequence(start DIV w, (end-1) DIV w) on an empty interval silently
+    produces a DESCENDING bin list and the residual predicate then emits
+    pairs for zero-length intervals that are mathematically
+    non-overlapping; misuse now fails closed (the row simply matches
+    nothing, exactly as an empty set should). Also requires distinct
+    rows per side (the double-match collapse is a full-row distinct). Column names must
     not collide across the two sides. Bit-exact in integer arithmetic —
     oracle-checkable against the naive join (join_interval_overlap plan;
     property-tested against brute force in tests/test_properties.py)."""
     def binned(df: DataFrame, start: str, end: str) -> DataFrame:
-        return df.withColumn(
+        return df.filter(F.col(end) > F.col(start)).withColumn(
             "__bin",
             F.explode(
                 F.sequence(

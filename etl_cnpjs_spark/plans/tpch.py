@@ -915,7 +915,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (SELECT ps_partkey, min(ps_supplycost) AS mc FROM ecost GROUP BY 1)
     SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand,
-           e.ps_supplycost AS supplycost, e.ps_suppkey
+           CAST(e.ps_supplycost AS DOUBLE) AS supplycost, e.ps_suppkey
     FROM part p
       JOIN ecost e ON p.p_partkey = e.ps_partkey
       JOIN m      ON m.ps_partkey = p.p_partkey AND e.ps_supplycost = m.mc
@@ -966,7 +966,8 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
-            F.col("ps_supplycost").alias("supplycost"), "ps_suppkey",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+            "ps_suppkey",
         )
     )
 

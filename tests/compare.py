@@ -4,8 +4,11 @@ value comparison.
 
 We hold ourselves to a stricter bar than any reasonable hash: values must
 be *identical* after canonicalization (floats compared via full-precision
-hex, so a single ulp of drift fails). If this harness passes, any
-order-insensitive hash over sanely-normalized values passes too.
+hex, so a single ulp of drift fails; Decimal is canonicalized
+scale-preserving and NEVER folded into float, so decimal-vs-double
+output-type divergence between the engines fails here too). If this
+harness passes, any order-insensitive hash over sanely-normalized values
+passes too.
 """
 
 from __future__ import annotations
@@ -36,7 +39,15 @@ def canonical(v) -> str:
     if isinstance(v, bool):
         return "b:" + str(v)
     if isinstance(v, Decimal):
-        return "f:" + float(v).hex()
+        # Scale-preserving and type-distinguishing: a DECIMAL(17,6)
+        # Decimal('223.450000') must NOT collapse into the same token as
+        # the double 223.45 — the driver's value-hash distinguishes the
+        # two Python types, and folding them here (as an earlier
+        # float(v).hex() canonicalization did) masked exactly the
+        # tpch_q2 failure in CORRECTNESS_r04. A plan whose output
+        # boundary leaks a raw Spark decimal against a DuckDB DOUBLE
+        # oracle now fails locally too.
+        return "dec:" + str(v)
     if isinstance(v, pd.Timestamp):
         if v.tzinfo is not None:
             v = v.tz_convert("UTC").tz_localize(None)

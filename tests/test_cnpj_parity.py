@@ -172,6 +172,27 @@ def test_export_bom_csv(spark, cnpj_env, tmp_path):
     assert len(lines) - 1 == df.count()
 
 
+def test_export_header_bytes_match_reference_golden(spark, cnpj_env, tmp_path):
+    """Literal golden parity: the merged export's first line must
+    BYTE-equal the reference's real output header — BOM + the exact
+    20-column ';' header of /root/reference/data/resultado_final.csv:1
+    (the one reference artifact readable offline). The synthetic-fixture
+    parity tests above check values; this pins the export surface (BOM,
+    separator, column names, column ORDER) against the genuine article."""
+    ref = "/root/reference/data/resultado_final.csv"
+    if not os.path.exists(ref):
+        pytest.skip("reference golden file not present")
+    with open(ref, "rb") as f:
+        golden_first_line = f.readline().rstrip(b"\r\n")
+    _env, _con = cnpj_env
+    df = run_flagship_sql(spark)
+    parts = export_csv(df, str(tmp_path / "golden_csv"))
+    final = merge_single_file(parts, str(tmp_path / "golden_final.csv"))
+    with open(final, "rb") as f:
+        ours_first_line = f.readline().rstrip(b"\r\n")
+    assert ours_first_line == golden_first_line
+
+
 def test_manifest_reader(tmp_path):
     p = tmp_path / "m.txt"
     p.write_text("http://example.com/a.zip\n\nhttp://example.com/b.zip\n")
