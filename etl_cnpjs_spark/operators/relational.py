@@ -265,3 +265,47 @@ def interval_overlap_join(
         .drop("__bin")
         .distinct()
     )
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point: str,
+    start: str,
+    end: str,
+    bin_width: int,
+) -> DataFrame:
+    """Point-in-range lookup — rows where start <= point < end — the
+    degenerate (and far more common) case of interval_overlap_join: AS-OF
+    reads, event→session attribution, IP→geo range lookups, tiered
+    pricing. Same bin-blocking idea, but the POINT side never explodes:
+    a point lies in exactly ONE ``bin_width`` bin (point DIV width — one
+    integer projection, no sequence(), no row growth), only the interval
+    side replicates to the bins it covers. The join is then a plain bin
+    equi-join with the containment predicate as residual, and because
+    each (interval, point) pair can meet in at most one bin — the
+    point's — there are no double-matches and NO distinct is needed:
+    output cardinality is exactly the true match set, duplicates in the
+    inputs pass through 1:1 (unlike the overlap join, which must
+    collapse on distinct rows).
+
+    Cost: |points| + Σ ceil(len/width) interval replicas shuffled on the
+    bin key, then per-bin hash probes — never |P|×|I|. Empty/inverted
+    intervals are filtered (fail closed, same contract as
+    interval_overlap_join). Integer arithmetic only: bit-exact against
+    the naive BETWEEN join, which is the oracle."""
+    iv = intervals.filter(F.col(end) > F.col(start)).withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start} DIV {bin_width}"),
+                F.expr(f"({end} - 1) DIV {bin_width}"),
+            )
+        ),
+    )
+    pt = points.withColumn("__bin", F.expr(f"{point} DIV {bin_width}"))
+    return (
+        pt.join(iv, ["__bin"])
+        .filter((F.col(start) <= F.col(point)) & (F.col(point) < F.col(end)))
+        .drop("__bin")
+    )

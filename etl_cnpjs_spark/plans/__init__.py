@@ -94,20 +94,26 @@ _FRONT_HINT = [
 ]
 
 
-def _driver_evidence() -> tuple[set[str], set[str]]:
-    """(green, seen) key sets from every CORRECTNESS_r*.json the driver
-    has shipped into the repo root. green = full rows+schema+hash pass in
-    at least one round; seen = any driver row at all."""
+def _driver_evidence() -> tuple[dict[str, int], set[str]]:
+    """(green, seen) from every CORRECTNESS_r*.json the driver has
+    shipped into the repo root. green maps key -> LATEST round number
+    with a full rows+schema+hash pass (membership = "has a green row";
+    the round number orders re-confirmation: evidence decays, so the
+    driver window re-checks the stalest greens first). seen = any driver
+    row at all."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    green: set[str] = set()
+    green: dict[str, int] = {}
     seen: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -118,7 +124,7 @@ def _driver_evidence() -> tuple[set[str], set[str]]:
         for key, row in rows.items():
             seen.add(key)
             if isinstance(row, dict) and row.get("hash_match") is True:
-                green.add(key)
+                green[key] = max(green.get(key, 0), rnd)
     return green, seen
 
 
@@ -150,9 +156,25 @@ _ADDED_R3 = [
     "stream_stateful_totals",
 ]
 
+# Keys ADDED in round 5 (the r4 verdict's "unfreeze the surface" item):
+# they queue behind tpch_q2 — the one unverified pre-existing key — and
+# ahead of green re-confirmations, so the r5 driver window lands
+# tpch_q2's fix first, then first-ever evidence for these, then rotates
+# the stalest green rows.
+_ADDED_R5 = [
+    "stream_interval_join",
+    "join_point_in_interval",
+    "cdc_snapshot_at",
+    "text_quality_classifier",
+    "dedup_minhash_persist",
+    "graph_label_propagation",
+    "agg_countmin",
+    "text_perplexity_bucket",
+]
+
 
 def _reorder() -> None:
-    missing = [k for k in [*_FRONT_HINT, *_ADDED_R3] if k not in QUERIES]
+    missing = [k for k in [*_FRONT_HINT, *_ADDED_R3, *_ADDED_R5] if k not in QUERIES]
     assert not missing, f"priority lists name unknown keys: {missing}"
     green, seen = _driver_evidence()
 
@@ -167,13 +189,29 @@ def _reorder() -> None:
             return 1  # no green row, oracle-bearing: the window must see these
         return 2  # no row at all, rows-only check still beats nothing
 
+    def added_tier(k: str) -> int:
+        # newer additions never displace older unverified keys: within a
+        # bucket, pre-freeze backlog (0) < round-3 additions (1) <
+        # round-5 additions (2). After r4 the only unverified R3 key is
+        # tpch_q2 (its first driver row failed), so it leads the window
+        # ahead of every R5 key — the r4 verdict's item #4 ordering.
+        if k in _ADDED_R5:
+            return 2
+        if k in _ADDED_R3:
+            return 1
+        return 0
+
     hint_rank = {k: i for i, k in enumerate(_FRONT_HINT)}
     reg_rank = {k: i for i, k in enumerate(QUERIES)}
     ordered_keys = sorted(
         QUERIES,
         key=lambda k: (
             bucket(k),
-            1 if k in _ADDED_R3 else 0,  # new keys never displace the backlog
+            added_tier(k),
+            # within the green bucket: stalest evidence first, so driver
+            # freshness doesn't decay as the surface grows (~60 keys'
+            # only green row is r1); 0 for non-green keys
+            green.get(k, 0),
             hint_rank.get(k, len(_FRONT_HINT)),
             reg_rank[k],
         ),

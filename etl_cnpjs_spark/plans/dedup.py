@@ -761,3 +761,71 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("keep_doc_id"),
         )
     )
+
+
+@register(
+    "dedup_minhash_persist",
+    oracle=_SQL_INCREMENTAL,
+    tags=("north_star", "dedup", "incremental", "layout"),
+)
+def dedup_minhash_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental's PRODUCTION layout: the corpus's banded MinHash
+    signatures live in a PERSISTED table bucketed by the band key, and an
+    incoming batch probes that table — the shape a crawl pipeline
+    actually maintains across runs (dedup_incremental derives the corpus
+    side in-session each time; here it is an artifact with a lifecycle,
+    like the kmeans quantizer or the lm model). Steps:
+
+      1. sink: (corpus_id, band, key, sh) exploded band postings,
+         bucketBy(key) via layout.write_bucketed — pay the corpus shuffle
+         ONCE at build time; at 100 TB this table appends per crawl wave
+         and re-clusters on the same bucketing.
+      2. probe: the batch's band keys equi-join the persisted postings on
+         (band, key). Bucketing pre-hashes the table on `key`, so only
+         the (small) batch side moves; candidates dedup on the pair.
+      3. verify: exact Jaccard over shingles — the batch carries its own
+         sh; the CORPUS shingles ride the posting table (denormalized per
+         posting — trades ~bands× storage for a zero-join verify read,
+         the standard postings-with-payload layout), deduped per pair.
+
+    Output ≡ dedup_incremental — (new_id, corpus_id, jaccard ≥ 0.8) —
+    so the from-scratch oracle re-derives it exactly; the key's value is
+    proving the persisted-layout path hash-matches the in-memory one."""
+    from etl_cnpjs_spark.plans.layout import write_bucketed
+
+    docs = _doc_shingles(spark, sf_dir)
+    signed = docs.select(
+        "doc_id",
+        "sh",
+        minhash_band_keys(F.col("sh"), bands=8, rows=2).alias("bk"),
+    ).localCheckpoint()
+
+    corpus_postings = (
+        signed.filter(F.col("doc_id") < _INCR_SPLIT)
+        .select(
+            F.col("doc_id").alias("corpus_id"),
+            F.posexplode("bk").alias("band", "key"),
+            F.col("sh").alias("sha"),
+        )
+    )
+    write_bucketed(corpus_postings, "minhash_corpus_bands", "key")
+    persisted = spark.table("minhash_corpus_bands")
+
+    batch = signed.filter(F.col("doc_id") >= _INCR_SPLIT)
+    bb = batch.select(
+        F.col("doc_id").alias("new_id"),
+        F.posexplode("bk").alias("band", "key"),
+    )
+    cands = (
+        bb.join(persisted, ["band", "key"])
+        .select("new_id", "corpus_id", "sha")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    sb = batch.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size("sha") + F.size("shb") - inter
+    return (
+        cands.join(sb, "new_id")
+        .select("new_id", "corpus_id", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )

@@ -343,3 +343,64 @@ def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         """
     )
+
+
+# --- agg_countmin ----------------------------------------------------------
+#
+# Count-Min sketch (Cormode & Muthukrishnan 2005): a depth × width counter
+# matrix where row d counts collisions under hash_d; point estimate =
+# min over rows — an UPPER bound on the true frequency with error
+# ≤ e/width · N at probability 1 - (1/2)^depth. Unlike agg_hll_sketch
+# (engine-private sketch bytes, rows-only check), the hash family here is
+# EXPLICIT affine-mod arithmetic, so the whole matrix is deterministic
+# bigint math both engines reproduce — a sketch key with a full
+# hash-green oracle.
+_CMS_W = 256  # width (buckets per row)
+_CMS_P = 1_000_003  # prime for the affine family
+_CMS_HASHES = [(433, 17), (389, 251), (911, 643), (607, 89)]  # (a_d, b_d)
+
+
+@register(
+    "agg_countmin",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT {d} AS depth,
+           ((user_id * {a} + {b}) % {_CMS_P}) % {_CMS_W} AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 2"""
+        for d, (a, b) in enumerate(_CMS_HASHES)
+    ),
+    tags=("agg", "sketch", "approx", "north_star"),
+)
+def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch build over the events stream's user_id frequency
+    (heavy-hitter / rate-limit accounting): each row lands in one bucket
+    per depth via the affine family h_d(x) = ((a_d·x + b_d) mod P) mod W,
+    and the sketch is the (depth, bucket, cnt) matrix — ≤ depth·width =
+    1024 cells regardless of input size. The estimate-side contract
+    (read: min over depths of the probed cells, always ≥ the true count,
+    within e/W·N w.h.p.) is pinned by
+    tests/test_approx_accuracy.py::test_countmin_point_estimates.
+
+    Scale shape: one explode(depth-array) — constant 4× row growth that
+    partial aggregation collapses to ≤ 1024 cells per task BEFORE the
+    exchange, so the shuffle moves ≤ tasks·1024 tiny rows however big
+    the input; the reduce is the standard mergeable-sketch sum (sketches
+    add cell-wise, the property that lets per-partition/per-day sketches
+    roll up without touching raw data again). All arithmetic is
+    nonnegative bigint mod — hash-exact across engines."""
+    ev = table(spark, sf_dir, "events")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("depth"),
+                (((F.col("user_id") * a + b) % _CMS_P) % _CMS_W).alias("bucket"),
+            )
+            for d, (a, b) in enumerate(_CMS_HASHES)
+        ]
+    )
+    return (
+        ev.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.depth").alias("depth"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )

@@ -733,9 +733,9 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- cdc_scd2 --------------------------------------------------------------
 
 
-@register(
-    "cdc_scd2",
-    oracle="""
+# Shared by cdc_scd2 (the interval build) and cdc_snapshot_at (the
+# point-in-time read over it).
+_SQL_SCD2 = """
     WITH feed AS (
       SELECT o_orderkey AS key, o_orderdate AS eff_ts,
              'v1-' || lower(o_orderstatus) AS status
@@ -762,7 +762,12 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
            (lead(eff_ts) OVER (PARTITION BY key ORDER BY eff_ts) IS NULL)
              AS is_current
     FROM kept
-    """,
+    """
+
+
+@register(
+    "cdc_scd2",
+    oracle=_SQL_SCD2,
     tags=("cdc", "scd2", "window"),
 )
 def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -810,6 +815,43 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feed = slice_(10, 1).unionAll(slice_(20, 2)).unionAll(slice_(40, 3))
     return scd2_intervals(feed, "key", "eff_ts", "status")
+
+
+_SNAPSHOT_TS = "1995-06-30 00:00:00"
+
+
+@register(
+    "cdc_snapshot_at",
+    oracle=f"""
+    WITH scd2 AS ({_SQL_SCD2})
+    SELECT key, status, valid_from
+    FROM scd2
+    WHERE valid_from <= TIMESTAMP '{_SNAPSHOT_TS}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_SNAPSHOT_TS}')
+    """,
+    tags=("cdc", "scd2", "asof"),
+)
+def cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF read over the SCD2 interval table — "the dimension exactly
+    as it stood at time T", the query every time-travel/lakehouse CDC
+    story ends in (Delta/Iceberg snapshot reads have this semantics;
+    here it is expressed against the interval table cdc_scd2 builds, so
+    it works on ANY store). A point-in-time snapshot is a pure partition
+    filter over [valid_from, valid_to): keys born after T fall out via
+    valid_from <= T, superseded versions via valid_to > T, and the open
+    (is_current) interval matches any T past its start.
+
+    Scale shape: ZERO additional shuffles — the filter is residual on
+    cdc_scd2's single feed-sized exchange. On a PERSISTED interval
+    table partitioned by date(valid_from) the same predicate
+    partition-prunes; the snapshot never replays the change feed (the
+    naive AS-OF implementation) nor sorts per key again."""
+    scd2 = cdc_scd2(spark, sf_dir)
+    t = F.lit(_SNAPSHOT_TS).cast("timestamp")
+    return scd2.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("key", "status", "valid_from")
 
 
 # --- graph_pagerank --------------------------------------------------------
@@ -1447,3 +1489,90 @@ def dq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = row("orderdate_not_null", "null_dates", "n", n_orders)
     neg = row("price_non_negative", "neg_price", "n", li_stats)
     return uniq.unionAll(fk).unionAll(qty).unionAll(nd).unionAll(neg)
+
+
+# --- graph_label_propagation -----------------------------------------------
+
+_LPA_ITERS = 2
+# composite-score multiplier: must exceed the max node id (part keys +
+# the 1e6 supplier offset), so (cnt, label) orders lexicographically
+# inside one BIGINT and max_by/arg_max need no float or struct compare
+_LPA_C = 10_000_000
+
+
+def _lpa_oracle() -> str:
+    sql = f"""
+    WITH ed AS (
+      SELECT DISTINCT l_partkey AS u, {_PR_SUPP_OFFSET} + l_suppkey AS v FROM lineitem
+      UNION
+      SELECT DISTINCT {_PR_SUPP_OFFSET} + l_suppkey AS u, l_partkey AS v FROM lineitem
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM ed)
+    """
+    prev = "l0"
+    for i in range(1, _LPA_ITERS + 1):
+        sql += f""",
+    c{i} AS (
+      SELECT ed.v AS node, p.label, count(*) AS cnt
+      FROM ed JOIN {prev} p ON ed.u = p.node
+      GROUP BY 1, 2),
+    l{i} AS (
+      SELECT node, arg_max(label, cnt * {_LPA_C} - label) AS label
+      FROM c{i} GROUP BY node)
+    """
+        prev = f"l{i}"
+    return sql + f"SELECT node, CAST(label AS BIGINT) AS label FROM {prev}"
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("graph", "iterative", "north_star"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation (community detection), two unrolled synchronous
+    iterations over the part↔supplier bipartite graph — the
+    fixed-iteration oracle pattern graph_pagerank established, applied
+    to the OTHER standard Pregel workload. Update rule: each node adopts
+    its neighbors' MODE label; ties break to the smallest label, made
+    total-order deterministic by packing (count, label) into one bigint
+    score cnt*C - label and taking max_by (Spark) / arg_max (DuckDB) —
+    no floats, no struct comparisons, so both engines pick the identical
+    label and the key is hash-green despite LPA's notorious tie
+    nondeterminism (asynchronous/random-order variants aren't
+    reproducible even against themselves).
+
+    Distributed shape per iteration — same discipline as pagerank: the
+    label vector is node-sized and BROADCASTS to the (checkpointed) edge
+    list; edges never move; one shuffle on the destination key for the
+    partial-aggregated (node, label) counts, then a node-grain max_by.
+    At 100 TB with a label vector too big to broadcast, the two
+    broadcast hints become a hash(u) co-partitioning of ed and labels
+    reused across iterations — the join keys never change, so the edge
+    exchange still happens ONCE, not per iteration."""
+    li = table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_partkey").alias("u"),
+        (F.lit(_PR_SUPP_OFFSET) + F.col("l_suppkey")).alias("v"),
+    )
+    rev = fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ed = fwd.unionByName(rev).distinct().localCheckpoint()
+    labels = ed.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ITERS):
+        cnt = (
+            ed.join(F.broadcast(labels), ed.u == F.col("node"))
+            .groupBy(F.col("v"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            cnt.groupBy(F.col("v").alias("node"))
+            .agg(
+                F.max_by(
+                    F.col("label"), F.col("cnt") * _LPA_C - F.col("label")
+                ).alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").cast("bigint").alias("label"))

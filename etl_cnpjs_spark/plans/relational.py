@@ -24,6 +24,7 @@ from etl_cnpjs_spark.operators.relational import (
     filter_in_lists,
     interval_overlap_join,
     join_asof,
+    point_in_interval_join,
     star_join,
     top_k,
 )
@@ -918,4 +919,61 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("overlap_days"),
         )
         .distinct()
+    )
+
+
+@register(
+    "join_point_in_interval",
+    oracle=f"""
+    WITH iv AS (
+      SELECT o_orderkey AS a_id,
+             date_diff('day', DATE '1992-01-01', o_orderdate) AS a_start,
+             date_diff('day', DATE '1992-01-01', o_orderdate)
+               + 1 + o_orderkey % 14 AS a_end
+      FROM orders WHERE o_orderkey % 101 = 0),
+    pt AS (
+      SELECT DISTINCT l_orderkey * 10 + l_linenumber AS p_id,
+             date_diff('day', DATE '1992-01-01', l_shipdate) AS p_day
+      FROM lineitem WHERE (l_orderkey * 10 + l_linenumber) % 13 = 0)
+    SELECT p_id, a_id,
+           CAST(p_day - a_start AS BIGINT) AS day_in_window
+    FROM pt JOIN iv ON a_start <= p_day AND p_day < a_end
+    """,
+    tags=("join", "interval", "point"),
+)
+def join_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-range lookup (shipment day → containing order-validity
+    windows) via operators.relational.point_in_interval_join: the point
+    side maps to its single bin with ONE integer projection (no explode,
+    no row growth — the property that makes this the cheap half of the
+    range-join family), only the ≤14-day interval side replicates to its
+    ≤2 bins, and each pair meets in at most one bin so no distinct is
+    needed. Oracle = the naive BETWEEN join. This is the physical shape
+    of AS-OF reads, event→session attribution, and IP-range lookups at
+    100 TB: points (the big side) shuffle once on the bin key at size
+    |P|, never explode, never cross-join."""
+    epoch = F.lit("1992-01-01").cast("date")
+    iv = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 101 == 0).select(
+        F.col("o_orderkey").alias("a_id"),
+        F.datediff(F.col("o_orderdate"), epoch).alias("a_start"),
+        (
+            F.datediff(F.col("o_orderdate"), epoch)
+            + 1
+            + F.col("o_orderkey") % 14
+        ).alias("a_end"),
+    )
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "p_id", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    ).filter(F.col("p_id") % 13 == 0)
+    # the testdata's lineitem repeats (orderkey, linenumber) — declare a
+    # DISTINCT point set (same convention as join_interval_overlap's b)
+    pt = li.select(
+        "p_id", F.datediff(F.col("l_shipdate"), epoch).alias("p_day")
+    ).distinct()
+    return point_in_interval_join(
+        pt, iv, "p_day", "a_start", "a_end", bin_width=_IVL_BIN
+    ).select(
+        "p_id",
+        "a_id",
+        (F.col("p_day") - F.col("a_start")).cast("bigint").alias("day_in_window"),
     )

@@ -203,3 +203,45 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT s.event_id AS sid, e.event_id AS eid,
+           CAST(epoch_us(e.ts) - epoch_us(s.ts) AS BIGINT) AS lag_us
+    FROM events s JOIN events e
+      ON s.event_type = 'signup' AND e.event_type = 'error'
+     AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 5 MINUTE
+    """,
+    tags=("streaming", "join", "interval"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join with a RANGE-ONLY condition (no natural equi
+    key), batch form: every error within 5 minutes after ANY signup —
+    global incident attribution. stream_join covers the equi+time-window
+    state shape; this key covers the one Spark's stream-stream join
+    handles worst naively (keyless state = probe everything), solved by
+    a synthetic 5-minute time-bucket key: the signup's validity interval
+    explodes to its ≤ 2 buckets, the error maps to its single bucket (a
+    point never explodes), bucket equality carries the join and the true
+    range predicate is residual — the bin-blocking technique shared with
+    point_in_interval_join, here keyed on TIME. Exactly one candidate
+    meeting per true pair, so no distinct. The identical transform
+    (streaming/windows.py::signup_error_interval_join) runs under
+    readStream with watermarks on both sides in
+    tests/test_streaming.py::test_stream_range_only_interval_join —
+    bucket = state-store key, watermark + 5-min bound = state eviction.
+    Batch plan shape: one hash(__bucket) exchange per side, never a
+    cartesian (plan-asserted in tests/test_plans.py). Exact integer µs
+    lag, hash-green oracle."""
+    from etl_cnpjs_spark.streaming.windows import signup_error_interval_join
+
+    ev = table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("sid"), F.col("ts").alias("sts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("eid"), F.col("ts").alias("ets")
+    )
+    return signup_error_interval_join(signups, errors)

@@ -451,3 +451,197 @@ def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("neutral")
         .alias("label"),
     )
+
+
+# --- text_quality_classifier -----------------------------------------------
+#
+# Model-based quality gate, the shape production corpus filters actually
+# run (fastText/logreg over cheap features — cf. CCNet, Gopher): a LINEAR
+# scorer whose weights are a broadcast model artifact, not code. Features
+# and weights stay in BIGINT fixed-point (ratios pre-scaled to ppm via
+# floor division) so the score — and therefore the decision boundary —
+# is bit-identical across engines and oracle-checkable, unlike a float
+# dot product whose summation order drifts.
+_QC_WEIGHTS = {  # (feature -> integer weight); score unit: micro-points
+    "n_tokens": 500,  # longer docs mildly favored
+    "distinct_ppm": 3,  # vocabulary diversity (ppm of tokens)
+    "stop_ppm": 2,  # stopword rate ~ natural prose (ppm)
+    "meanlen_q3": -40,  # very long tokens ~ code/garbage (milli-chars)
+}
+_QC_BIAS = -1_500_000
+_QC_KEEP = 1_000_000  # score >= keep -> 'keep'
+_QC_REVIEW = 0  # keep > score >= review -> 'review', else 'drop'
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH w(w_ntok, w_dist, w_stop, w_mlen) AS (
+      VALUES ({_QC_WEIGHTS["n_tokens"]}, {_QC_WEIGHTS["distinct_ppm"]},
+              {_QC_WEIGHTS["stop_ppm"]}, {_QC_WEIGHTS["meanlen_q3"]})
+    ),
+    f AS (
+      SELECT doc_id,
+             len({_SQL_TOKS}) AS n_tokens,
+             (len(list_distinct({_SQL_TOKS})) * 1000000)
+               // len({_SQL_TOKS}) AS distinct_ppm,
+             ({_sql_hits(STOPWORDS)} * 1000000)
+               // len({_SQL_TOKS}) AS stop_ppm,
+             (CAST(list_sum(list_transform({_SQL_TOKS}, t -> length(t)))
+                   AS BIGINT) * 1000)
+               // len({_SQL_TOKS}) AS meanlen_q3
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, distinct_ppm, stop_ppm, meanlen_q3,
+           CAST({_QC_BIAS} + w_ntok * n_tokens + w_dist * distinct_ppm
+                + w_stop * stop_ppm + w_mlen * meanlen_q3 AS BIGINT)
+             AS score_micro,
+           CASE
+             WHEN {_QC_BIAS} + w_ntok * n_tokens + w_dist * distinct_ppm
+                  + w_stop * stop_ppm + w_mlen * meanlen_q3
+                  >= {_QC_KEEP} THEN 'keep'
+             WHEN {_QC_BIAS} + w_ntok * n_tokens + w_dist * distinct_ppm
+                  + w_stop * stop_ppm + w_mlen * meanlen_q3
+                  >= {_QC_REVIEW} THEN 'review'
+             ELSE 'drop'
+           END AS decision
+    FROM f CROSS JOIN w
+    """,
+    tags=("north_star", "text", "classifier"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over per-doc features with the weight
+    vector as a BROADCAST 1-row model frame — the operational shape of a
+    trained filter: retraining ships a new weights artifact, the plan
+    doesn't change. Features are scan-side codegen (one pass, no
+    exchange); the crossJoin(broadcast(weights)) is the scalar-
+    subquery/model-broadcast shape used throughout the repo — at 100 TB
+    the model rides the broadcast variable to every executor and scoring
+    stays embarrassingly parallel, zero shuffles. Fixed-point bigint
+    features × integer weights ⇒ the decision boundary is exact, so the
+    full three-way decision column carries a hash-green oracle (a float
+    scorer could flip 'review'/'drop' on summation order)."""
+    w = F.broadcast(
+        spark.createDataFrame(
+            [
+                (
+                    _QC_WEIGHTS["n_tokens"],
+                    _QC_WEIGHTS["distinct_ppm"],
+                    _QC_WEIGHTS["stop_ppm"],
+                    _QC_WEIGHTS["meanlen_q3"],
+                )
+            ],
+            "w_ntok long, w_dist long, w_stop long, w_mlen long",
+        )
+    )
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks).cast("long")
+    charsum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    # true bigint floor division (DIV), NOT floor(a / b): long / long is
+    # a DOUBLE divide in Spark and can land one ulp under an exact
+    # integer quotient — the lm_score convention
+    feats = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("long") * 1_000_000).alias("__dn"),
+        (token_overlap_count(toks, STOPWORDS).cast("long") * 1_000_000).alias("__sn"),
+        (charsum * 1_000).alias("__cn"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("__dn DIV n_tokens").alias("distinct_ppm"),
+        F.expr("__sn DIV n_tokens").alias("stop_ppm"),
+        F.expr("__cn DIV n_tokens").alias("meanlen_q3"),
+    )
+    score = (
+        F.lit(_QC_BIAS)
+        + F.col("w_ntok") * F.col("n_tokens")
+        + F.col("w_dist") * F.col("distinct_ppm")
+        + F.col("w_stop") * F.col("stop_ppm")
+        + F.col("w_mlen") * F.col("meanlen_q3")
+    ).cast("bigint")
+    return (
+        feats.crossJoin(w)
+        .withColumn("score_micro", score)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_ppm",
+            "stop_ppm",
+            "meanlen_q3",
+            "score_micro",
+            F.when(F.col("score_micro") >= _QC_KEEP, "keep")
+            .when(F.col("score_micro") >= _QC_REVIEW, "review")
+            .otherwise("drop")
+            .alias("decision"),
+        )
+    )
+
+
+# --- text_perplexity_bucket ------------------------------------------------
+#
+# Fluency-tiering capstone: lm_score's per-doc bigram likelihood, bucketed
+# into FIXED fluency tiers, rolled up to a corpus mixture report — the
+# "perplexity bucket" step of CCNet-style pipelines (head/middle/tail by
+# LM perplexity), which decides how much of each tier enters training.
+# Fixed thresholds (not quantiles) keep the tiering deterministic and the
+# whole composite bigint-exact end to end.
+_PPL_TIERS = [  # (upper bound on lm_q9 in parts-per-1e9, tier name)
+    (50_000_000, "tail"),
+    (200_000_000, "middle"),
+    (500_000_000, "head"),
+]
+_PPL_TOP = "fluent"
+
+
+def _ppl_case_sql(col: str) -> str:
+    out = "CASE "
+    for ub, name in _PPL_TIERS:
+        out += f"WHEN {col} < {ub} THEN '{name}' "
+    return out + f"ELSE '{_PPL_TOP}' END"
+
+
+@register(
+    "text_perplexity_bucket",
+    oracle=f"""
+    WITH lm AS ({_SQL_LM_SCORE})
+    SELECT {_ppl_case_sql("lm_q9")} AS tier,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(lm_q9) // count(*) AS BIGINT) AS mean_lm_q9,
+           CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams
+    FROM lm
+    GROUP BY 1
+    """,
+    tags=("north_star", "text", "lm", "composite"),
+)
+def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-tier mixture report: score every document with the
+    corpus bigram model (text_lm_score), assign a fluency tier by fixed
+    lm_q9 thresholds, aggregate docs/mean-score/bigram-mass per tier.
+    Downstream, sample_weighted_mix consumes exactly this shape to
+    up/down-sample tiers into a training mix.
+
+    Scale shape: tier assignment is a zero-shuffle CASE over lm_score's
+    output, and the rollup groups on a 4-value key — the final exchange
+    moves ≤ 4 partial rows per task (map-side combine), so the composite
+    adds NOTHING to lm_score's cost profile. Means are bigint DIV (the
+    lm_score convention), so the oracle is hash-exact."""
+    lm = text_lm_score(spark, sf_dir)
+    tier = F.col("lm_q9")
+    expr = None
+    for ub, name in _PPL_TIERS:
+        cond = tier < ub
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = expr.otherwise(_PPL_TOP)
+    return (
+        lm.select(expr.alias("tier"), "lm_q9", "n_bigrams")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("sum(lm_q9) DIV count(1)").cast("bigint").alias("mean_lm_q9"),
+            F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
+        )
+    )

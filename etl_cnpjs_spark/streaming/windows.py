@@ -134,3 +134,56 @@ def click_purchase_join(clicks: DataFrame, buys: DataFrame) -> DataFrame:
             "lag_us"
         ),
     )
+
+
+INCIDENT_WINDOW_SEC = 300  # errors attributed to signups in the next 5 min
+
+
+def signup_error_interval_join(
+    signups: DataFrame, errors: DataFrame, streaming: bool = False
+) -> DataFrame:
+    """Time-range-ONLY stream-stream join — NO natural equi key: every
+    error within 5 minutes AFTER any signup (global incident
+    attribution; deploy→error, campaign→traffic-spike are the same
+    shape). This is the state shape plain equi+interval joins
+    (click_purchase_join) don't exercise: with no key, naive planning is
+    a cross product, and naive streaming state probes every buffered row.
+
+    Both faces get a SYNTHETIC equi key instead — the bin-blocking trick
+    in stream form: the signup's 5-minute validity interval explodes to
+    the 1-2 fixed 5-minute time buckets it covers, the error maps to
+    exactly ONE bucket (a point never explodes), and the join becomes
+    bucket-equality + the true range condition as residual. Matches are
+    unique per pair (a pair can only meet in the error's bucket) so no
+    distinct is needed. Under readStream the bucket is the state-store
+    grouping key and the watermark + range bound state eviction; in
+    batch it is a plain shuffle key. Inputs carry (sid, sts) / (eid,
+    ets) columns; output (sid, eid, lag_us) in exact integer µs."""
+    w = INCIDENT_WINDOW_SEC
+    s = signups.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_timestamp(sts) DIV {w}"),
+                F.expr(f"(unix_timestamp(sts) + {w}) DIV {w}"),
+            )
+        ),
+    )
+    e = errors.withColumn("__bucket", F.expr(f"unix_timestamp(ets) DIV {w}"))
+    if streaming:
+        s = s.withWatermark("sts", "10 minutes")
+        e = e.withWatermark("ets", "10 minutes")
+    cond = (
+        (F.col("ets") > F.col("sts"))
+        & (F.col("ets") <= F.col("sts") + F.expr(f"INTERVAL {w} SECONDS"))
+    )
+    return (
+        s.join(e, on=[s["__bucket"] == e["__bucket"], cond])
+        .select(
+            "sid",
+            "eid",
+            (F.unix_micros(F.col("ets")) - F.unix_micros(F.col("sts"))).alias(
+                "lag_us"
+            ),
+        )
+    )

@@ -75,3 +75,36 @@ def test_embedding_quantize_reconstruction_bound(spark, sf_dir):
             assert abs(float(x) - decoded) <= step / 2 + 1e-9
             checked += 1
     assert checked > 0
+
+
+def test_countmin_point_estimates(spark, sf_dir):
+    """The CMS read-side contract: for every key, the point estimate
+    (min over depths of the probed cells) is an UPPER bound on the true
+    frequency, and overestimation stays within the e/W·N guarantee
+    (allow the full bound; typical error is far smaller)."""
+    import math
+
+    from etl_cnpjs_spark.catalog import table
+    from etl_cnpjs_spark.plans.extended2 import _CMS_HASHES, _CMS_P, _CMS_W
+
+    cells = {
+        (r.depth, r.bucket): r.cnt
+        for r in QUERIES["agg_countmin"].fn(spark, sf_dir).collect()
+    }
+    truth = {
+        r.user_id: r.n
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    n_total = sum(truth.values())
+    bound = math.e / _CMS_W * n_total
+    for uid, true_cnt in truth.items():
+        est = min(
+            cells.get((d, ((uid * a + b) % _CMS_P) % _CMS_W), 0)
+            for d, (a, b) in enumerate(_CMS_HASHES)
+        )
+        assert est >= true_cnt, (uid, est, true_cnt)
+        assert est - true_cnt <= bound, (uid, est, true_cnt, bound)

@@ -456,3 +456,41 @@ def test_embedding_gram_shuffles_partials_not_vectors(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert ex and "embedding" not in ex[0] and "v#" not in ex[0]
+
+
+def test_point_in_interval_join_is_not_cartesian_and_point_never_explodes(spark, sf_dir):
+    """The point-in-range lookup must plan as a bin equi-join (the point
+    side contributes a single computed bin — no Generate/explode on that
+    branch), never a nested-loop product."""
+    plan = explain_str(QUERIES["join_point_in_interval"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly ONE Generate (the interval side's bin explode); the point
+    # side must not add a second
+    assert plan.count("Generate explode") == 1, plan
+
+
+def test_stream_interval_join_is_not_cartesian(spark, sf_dir):
+    """The range-only (keyless) stream join gets its synthetic
+    time-bucket equi key: bucket equality must carry the join."""
+    plan = explain_str(QUERIES["stream_interval_join"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_snapshot_adds_no_exchange_over_scd2(spark, sf_dir):
+    """The AS-OF snapshot is a residual filter over the SCD2 build: the
+    snapshot plan must contain no MORE exchanges than cdc_scd2 itself."""
+    scd2 = explain_str(QUERIES["cdc_scd2"].fn(spark, sf_dir), "simple")
+    snap = explain_str(QUERIES["cdc_snapshot_at"].fn(spark, sf_dir), "simple")
+    assert snap.count("Exchange") <= scd2.count("Exchange")
+
+
+def test_countmin_shuffle_is_partial_aggregated(spark, sf_dir):
+    """The CMS build must partial-aggregate (map-side combine) before its
+    single exchange, so the shuffle carries ≤ depth·width cells per task
+    regardless of input size."""
+    plan = explain_str(QUERIES["agg_countmin"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # partial_count before the exchange in the simple plan string
+    assert "partial_count" in plan, plan

@@ -10,7 +10,7 @@ a full round of driver evidence — cheap insurance to pin it.
 from __future__ import annotations
 
 from etl_cnpjs_spark.plans import QUERIES
-from etl_cnpjs_spark.plans import _ADDED_R3, _driver_evidence
+from etl_cnpjs_spark.plans import _ADDED_R3, _ADDED_R5, _driver_evidence
 
 
 def test_flagship_first():
@@ -36,24 +36,32 @@ def test_green_keys_sort_behind_unverified_oracle_keys():
     )
 
 
-def test_round3_additions_queue_behind_backlog():
+def test_additions_queue_behind_older_backlog():
+    """Each addition wave queues behind every OLDER unverified key:
+    pre-freeze backlog < _ADDED_R3 < _ADDED_R5. (After r4 the only
+    unverified R3 key is tpch_q2 — whose first driver row failed — so it
+    must lead the window ahead of all R5 keys.)"""
     green, _seen = _driver_evidence()
     order = list(QUERIES)
-    backlog = [
+
+    def tier(k: str) -> int:
+        return 2 if k in _ADDED_R5 else 1 if k in _ADDED_R3 else 0
+
+    unverified = [
         k
         for k in order
-        if k != "flagship"
-        and k not in green
-        and k not in _ADDED_R3
-        and QUERIES[k].oracle is not None
+        if k != "flagship" and k not in green and QUERIES[k].oracle is not None
     ]
-    if not backlog:  # backlog fully verified in a later round — rule is moot
-        return
-    last_backlog = max(order.index(k) for k in backlog)
-    early_new = [k for k in _ADDED_R3 if order.index(k) < last_backlog]
-    assert early_new == [], (
-        f"round-3 keys displace pre-existing unverified keys: {early_new}"
-    )
+    for older_tier in (0, 1):
+        older = [k for k in unverified if tier(k) == older_tier]
+        newer = [k for k in unverified if tier(k) > older_tier]
+        if not older or not newer:
+            continue
+        last_older = max(order.index(k) for k in older)
+        early_new = [k for k in newer if order.index(k) < last_older]
+        assert early_new == [], (
+            f"newer additions displace tier-{older_tier} unverified keys: {early_new}"
+        )
 
 
 def test_window_prefix_is_all_oracle_bearing():
@@ -64,3 +72,15 @@ def test_window_prefix_is_all_oracle_bearing():
     _green, seen = _driver_evidence()
     wasted = [k for k in rows_only if k in seen]
     assert wasted == [], f"window slots wasted on already-seen rows-only keys: {wasted}"
+
+
+def test_green_bucket_rotates_stalest_evidence_first():
+    """Within driver-green keys, re-confirmation order is oldest latest-
+    green round first, so evidence freshness doesn't decay as the
+    surface grows (r4 verdict item #4)."""
+    green, _seen = _driver_evidence()
+    order = list(QUERIES)
+    green_in_order = [green[k] for k in order if k in green and k != "flagship"]
+    assert green_in_order == sorted(green_in_order), (
+        "green keys are not ordered stalest-evidence-first"
+    )

@@ -333,3 +333,43 @@ def test_stream_dedup_within_watermark(spark, sf_dir, events_dir, tmp_path):
         (r.user_id, r.event_type, r.ts) for r in spark.table("t_dedup_wm").collect()
     }
     assert got == batch
+
+
+def test_stream_range_only_interval_join(spark, sf_dir, events_dir):
+    """Stream-stream join with a RANGE-ONLY predicate (no natural equi
+    key): errors within 5 minutes after any signup. The transform
+    carries a synthetic time-bucket equi key (bin-blocking in stream
+    form — signup_error_interval_join), so the state store groups by
+    bucket instead of probing every buffered row; both sides carry
+    watermarks. Streaming result must equal the identical batch join."""
+    from etl_cnpjs_spark.streaming.windows import signup_error_interval_join
+
+    ev = table(spark, sf_dir, "events")
+    sb = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("sid"), F.col("ts").alias("sts")
+    )
+    eb = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("eid"), F.col("ts").alias("ets")
+    )
+    batch = {
+        (r.sid, r.eid)
+        for r in signup_error_interval_join(sb, eb).select("sid", "eid").collect()
+    }
+
+    src = spark.readStream.schema(spark.read.parquet(events_dir).schema).parquet(
+        events_dir
+    )
+    ss = src.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("sid"), F.col("ts").alias("sts")
+    )
+    es = src.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("eid"), F.col("ts").alias("ets")
+    )
+    _run_to_memory(
+        signup_error_interval_join(ss, es, streaming=True).select("sid", "eid"),
+        "t_rangejoin",
+        "append",
+    )
+    got = {(r.sid, r.eid) for r in spark.table("t_rangejoin").collect()}
+    assert got == batch
+    assert batch, "fixture should produce at least one signup→error pair"

@@ -37,6 +37,7 @@ BNLJ_OK = {
     "sim_topk_ivf", "sim_topk_kmeans", "sim_knn_join",
     "dedup_embedding_cosine", "layout_zorder", "text_tfidf",
     "dq_check",  # (rule, violations, checked) rows from 1-row stat frames
+    "text_quality_classifier",  # broadcast 1-row model-weights frame (scalar shape)
 }
 
 # The one deliberate row-at-a-time Python path: the UDTF demonstration.
