@@ -304,3 +304,130 @@ def resize_thumb_map_in_pandas(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+# --- real BMP encode/decode (pure stdlib + numpy — no codec libraries) -----
+#
+# The image twin of the WAV path: BMP (BITMAPINFOHEADER, 24-bit BI_RGB)
+# is an uncompressed container a few struct.packs wide, so the decode can
+# be REAL — actual header parse, actual bottom-up padded pixel rows —
+# without PIL/cv2. decode_media stays the seam for codec-backed formats
+# (JPEG/PNG/video need real libraries); this proves the executor-side
+# binary→array→features pipeline on genuine image bytes.
+
+BMP_SCHEMA = (
+    "doc_id long, width int, height int, bpp int, pixel_sum long, px_hash long"
+)
+
+
+def synth_bmp(doc_id: int, width: int, height: int) -> bytes:
+    """Build a VALID 24-bit uncompressed BMP: BITMAPFILEHEADER +
+    BITMAPINFOHEADER, rows stored BOTTOM-UP and padded to 4 bytes (the
+    two details naive image code gets wrong — the position-weighted
+    feature hash catches either mistake). Pixel (x, y) in image coords
+    (y = 0 at the TOP):
+        b = (x + 3·y + doc_id) mod 256
+        g = (2·x + y + doc_id) mod 256
+        r = (x + y + 3·doc_id) mod 256
+    Pure integer pattern ⇒ every downstream feature has a closed form
+    both engines re-derive independently of these bytes."""
+    import struct
+
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    b = (x + 3 * y + doc_id) % 256
+    g = (2 * x + y + doc_id) % 256
+    r = (x + y + 3 * doc_id) % 256
+    px = np.stack(
+        [np.broadcast_to(b, (height, width)),
+         np.broadcast_to(g, (height, width)),
+         np.broadcast_to(r, (height, width))],
+        axis=2,
+    ).astype(np.uint8)  # BGR byte order, top-down image coords
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    rows = b"".join(
+        px[yy].tobytes() + b"\x00" * pad for yy in range(height - 1, -1, -1)
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    off = 14 + 40
+    file_hdr = struct.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off)
+    return file_hdr + info + rows
+
+
+def parse_bmp(blob: bytes):
+    """REAL decode: validate the BM magic, unpack BITMAPINFOHEADER,
+    reject compressed/≠24-bit variants, un-pad and un-flip the pixel
+    rows. Returns (width, height, bpp, array[h, w, 3] BGR in TOP-DOWN
+    image coords). Raises ValueError on malformed input — poison blobs
+    surface, not silently zero (the WAV parser's contract)."""
+    import struct
+
+    import numpy as np
+
+    if len(blob) < 54 or blob[:2] != b"BM":
+        raise ValueError("not a BMP blob")
+    off = struct.unpack("<I", blob[10:14])[0]
+    hsz, width, height, planes, bpp, comp = struct.unpack("<IiiHHI", blob[14:34])
+    if hsz < 40 or comp != 0 or bpp != 24 or planes != 1:
+        raise ValueError("unsupported BMP variant (need uncompressed 24-bit)")
+    if width <= 0 or height == 0:
+        raise ValueError("degenerate BMP dimensions")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    if len(blob) < off + stride * height:
+        raise ValueError("truncated BMP pixel array")
+    raw = np.frombuffer(blob, dtype=np.uint8, count=stride * height, offset=off)
+    rows = raw.reshape(height, stride)[:, :row_bytes].reshape(height, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return width, height, bpp, rows
+
+
+def bmp_features_map_in_pandas(df: DataFrame) -> DataFrame:
+    """(doc_id, width, height) → synthesize a real BMP per row, PARSE
+    the bytes back, and reduce the decoded array to integer features —
+    both halves executor-side over Arrow batches:
+
+        pixel_sum = Σ (b + g + r)
+        px_hash   = Σ (b + 2·g + 3·r) · (1 + x + width·y)   [top-down]
+
+    The position- and channel-weighted hash pins the full decode
+    contract: BGR channel order, 4-byte row padding skipped, bottom-up
+    storage un-flipped. Per-row work is vectorized numpy; only the
+    6-number feature row crosses back to the JVM."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"]):
+                doc_id, w, h = int(doc_id), int(w), int(h)
+                blob = synth_bmp(doc_id, w, h)
+                pw, ph, bpp, px = parse_bmp(blob)
+                px = px.astype(np.int64)
+                cw = px[:, :, 0] + 2 * px[:, :, 1] + 3 * px[:, :, 2]
+                x = np.arange(pw, dtype=np.int64)[None, :]
+                y = np.arange(ph, dtype=np.int64)[:, None]
+                rows.append(
+                    (
+                        doc_id, pw, ph, bpp,
+                        int(px.sum()),
+                        int((cw * (1 + x + pw * y)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "bpp", "pixel_sum", "px_hash",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=BMP_SCHEMA)

@@ -170,6 +170,7 @@ _ADDED_R5 = [
     "graph_label_propagation",
     "agg_countmin",
     "text_perplexity_bucket",
+    "mm_decode_bmp",
 ]
 
 

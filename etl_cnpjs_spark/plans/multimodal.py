@@ -233,3 +233,62 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (16 + F.col("doc_id") % 13).cast("int").alias("height"),
     )
     return resize_thumb_map_in_pandas(d)
+
+
+@register(
+    "mm_decode_bmp",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 9 AS INT) AS width,
+             CAST(8 + doc_id % 7 AS INT) AS height
+      FROM documents
+    ),
+    grid AS (
+      SELECT d.doc_id, d.width, d.height, gy.y, gx.x,
+             (gx.x + 3 * gy.y + d.doc_id) % 256     AS b,
+             (2 * gx.x + gy.y + d.doc_id) % 256     AS g,
+             (gx.x + gy.y + 3 * d.doc_id) % 256     AS r
+      FROM dims d
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) gx
+      CROSS JOIN (SELECT unnest(generate_series(0, 13)) AS y) gy
+      WHERE gx.x < d.width AND gy.y < d.height
+    )
+    SELECT doc_id,
+           CAST(max(width) AS INT)  AS width,
+           CAST(max(height) AS INT) AS height,
+           CAST(24 AS INT)          AS bpp,
+           CAST(sum(b + g + r) AS BIGINT) AS pixel_sum,
+           CAST(sum((b + 2 * g + 3 * r) * (1 + x + width * y)) AS BIGINT)
+             AS px_hash
+    FROM grid GROUP BY doc_id
+    """,
+    tags=("north_star", "multimodal", "udf", "image"),
+)
+def mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode — the image twin of mm_decode_wav, upgrading
+    the image half of the codec seam from stub to genuine bytes: each
+    doc synthesizes a VALID 24-bit uncompressed BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER, bottom-up rows, 4-byte padding — a real container,
+    pure struct/numpy, no codec library), then PARSES those bytes back
+    executor-side and reduces the decoded pixel array to integer
+    features. The position- and channel-weighted px_hash is exact only
+    if the decoder honors BGR order, skips row padding, and un-flips
+    bottom-up storage — the three details that distinguish decoding
+    from pattern-replay. decode_media (operators/multimodal.py) remains
+    the seam for codec-backed formats (JPEG/PNG need PIL, absent here —
+    re-checked this round).
+
+    Scale shape: mapInPandas over Arrow batches, scan-side; image bytes
+    are born and die inside the task — only the 6-number feature row
+    crosses to the JVM, nothing binary ever shuffles (SCALE.md
+    multimodal rule). The oracle re-derives every feature in closed
+    form from the pixel pattern, fully independent of the bytes."""
+    from etl_cnpjs_spark.operators.multimodal import bmp_features_map_in_pandas
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (8 + F.col("doc_id") % 9).cast("int").alias("width"),
+        (8 + F.col("doc_id") % 7).cast("int").alias("height"),
+    )
+    return bmp_features_map_in_pandas(d)

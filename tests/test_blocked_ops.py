@@ -153,3 +153,40 @@ def test_wav_tone_pcm_roundtrip_and_poison():
     blob8 = b"RIFF" + struct.pack("<I", len(body)) + body
     with pytest.raises(ValueError, match="16-bit"):
         parse_wav_pcm16(blob8)
+
+
+def test_bmp_synth_parse_roundtrip_and_poison():
+    """The BMP encoder/parser pair agree pixel-by-pixel through real
+    bytes (incl. the bottom-up flip and 4-byte row padding), and
+    malformed or unsupported blobs raise instead of silently zeroing."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etl_cnpjs_spark.operators.multimodal import parse_bmp, synth_bmp
+
+    for doc_id, w, h in [(0, 8, 8), (7, 13, 9), (123, 16, 14), (5, 9, 11)]:
+        pw, ph, bpp, px = parse_bmp(synth_bmp(doc_id, w, h))
+        assert (pw, ph, bpp) == (w, h, 24)
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        assert (px[:, :, 0] == (x + 3 * y + doc_id) % 256).all()
+        assert (px[:, :, 1] == (2 * x + y + doc_id) % 256).all()
+        assert (px[:, :, 2] == (x + y + 3 * doc_id) % 256).all()
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        parse_bmp(b"GIF89a totally not a bitmap")
+    # 8-bit palette BMP: a real variant this decoder deliberately rejects
+    info8 = struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 0, 0, 0, 0, 0, 0)
+    hdr8 = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+    with pytest.raises(ValueError, match="unsupported BMP variant"):
+        parse_bmp(hdr8 + info8)
+    # pixel array shorter than stride*height must surface
+    good = bytearray(synth_bmp(1, 8, 8))
+    with pytest.raises(ValueError, match="truncated BMP"):
+        parse_bmp(bytes(good[:-10]))
+    # degenerate dims
+    info0 = struct.pack("<IiiHHIIiiII", 40, 0, 4, 1, 24, 0, 0, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="degenerate"):
+        parse_bmp(struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + info0)
