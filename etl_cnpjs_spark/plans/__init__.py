@@ -171,6 +171,7 @@ _ADDED_R5 = [
     "agg_countmin",
     "text_perplexity_bucket",
     "mm_decode_bmp",
+    "agg_countmin_heavy",
 ]
 
 

@@ -404,3 +404,81 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c.depth").alias("depth"), F.col("c.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+
+
+_CMS_TOPK = 20
+
+
+def _cms_heavy_oracle() -> str:
+    mats = ",\n".join(
+        f"""
+    m{d} AS (
+      SELECT ((user_id * {a} + {b}) % {_CMS_P}) % {_CMS_W} AS bucket,
+             count(*) AS cnt
+      FROM events GROUP BY 1)"""
+        for d, (a, b) in enumerate(_CMS_HASHES)
+    )
+    joins = "\n".join(
+        f"    JOIN m{d} a{d} ON ((p.user_id * {a} + {b}) % {_CMS_P}) % {_CMS_W} = a{d}.bucket"
+        for d, (a, b) in enumerate(_CMS_HASHES)
+    )
+    least = ", ".join(f"a{d}.cnt" for d in range(len(_CMS_HASHES)))
+    return f"""
+    WITH {mats},
+    probes AS (SELECT DISTINCT user_id FROM events)
+    SELECT p.user_id, CAST(least({least}) AS BIGINT) AS est
+    FROM probes p
+{joins}
+    ORDER BY est DESC, p.user_id
+    LIMIT {_CMS_TOPK}
+    """
+
+
+@register(
+    "agg_countmin_heavy",
+    oracle=_cms_heavy_oracle(),
+    tags=("agg", "sketch", "approx", "north_star", "topk"),
+)
+def agg_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ side of the Count-Min story — heavy hitters from the
+    sketch: probe every candidate key against the matrix agg_countmin
+    builds, estimate = min over depths of the probed cells (the CMS
+    point query), return the top-K by estimate with a user_id total-
+    order tiebreak. est ≥ true count always (the upper-bound property
+    tests/test_approx_accuracy.py pins), so CMS top-K has no false
+    NEGATIVES — the reason rate limiters and hot-key detectors use it.
+
+    Scale shape: the matrix is ≤ depth·width = 1024 rows whatever the
+    input, so it BROADCASTS; the probe explodes each candidate to its 4
+    (depth, bucket) coordinates — constant growth — hash-joins the tiny
+    matrix with zero shuffle, and the min folds in the per-key groupBy
+    (one exchange on the candidate key, partial-min combined). At
+    100 TB the candidate set is itself sketch-derived (or the key
+    dictionary); nothing rescans raw events to answer a point query —
+    that is the entire point of maintaining the sketch."""
+    matrix = agg_countmin(spark, sf_dir)
+    ev = table(spark, sf_dir, "events")
+    probes = ev.select("user_id").distinct()
+    coords = probes.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        (((F.col("user_id") * a + b) % _CMS_P) % _CMS_W).alias(
+                            "bucket"
+                        ),
+                    )
+                    for d, (a, b) in enumerate(_CMS_HASHES)
+                ]
+            ).alias("c")
+        ).alias("c"),
+    ).select("user_id", F.col("c.depth").alias("depth"), F.col("c.bucket").alias("bucket"))
+    return (
+        coords.join(F.broadcast(matrix), ["depth", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").cast("bigint").alias("est"))
+        .orderBy(F.desc("est"), "user_id")
+        .limit(_CMS_TOPK)
+    )
