@@ -345,6 +345,96 @@ def main() -> None:
     v1, vr1 = timed(lambda: interval_overlap(ia1, ib1).count())
     vk, vrk = timed(lambda: interval_overlap(iak, ibk).count())
 
+    # point-in-interval (join_point_in_interval shape): same more-history
+    # growth axis as the overlap join, but the point side NEVER explodes —
+    # expectation: wall ~linear in |points|, output exactly k×.
+    def point_frames(k_reps: int):
+        a, b = interval_frames(k_reps)
+        pts = b.select(F.col("b_id").alias("p_id"), F.col("b_start").alias("p_day"))
+        return pts, a
+
+    def point_in_interval(pts, iv, bin_days=16):
+        ivb = iv.filter(F.col("a_end") > F.col("a_start")).withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"a_start DIV {bin_days}"),
+                    F.expr(f"(a_end - 1) DIV {bin_days}"),
+                )
+            ),
+        )
+        ptb = pts.withColumn("__bin", F.expr(f"p_day DIV {bin_days}"))
+        return (
+            ptb.join(ivb, ["__bin"])
+            .filter((F.col("a_start") <= F.col("p_day")) & (F.col("p_day") < F.col("a_end")))
+            .select("p_id", "a_id")
+        )
+
+    pp1, pa1 = point_frames(1)
+    ppk, pak = point_frames(k)
+    pt1, pr1 = timed(lambda: point_in_interval(pp1, pa1).count())
+    ptk, prk = timed(lambda: point_in_interval(ppk, pak).count())
+
+    # Count-Min build (agg_countmin shape): the claim is the OPPOSITE of
+    # linear growth — the exchange carries ≤ depth·width cells per task
+    # whatever the input, so k× events should be ~scan-cost only.
+    def cms(e):
+        P, W_, H = 1_000_003, 256, [(433, 17), (389, 251), (911, 643), (607, 89)]
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("depth"),
+                    (((F.col("user_id") * a + b) % P) % W_).alias("bucket"),
+                )
+                for d, (a, b) in enumerate(H)
+            ]
+        )
+        return (
+            e.select(F.explode(cells).alias("c"))
+            .groupBy("c.depth", "c.bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    cm1, cr1 = timed(lambda: cms(ev).count())
+    cmk, crk = timed(lambda: cms(ev_k).count())
+
+    # label propagation (graph_label_propagation shape), 2 fused
+    # iterations: key-shifted replication preserves component structure
+    # (k disjoint copies), so edges, labels and per-iteration shuffles all
+    # grow exactly k× — expectation: near-linear wall.
+    def lpa_frames(k_reps: int):
+        li3 = table(spark, SF_DIR, "lineitem")
+        fwd = li3.select(
+            F.col("l_partkey").alias("u"),
+            (F.lit(1_000_000) + F.col("l_suppkey")).alias("v"),
+        )
+        if k_reps > 1:
+            fwd = replicate(fwd, ["u", "v"], k_reps)
+        rev = fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        return fwd.unionByName(rev).distinct().localCheckpoint()
+
+    def lpa(edges):
+        labels = edges.select(F.col("u").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        )
+        for _ in range(2):
+            cnt = (
+                edges.join(F.broadcast(labels), edges.u == F.col("node"))
+                .groupBy(F.col("v"), F.col("label"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            labels = (
+                cnt.groupBy(F.col("v").alias("node"))
+                .agg(F.max_by(F.col("label"), F.col("cnt") * 10_000_000 - F.col("label")).alias("label"))
+                .localCheckpoint()
+            )
+        return labels
+
+    le1 = lpa_frames(1)
+    lek = lpa_frames(k)
+    lp1, lr1 = timed(lambda: lpa(le1).count())
+    lpk, lrk = timed(lambda: lpa(lek).count())
+
     print(json.dumps({
         "k": k,
         "flagship_1x_sec": t1, "flagship_kx_sec": tk, "flagship_ratio": round(tk / t1, 1),
@@ -371,6 +461,12 @@ def main() -> None:
         "dup_span_ratio": round(uk / u1, 1), "dup_span_rows": [ur1, urk],
         "interval_1x_sec": v1, "interval_kx_sec": vk,
         "interval_ratio": round(vk / v1, 1), "interval_pairs": [vr1, vrk],
+        "point_interval_1x_sec": pt1, "point_interval_kx_sec": ptk,
+        "point_interval_ratio": round(ptk / pt1, 1), "point_interval_rows": [pr1, prk],
+        "cms_1x_sec": cm1, "cms_kx_sec": cmk,
+        "cms_ratio": round(cmk / cm1, 1), "cms_cells": [cr1, crk],
+        "lpa_1x_sec": lp1, "lpa_kx_sec": lpk,
+        "lpa_ratio": round(lpk / lp1, 1), "lpa_nodes": [lr1, lrk],
     }))
 
 
