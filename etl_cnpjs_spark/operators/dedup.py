@@ -232,3 +232,40 @@ def simhash_band_keys(sim_col: Column, bands: int = 4) -> Column:
             for b in range(bands)
         ]
     )
+
+
+def containment_pairs(
+    docs: DataFrame, id_col: str, set_col: str, threshold: float
+) -> DataFrame:
+    """Exact set-CONTAINMENT pairs — C(src→dst) = |src ∩ dst| / |src| ≥
+    threshold, emitted as DIRECTED rows. Containment is the asymmetric
+    sibling of Jaccard: it fires when src's content sits INSIDE dst even
+    if dst is much larger (quotes, excerpts, doc-in-doc, benchmark items
+    embedded in crawl pages) — exactly the pairs a Jaccard threshold
+    misses because the size imbalance crushes |∩|/|∪|. Same single
+    posting-list shuffle as jaccard_pairs (intersections are symmetric,
+    so the i<j join computes each |∩| once); the direction split is a
+    post-aggregation union of two projections — no second shuffle."""
+    d = docs.select(F.col(id_col).alias("__id"), F.col(set_col).alias("__sh")).filter(
+        F.size("__sh") > 0
+    )
+    e = d.select(
+        "__id", F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("s")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("i"), F.col("b.__id").alias("j"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    directed = pairs.select(
+        F.col("i").alias("src"), F.col("j").alias("dst"), "inter"
+    ).unionByName(
+        pairs.select(F.col("j").alias("src"), F.col("i").alias("dst"), "inter")
+    )
+    sz = d.select(F.col("__id").alias("src"), F.size("__sh").alias("n"))
+    return (
+        directed.join(sz, "src")
+        .select("src", "dst", (F.col("inter") / F.col("n")).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

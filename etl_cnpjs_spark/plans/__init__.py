@@ -172,6 +172,7 @@ _ADDED_R5 = [
     "text_perplexity_bucket",
     "mm_decode_bmp",
     "agg_countmin_heavy",
+    "dedup_containment",
 ]
 
 

@@ -829,3 +829,57 @@ def dedup_minhash_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", "corpus_id", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+_SQL_CONTAINMENT = (
+    _SQL_SHINGLES
+    + f"""
+  , e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+  sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+  p AS (
+    SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+    FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2),
+  b2 AS (SELECT i AS src, j AS dst, inter FROM p
+         UNION ALL SELECT j, i, inter FROM p)
+  SELECT src, dst, inter / s1.n AS containment
+  FROM b2 JOIN sz s1 ON src = s1.doc_id
+  WHERE inter / s1.n >= {CONTAINMENT_THRESHOLD}
+"""
+)
+
+
+@register(
+    "dedup_containment",
+    oracle=_SQL_CONTAINMENT,
+    tags=("north_star", "dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: DIRECTED pairs where ≥ 90% of src's shingles
+    appear in dst — C(src→dst) = |src ∩ dst| / |src|, the containment
+    metric (Broder's resemblance-vs-containment split). This is the
+    detector Jaccard structurally misses: a benchmark item quoted inside
+    a long crawl page, a doc embedded in a boilerplate wrapper, an
+    excerpt — size imbalance drives |∩|/|∪| → 0 while |∩|/|src| stays
+    1.0. Training pipelines run BOTH: Jaccard for mutual near-dups
+    (drop one), containment for subset relations (drop the contained
+    copy, keep the superset — or flag contamination when src is an eval
+    item; text_decontaminate's overlap counts are the screening form of
+    the same signal).
+
+    Scale shape: identical single posting-shuffle envelope as
+    dedup_ngram_jaccard — intersections are symmetric, so the i<j join
+    computes each |∩| once and the direction split is a union of two
+    projections AFTER the aggregate (no second posting join); the size
+    join is doc-grain. At 100 TB the same df-capping and banding
+    refinements apply unchanged (candidates first, containment as the
+    verify) because the candidate generator doesn't care which metric
+    verifies. Integer/integer division ⇒ identical doubles both
+    engines; full hash oracle."""
+    from etl_cnpjs_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _doc_shingles(spark, sf_dir), "doc_id", "sh", CONTAINMENT_THRESHOLD
+    )

@@ -554,3 +554,31 @@ def test_gram_partials_match_numpy(spark, vecs):
             for r in gram_upper_map_in_pandas(df.repartition(parts), "v").collect()
         }
         assert got == want, f"parts={parts}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_corpus)
+def test_containment_pairs_match_bruteforce(spark, docs):
+    """Directed containment (|src ∩ dst| / |src| ≥ τ) against an
+    independent all-pairs implementation — pins the direction split and
+    the denominator choice (|src|, not |union|)."""
+    from etl_cnpjs_spark.operators.dedup import containment_pairs
+
+    tau = 0.6
+    expected = set()
+    for (i, a), (j, b) in itertools.permutations(enumerate(docs), 2):
+        sa, sb = _py_shingles(a), _py_shingles(b)
+        if sa and sb and len(sa & sb) / len(sa) >= tau:
+            expected.add((i, j))
+    sdf = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    ).select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
+    got = {
+        (r.src, r.dst)
+        for r in containment_pairs(sdf, "doc_id", "sh", tau).collect()
+    }
+    assert got == expected
