@@ -173,6 +173,7 @@ _ADDED_R5 = [
     "mm_decode_bmp",
     "agg_countmin_heavy",
     "dedup_containment",
+    "sample_reservoir",
 ]
 
 

@@ -1082,3 +1082,41 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", F.col("event_type").alias("modal_type"), F.col("cnt").alias("modal_cnt"))
     )
+
+
+_RESERVOIR_K = 100
+
+
+@register(
+    "sample_reservoir",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+    LIMIT {_RESERVOIR_K}
+    """,
+    tags=("sample", "north_star", "topk"),
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-of-n sample — the distributed reservoir:
+    rank every row by a key hash, keep the global k smallest. Hash-rank
+    gives exactly what reservoir sampling gives (each key equally likely
+    in the k-set, since md5 order is independent of key order) PLUS the
+    properties a pipeline actually needs and random reservoirs lack:
+    rerun-stable, engine-portable, and MERGEABLE — the k smallest of a
+    union is computable from per-partition k-smallest, which is also
+    exactly how Spark executes it (TakeOrderedAndProject: per-partition
+    local top-k, then a k-row merge — no global sort, no full-data
+    single-partition exchange; plan-asserted). Growing the corpus only
+    displaces ranks, so yesterday's sample of unchanged data is a
+    subset-stable basis for incremental re-sampling. sample_hash is the
+    RATE form (keep p%), this is the COUNT form (keep exactly k) — a
+    fixed eval-set draw. md5-of-key-string is bit-identical in both
+    engines, and the (digest, key) order is total, so the k-set — not
+    just its size — carries a full hash oracle."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.md5(F.col("o_orderkey").cast("string")), "o_orderkey")
+        .limit(_RESERVOIR_K)
+    )

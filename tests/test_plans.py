@@ -494,3 +494,12 @@ def test_countmin_shuffle_is_partial_aggregated(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     # partial_count before the exchange in the simple plan string
     assert "partial_count" in plan, plan
+
+
+def test_sample_reservoir_is_take_ordered_not_global_sort(spark, sf_dir):
+    """The hash-rank k-sample must execute as TakeOrderedAndProject
+    (per-partition local top-k + k-row merge) — never a full global
+    Sort with a single-partition exchange."""
+    plan = explain_str(QUERIES["sample_reservoir"].fn(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
