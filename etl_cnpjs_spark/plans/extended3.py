@@ -788,7 +788,26 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     build is a SINGLE feed-sized exchange + sort reused by lag and
     lead — never a self-join of the feed, and the base table is not
     involved at all. At 100 TB the feed is the small CDC side; the
-    interval table appends partition-by-current-date."""
+    interval table appends partition-by-current-date.
+
+    STREAMING face: streaming/stateful.py::scd2_closed_intervals builds
+    the same interval table incrementally from an unbounded change
+    stream (applyInPandasWithState; per-key state = the one open
+    interval) — tests/test_streaming.py proves its emitted rows equal
+    exactly this batch build's closed intervals once the stream drains."""
+    from etl_cnpjs_spark.operators.relational import scd2_intervals
+
+    v1, v2, v3 = scd2_feed_waves(spark, sf_dir)
+    feed = v1.unionAll(v2).unionAll(v3)
+    return scd2_intervals(feed, "key", "eff_ts", "status")
+
+
+def scd2_feed_waves(spark: SparkSession, sf_dir: str):
+    """The synthetic change feed behind cdc_scd2/cdc_snapshot_at, split
+    into its three version waves (v1 at o_orderdate, v2 at +30 d, v3 at
+    +60 d) — the split exists so the STREAMING face can replay the feed
+    in log order wave-by-wave (tests/test_streaming.py), the ordering
+    guarantee a real CDC log provides."""
     o = table(spark, sf_dir, "orders")
 
     def slice_(mod: int, ver: int):
@@ -811,10 +830,7 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             st.alias("status"),
         )
 
-    from etl_cnpjs_spark.operators.relational import scd2_intervals
-
-    feed = slice_(10, 1).unionAll(slice_(20, 2)).unionAll(slice_(40, 3))
-    return scd2_intervals(feed, "key", "eff_ts", "status")
+    return slice_(10, 1), slice_(20, 2), slice_(40, 3)
 
 
 _SNAPSHOT_TS = "1995-06-30 00:00:00"

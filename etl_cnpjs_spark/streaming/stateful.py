@@ -23,6 +23,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -66,3 +67,74 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 
 pickle_by_value(__name__)
+
+
+# --- streaming SCD2 build (the lakehouse CDC story's streaming face) -------
+#
+# The batch twin is plans/extended3.py::cdc_scd2 (lag-suppress + lead
+# intervals over the whole feed). Here the SAME interval table builds
+# incrementally from an UNBOUNDED change stream: per-key state carries the
+# one open interval (status + valid_from); each arriving change either
+# restates it (suppressed — SCD2's no-change rule) or closes it, emitting
+# the finished [valid_from, valid_to) row downstream in append mode. The
+# open interval stays in state — it is not yet a fact. Contract with the
+# batch form: once the stream drains, the emitted rows are EXACTLY the
+# batch build's closed intervals (tests/test_streaming.py pins it).
+#
+# Precondition (the one every streaming SCD2 has): the feed arrives in
+# per-key eff_ts order ACROSS micro-batches — the ordering a CDC log
+# (binlog/WAL position) provides. Within a batch, arrival order is
+# irrelevant (the handler sorts its chunk); cross-batch reordering would
+# need a watermark-delayed buffer in front, which trades latency for
+# disorder-tolerance and is deliberately not modeled here.
+#
+# State is 2 scalars/key (status string + epoch-µs long) — bounded, the
+# 100 TB discipline running_user_totals documents; eviction would be a
+# ProcessingTimeTimeout for keys whose entity is known-retired.
+
+SCD2_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("status", StringType()),
+        StructField("valid_from_us", LongType()),
+        StructField("valid_to_us", LongType()),
+    ]
+)
+
+SCD2_STATE_SCHEMA = StructType(
+    [StructField("open_status", StringType()), StructField("open_from_us", LongType())]
+)
+
+
+def _update_scd2(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    open_status, open_from = state.get if state.exists else (None, None)
+    closed: list[tuple[int, str, int, int]] = []
+    chunk = pd.concat(list(pdfs))
+    chunk = chunk.sort_values("eff_ts_us")
+    for ts, status in zip(chunk["eff_ts_us"], chunk["status"]):
+        ts = int(ts)
+        if open_status is None:
+            open_status, open_from = status, ts
+        elif status != open_status:
+            closed.append((key[0], open_status, open_from, ts))
+            open_status, open_from = status, ts
+        # else: restatement of the open value — suppressed (no new interval)
+    state.update((open_status, open_from))
+    yield pd.DataFrame(
+        closed, columns=["key", "status", "valid_from_us", "valid_to_us"]
+    )
+
+
+def scd2_closed_intervals(feed: DataFrame) -> DataFrame:
+    """Streaming (or batch) change feed (key, eff_ts_us, status) →
+    closed SCD2 intervals in µs epoch, append mode; the open interval
+    per key lives in state until a later change closes it."""
+    return feed.groupBy("key").applyInPandasWithState(
+        _update_scd2,
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -373,3 +373,56 @@ def test_stream_range_only_interval_join(spark, sf_dir, events_dir):
     got = {(r.sid, r.eid) for r in spark.table("t_rangejoin").collect()}
     assert got == batch
     assert batch, "fixture should produce at least one signup→error pair"
+
+
+def test_streaming_scd2_matches_batch_closed_intervals(spark, sf_dir, tmp_path):
+    """Streaming SCD2 build (applyInPandasWithState, append mode): the
+    change feed replays wave-by-wave in log order (maxFilesPerTrigger=1
+    over sequentially-written files); per-key state carries the open
+    interval; emitted rows must equal EXACTLY the batch cdc_scd2 build's
+    closed intervals — the final-state equivalence contract the other
+    stateful streaming ops use. Restatement suppression (a v2 record
+    restating v1's value opens no interval) must hold across the
+    batch/stream boundary too."""
+    import time as _time
+
+    from etl_cnpjs_spark.plans.extended3 import cdc_scd2, scd2_feed_waves
+    from etl_cnpjs_spark.streaming.stateful import scd2_closed_intervals
+
+    batch = cdc_scd2(spark, sf_dir)
+    expected = {
+        (r.key, r.status, r.f, r.t)
+        for r in batch.filter(F.col("valid_to").isNotNull())
+        .select(
+            "key",
+            "status",
+            F.unix_micros("valid_from").alias("f"),
+            F.unix_micros("valid_to").alias("t"),
+        )
+        .collect()
+    }
+
+    feed_dir = str(tmp_path / "scd2_feed")
+    for wave in scd2_feed_waves(spark, sf_dir):
+        (
+            wave.select(
+                "key", F.unix_micros("eff_ts").alias("eff_ts_us"), "status"
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(feed_dir)
+        )
+        _time.sleep(0.3)  # distinct file mtimes => deterministic log order
+
+    src = (
+        spark.readStream.schema("key long, eff_ts_us long, status string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    _run_to_memory(scd2_closed_intervals(src), "t_scd2_stream", "append")
+    got = {
+        (r.key, r.status, r.valid_from_us, r.valid_to_us)
+        for r in spark.table("t_scd2_stream").collect()
+    }
+    assert got == expected
+    assert expected, "fixture must close at least one interval"
