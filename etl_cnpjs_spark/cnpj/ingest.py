@@ -5,7 +5,10 @@ All driver-side, like the reference: acquisition is I/O orchestration, not
 a Spark operator. At cluster scale the same manifest fans out to a
 pre-staging job (object store multipart copies); Spark then reads the
 extracted shards in parallel via load.py. Network use is entirely
-caller-initiated — tests never touch it.
+caller-initiated; the full GET → chunked stream → atomic rename →
+idempotent-skip cycle is exercised over a REAL (loopback) HTTP
+connection in tests/test_cnpj_parity.py::
+test_http_download_pipeline_live_loopback — no external network needed.
 """
 
 from __future__ import annotations
