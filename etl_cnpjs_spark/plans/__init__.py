@@ -174,6 +174,7 @@ _ADDED_R5 = [
     "agg_countmin_heavy",
     "dedup_containment",
     "sample_reservoir",
+    "events_rolling_distinct",
 ]
 
 

@@ -1592,3 +1592,69 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return labels.select("node", F.col("label").cast("bigint").alias("label"))
+
+
+# --- events_rolling_distinct -----------------------------------------------
+
+_ROLLING_DAYS = 7
+
+
+@register(
+    "events_rolling_distinct",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    contrib AS (
+      SELECT du.day + CAST(i.i AS INTEGER) AS metric_day, du.user_id
+      FROM du CROSS JOIN (SELECT unnest(range({_ROLLING_DAYS})) AS i) i
+    ),
+    cal AS (SELECT DISTINCT CAST(ts AS DATE) AS metric_day FROM events)
+    SELECT CAST(c.metric_day AS TIMESTAMP) AS metric_day,
+           CAST(count(DISTINCT k.user_id) AS BIGINT) AS active_users
+    FROM cal c JOIN contrib k ON k.metric_day = c.metric_day
+    GROUP BY 1
+    """,
+    tags=("events", "window", "distinct", "north_star"),
+)
+def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {N}-day distinct actives per day (the WAU curve; DAU is
+    the N=1 special case) — the metric a naive plan computes as one
+    window-distinct per day over raw events, which Spark can't even
+    express (no DISTINCT in window frames) and which would re-scan N
+    days of events per output day. Scalable form — the CONTRIBUTION
+    EXPLODE: collapse events to distinct (day, user) first (the only
+    event-grain shuffle), then each (day, user) fact contributes to
+    exactly the N metric days it can influence (a constant ≤ N-way
+    explode of the already-tiny day-grain frame), and one
+    count_distinct per metric day finishes it. Days with zero events in
+    the calendar simply don't appear (the calendar join pins that
+    semantics — mirrored exactly in the oracle; metric_day is emitted
+    as a timestamp, the events_retention convention for the DATE
+    pandas-bridge divergence).
+
+    At 100 TB: events→(day,user) is the dominant cost and is exactly
+    one partial-aggregated exchange; the exploded contribution frame is
+    |users|·|active days|·N — day-grain, orders of magnitude smaller
+    than events — and the final distinct-count shuffles only that. The
+    same shape computes rolling distinct over ANY window length by
+    changing the explode constant, and sketches (HLL per day, unioned
+    over the window — agg_hll_sketch's mergeability) replace the exact
+    distinct when |users| itself is huge."""
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_ROLLING_DAYS - 1))
+        ).alias("i"),
+        "day",
+        "user_id",
+    ).select(F.date_add(F.col("day"), F.col("i")).alias("metric_day"), "user_id")
+    cal = ev.select(F.col("ts").cast("date").alias("metric_day")).distinct()
+    return (
+        contrib.join(F.broadcast(cal), "metric_day")
+        .groupBy(F.col("metric_day").cast("timestamp").alias("metric_day"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
+    )
