@@ -175,6 +175,8 @@ _ADDED_R5 = [
     "dedup_containment",
     "sample_reservoir",
     "events_rolling_distinct",
+    "agg_countmin_merge",
+    "graph_triangle_count",
 ]
 
 

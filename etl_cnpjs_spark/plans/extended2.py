@@ -482,3 +482,85 @@ def agg_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est"), "user_id")
         .limit(_CMS_TOPK)
     )
+
+
+def _cms_cells_sql(extra_key: str = "") -> str:
+    """UNION ALL of the per-depth bucket aggregates, optionally keyed by
+    an extra column (e.g. the day, for the merge proof)."""
+    sel = f"{extra_key}, " if extra_key else ""
+    grp = "1, 3" if extra_key else "2"
+    return "\n    UNION ALL\n".join(
+        f"""
+    SELECT {sel}{d} AS depth,
+           ((user_id * {a} + {b}) % {_CMS_P}) % {_CMS_W} AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY {grp}"""
+        for d, (a, b) in enumerate(_CMS_HASHES)
+    )
+
+
+@register(
+    "agg_countmin_merge",
+    oracle=f"""
+    WITH g AS ({_cms_cells_sql()}),
+    daily AS ({_cms_cells_sql("CAST(ts AS DATE) AS day")}),
+    m AS (SELECT depth, bucket, CAST(sum(cnt) AS BIGINT) AS cnt_merged
+          FROM daily GROUP BY 1, 2)
+    SELECT g.depth, g.bucket, g.cnt AS cnt_global, m.cnt_merged
+    FROM g JOIN m ON g.depth = m.depth AND g.bucket = m.bucket
+    """,
+    tags=("agg", "sketch", "approx", "mergeable"),
+)
+def agg_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY, verified as a key: Count-Min sketches add
+    cell-wise, so per-day sketches summed must equal the sketch of the
+    whole stream — the property that makes the 100 TB pattern work
+    (sketch at the finest grain — per partition, per day, per file —
+    and answer any coarser question by merging matrices, never
+    re-touching raw data; the CMS analog of agg_hll_sketch's
+    hll_union_agg rollup). Output carries BOTH derivations side by side
+    — (depth, bucket, cnt_global, cnt_merged) — so the oracle hash pins
+    their equality cell-by-cell, and the inner join doubles as the
+    completeness check (a cell present in one derivation but not the
+    other would drop rows and fail the count).
+
+    Scale shape: the daily pass is one exchange of ≤ tasks·days·1024
+    partial cells (map-side combined); the merge groups a
+    days×1024-row frame — trivially small; the global matrix broadcasts
+    into the final join. Nothing rescans events twice at scale — the
+    global column here exists only as the verification twin."""
+    ev = table(spark, sf_dir, "events")
+
+    def cells(extra=None):
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("depth"),
+                    (((F.col("user_id") * a + b) % _CMS_P) % _CMS_W).alias(
+                        "bucket"
+                    ),
+                )
+                for d, (a, b) in enumerate(_CMS_HASHES)
+            ]
+        )
+        cols = ["c.depth", "c.bucket"] + ([extra] if extra else [])
+        base = ev.select(
+            F.explode(arr).alias("c"),
+            *( [F.col("ts").cast("date").alias("day")] if extra else [] ),
+        )
+        return base.groupBy(
+            *([F.col("c.depth").alias("depth"), F.col("c.bucket").alias("bucket")]
+              + ([F.col("day")] if extra else []))
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+    global_m = cells()
+    merged = (
+        cells(extra="day")
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt_merged"))
+    )
+    return (
+        global_m.withColumnRenamed("cnt", "cnt_global")
+        .join(merged, ["depth", "bucket"])
+        .select("depth", "bucket", "cnt_global", "cnt_merged")
+    )

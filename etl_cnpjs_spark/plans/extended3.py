@@ -1658,3 +1658,84 @@ def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("metric_day").cast("timestamp").alias("metric_day"))
         .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
     )
+
+
+# --- graph_triangle_count --------------------------------------------------
+
+_TRI_N = 500  # node-space size for the derived graph
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH raw AS (
+      SELECT o_orderkey % {_TRI_N} AS a,
+             ((o_orderkey // {_TRI_N}) * 13 + (o_orderkey % {_TRI_N}) * 7 + 1)
+               % {_TRI_N} AS b
+      FROM orders
+    ),
+    e AS (
+      SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM raw WHERE a <> b
+    ),
+    t AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    n AS (
+      SELECT a AS node FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM n GROUP BY 1
+    """,
+    tags=("graph", "triangle", "join"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts — the clustering-coefficient / community-
+    density primitive that completes the graph family (components,
+    pagerank, LPA, triangles), in the standard shuffle-disciplined form
+    (Suri & Vassilvitskii's MapReduce triangle counting): orient every
+    edge low→high id, join oriented 2-paths (u<v<w by construction —
+    each triangle is enumerated exactly ONCE, no 6× duplication to
+    dedup), close them against the edge list, then explode each triangle
+    to its 3 corners for the per-node rollup. Edge orientation is THE
+    scale trick: the 2-path join fans out per middle node as
+    out-degree², and orienting by id caps out-degree at the ~√(2m)
+    h-index of the degree sequence instead of the raw max degree — the
+    difference between a feasible and an infeasible join on power-law
+    graphs. Input graph derives deterministically from orders (mixed
+    congruential edge ends over {_TRI_N} nodes — dense enough to carry
+    real triangles), so the three-way join is bit-exact against the SQL
+    oracle. Physical: two equi-join shuffles on node keys + one
+    explode-rollup; no driver loop, no iteration."""
+    o = table(spark, sf_dir, "orders")
+    raw = o.select(
+        (F.col("o_orderkey") % _TRI_N).alias("a"),
+        (
+            (F.expr(f"o_orderkey DIV {_TRI_N}") * 13
+             + (F.col("o_orderkey") % _TRI_N) * 7 + 1) % _TRI_N
+        ).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    e = raw.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
