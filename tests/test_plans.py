@@ -503,3 +503,37 @@ def test_sample_reservoir_is_take_ordered_not_global_sort(spark, sf_dir):
     plan = explain_str(QUERIES["sample_reservoir"].fn(spark, sf_dir), "simple")
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_containment_single_posting_exchange(spark, sf_dir):
+    """Directed containment must reuse jaccard's single posting-shuffle
+    envelope: the direction split is a post-aggregate union, never a
+    second posting self-join."""
+    plan = explain_str(QUERIES["dedup_containment"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    # posting join + pair aggregate + size join: bounded exchange count
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_rolling_distinct_collapses_before_explode(spark, sf_dir):
+    """events_rolling_distinct: the contribution explode must sit ABOVE
+    the day-grain distinct (one event-grain exchange), and the calendar
+    join must broadcast — day-grain work only after the collapse."""
+    plan = explain_str(QUERIES["events_rolling_distinct"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    """Oriented 2-path + close joins are equi-joins on node keys."""
+    plan = explain_str(QUERIES["graph_triangle_count"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_countmin_merge_partial_aggregated(spark, sf_dir):
+    """Both CMS derivations must map-side combine before their exchanges
+    (the shuffle stays cell-grain however big the events input)."""
+    plan = explain_str(QUERIES["agg_countmin_merge"].fn(spark, sf_dir), "simple")
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan
