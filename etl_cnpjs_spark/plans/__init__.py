@@ -177,6 +177,7 @@ _ADDED_R5 = [
     "events_rolling_distinct",
     "agg_countmin_merge",
     "graph_triangle_count",
+    "dedup_containment_capped",
 ]
 
 

@@ -883,3 +883,77 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         _doc_shingles(spark, sf_dir), "doc_id", "sh", CONTAINMENT_THRESHOLD
     )
+
+
+@register(
+    "dedup_containment_capped",
+    oracle=_SQL_SHINGLES
+    + f"""
+  , e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+  keep AS (SELECT s FROM e GROUP BY s HAVING count(*) <= {STOP_SHINGLE_DF}),
+  ek AS (SELECT e.doc_id, e.s FROM e JOIN keep USING (s)),
+  cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+           FROM ek a JOIN ek b ON a.s = b.s AND a.doc_id < b.doc_id),
+  sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+  inter AS (SELECT c.i, c.j, count(*) AS x
+            FROM cand c JOIN e ea ON ea.doc_id = c.i
+                        JOIN e eb ON eb.doc_id = c.j AND ea.s = eb.s
+            GROUP BY c.i, c.j),
+  b2 AS (SELECT i AS src, j AS dst, x FROM inter
+         UNION ALL SELECT j, i, x FROM inter)
+  SELECT src, dst, x / s1.n AS containment
+  FROM b2 JOIN sz s1 ON src = s1.doc_id
+  WHERE x / s1.n >= {CONTAINMENT_THRESHOLD}
+    """,
+    tags=("north_star", "dedup", "containment"),
+)
+def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_containment's PRODUCTION shape — the r6-queue item landed
+    early: candidate generation over the df ≤ {cap} CAPPED posting
+    lists (the dedup_stopshingle discipline, window over the same
+    partitioning the self-join reuses), then containment verified
+    against the FULL shingle sets so reported values stay exact. The
+    capped-candidates / full-verify split matters MORE for containment
+    than for Jaccard: a short doc made entirely of boilerplate
+    trivially reaches containment 1.0 inside anything — and those are
+    exactly the pairs the df cap prunes at the candidate stage, before
+    they cost f² posting rows. Recall is lost only for pairs whose
+    ENTIRE overlap is stop-shingles (the boilerplate-only matches a
+    curation pipeline drops anyway); every surviving candidate's
+    containment is computed on uncapped sets, bit-exact vs the oracle.
+    Same two bounded shuffles as dedup_stopshingle; the direction
+    split is post-aggregate (dedup_containment's shape)."""
+    sh = _doc_shingles(spark, sf_dir)
+    e = sh.select("doc_id", F.explode("sh").alias("s"))
+    ek = e.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    ).filter(F.col("__df") <= STOP_SHINGLE_DF).drop("__df")
+    a, b = ek.alias("a"), ek.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+    la = sh.select(F.col("doc_id").alias("i"), F.col("sh").alias("__sa"))
+    lb = sh.select(F.col("doc_id").alias("j"), F.col("sh").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    pairs = (
+        cand.join(la, "i")
+        .join(lb, "j")
+        .select(
+            "i", "j",
+            inter.alias("x"),
+            F.size("__sa").alias("na"),
+            F.size("__sb").alias("nb"),
+        )
+    )
+    directed = pairs.select(
+        F.col("i").alias("src"), F.col("j").alias("dst"),
+        (F.col("x") / F.col("na")).alias("containment"),
+    ).unionByName(
+        pairs.select(
+            F.col("j").alias("src"), F.col("i").alias("dst"),
+            (F.col("x") / F.col("nb")).alias("containment"),
+        )
+    )
+    return directed.filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
