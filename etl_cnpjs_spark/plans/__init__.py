@@ -19,6 +19,7 @@ from etl_cnpjs_spark.plans import streaming  # noqa: E402,F401
 from etl_cnpjs_spark.plans import extended  # noqa: E402,F401
 from etl_cnpjs_spark.plans import extended2  # noqa: E402,F401
 from etl_cnpjs_spark.plans import extended3  # noqa: E402,F401
+from etl_cnpjs_spark.plans import extended4  # noqa: E402,F401
 from etl_cnpjs_spark.plans import tpch  # noqa: E402,F401
 from etl_cnpjs_spark.plans import corpus  # noqa: E402,F401
 from etl_cnpjs_spark.plans import udtf_plans  # noqa: E402,F401
@@ -178,6 +179,10 @@ _ADDED_R5 = [
     "agg_countmin_merge",
     "graph_triangle_count",
     "dedup_containment_capped",
+    "agg_linreg",
+    "events_downsample_bucket",
+    "graph_common_neighbors",
+    "corpus_dedup_sweep",
 ]
 
 

@@ -612,3 +612,139 @@ def sql_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) GROUP BY doc_id
         """
     )
+
+
+# --- corpus_dedup_sweep ------------------------------------------------------
+#
+# The dedup-family capstone (round-6 queue item landed in round 5): the
+# whole dedup arsenal chained as ONE pipeline over the corpus —
+#
+#     documents
+#       → exact dedup        (identical text, keep min doc_id)
+#       → near-dup removal   (Jaccard ≥ 0.8 pairs → connected components,
+#                             keep the component-min doc — dedup_canonical's
+#                             transitive rule)
+#       → containment prune  (drop a survivor whose shingles are ≥ 90%
+#                             contained in ANOTHER stage-2 survivor —
+#                             quotes/excerpts/doc-in-doc that Jaccard's
+#                             size-ratio crushing structurally misses)
+#       → per-source funnel report (one row per source, four nested counts)
+#
+# Stage composition is sound without iteration: a component's min doc_id
+# is always an exact-dedup keeper (identical texts share shingle sets, so
+# they are jaccard-1 neighbors — the component min IS its text-group min),
+# and mutual ≥ 0.9 containment forces Jaccard ≥ 0.9·max/(min+0.1·max) >
+# 0.8, so two stage-2 survivors can never contain each other — the
+# containment drop is well-defined with no tie-break needed. The prune
+# checks against STAGE-2 survivors (one anti-join, no iteration), the
+# same single-pass discipline corpus_curate documents for its near-dup
+# rule.
+
+_SWEEP_CONTAIN = 0.9  # == plans.dedup.CONTAINMENT_THRESHOLD (asserted below)
+
+
+def _sweep_oracle() -> str:
+    from etl_cnpjs_spark.plans.dedup import _SQL_CLUSTER, CONTAINMENT_THRESHOLD
+
+    assert _SWEEP_CONTAIN == CONTAINMENT_THRESHOLD
+    ctes = _SQL_CLUSTER.replace(
+        "SELECT d2.doc_id, coalesce(c.component, d2.doc_id) AS component\n"
+        "  FROM documents d2 LEFT JOIN comp c ON d2.doc_id = c.a",
+        "",
+    ).rstrip().rstrip(",")
+    return (
+        ctes
+        + f"""
+  , tmin AS (SELECT text, min(doc_id) AS keeper FROM documents GROUP BY text),
+  fl AS (
+    SELECT d.doc_id, d.source,
+           (d.doc_id = t.keeper)                          AS ex_keep,
+           (coalesce(c.component, d.doc_id) = d.doc_id)   AS comp_keep
+    FROM documents d
+    JOIN tmin t ON d.text = t.text
+    LEFT JOIN comp c ON d.doc_id = c.a),
+  surv AS (SELECT doc_id FROM fl WHERE ex_keep AND comp_keep),
+  cont AS (
+    SELECT b2.src
+    FROM (SELECT i AS src, j AS dst, inter FROM p
+          UNION ALL SELECT j, i, inter FROM p) b2
+    JOIN sz s1 ON b2.src = s1.doc_id
+    JOIN surv su ON b2.src = su.doc_id
+    JOIN surv sd ON b2.dst = sd.doc_id
+    WHERE b2.inter / s1.n >= {CONTAINMENT_THRESHOLD}
+    GROUP BY b2.src)
+  SELECT f.source,
+         COUNT(*) AS n_docs,
+         COUNT(CASE WHEN f.ex_keep THEN 1 END) AS kept_exact,
+         COUNT(CASE WHEN f.ex_keep AND f.comp_keep THEN 1 END) AS kept_near,
+         COUNT(CASE WHEN f.ex_keep AND f.comp_keep AND ct.src IS NULL
+               THEN 1 END) AS kept_final
+  FROM fl f LEFT JOIN cont ct ON f.doc_id = ct.src
+  GROUP BY f.source
+"""
+    )
+
+
+@register(
+    "corpus_dedup_sweep",
+    oracle=_sweep_oracle(),
+    tags=("north_star", "dedup", "pipeline", "capstone"),
+)
+def corpus_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact → transitive near-dup → containment, as one per-source
+    funnel report: (source, n_docs, kept_exact, kept_near, kept_final).
+    See the module-level stage notes above for why the chain composes
+    without iteration.
+
+    Scale story: every expensive frame is shared machinery — shingles
+    and jaccard pairs are the session-memoized builds the whole dedup
+    family reuses; connected components come from dedup_cluster's cached
+    labels. The only new work is (a) the exact stage, a window-min over
+    xxhash64(text) so the exchange carries 8-byte keys instead of
+    document bodies (collision adjudication as dedup_ngram's hashed
+    postings: P ≈ n²/2⁶⁴), and (b) containment restricted to stage-2
+    SURVIVORS — the posting self-join runs on the already-deduplicated
+    corpus, which is exactly how a production sweep orders its passes
+    (cheapest/highest-yield reductions first so later quadratic-ish
+    stages see fewer rows). The report is one conditional-count
+    aggregate on (source): a small final shuffle."""
+    from pyspark.sql import Window as W
+
+    from etl_cnpjs_spark.operators.dedup import containment_pairs
+    from etl_cnpjs_spark.plans.dedup import (
+        CONTAINMENT_THRESHOLD,
+        _doc_shingles,
+        dedup_cluster,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    labels = dedup_cluster(spark, sf_dir)  # (doc_id, component), memoized CC
+
+    th = F.xxhash64("text")
+    fl = (
+        d.select("doc_id", "source", th.alias("th"))
+        .withColumn("keeper", F.min("doc_id").over(W.partitionBy("th")))
+        .withColumn("ex_keep", F.col("doc_id") == F.col("keeper"))
+        .join(labels, "doc_id")
+        .withColumn("comp_keep", F.col("component") == F.col("doc_id"))
+        .select("doc_id", "source", "ex_keep", "comp_keep")
+    )
+    surv = fl.filter(F.col("ex_keep") & F.col("comp_keep")).select("doc_id")
+    sh_surv = _doc_shingles(spark, sf_dir).join(surv, "doc_id", "left_semi")
+    dropped = (
+        containment_pairs(sh_surv, "doc_id", "sh", CONTAINMENT_THRESHOLD)
+        .select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("contained", F.lit(True))
+    )
+    rep = fl.join(dropped, "doc_id", "left")
+    return rep.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("ex_keep"), 1)).alias("kept_exact"),
+        F.count(F.when(F.col("ex_keep") & F.col("comp_keep"), 1)).alias("kept_near"),
+        F.count(
+            F.when(
+                F.col("ex_keep") & F.col("comp_keep") & F.col("contained").isNull(), 1
+            )
+        ).alias("kept_final"),
+    )

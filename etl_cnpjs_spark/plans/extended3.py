@@ -1711,7 +1711,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     congruential edge ends over {_TRI_N} nodes — dense enough to carry
     real triangles), so the three-way join is bit-exact against the SQL
     oracle. Physical: two equi-join shuffles on node keys + one
-    explode-rollup; no driver loop, no iteration."""
+    explode-rollup; no driver loop, no iteration. The oriented edge
+    subtree appears in all three join branches (3× scan+distinct): an
+    interleaved A/B at sf0.1 measured a localCheckpoint barrier a
+    wash-to-slower (7.6 vs 7.2 s median — the 12.3 M-triangle 2-path
+    output dominates), so the recompute stays locally; at cluster scale
+    the edge frame is the thing you persist() once instead."""
     o = table(spark, sf_dir, "orders")
     raw = o.select(
         (F.col("o_orderkey") % _TRI_N).alias("a"),

@@ -1,0 +1,259 @@
+"""Round-5 late surface growth: exact OLS regression as sufficient
+statistics, viz-grade point downsampling, and common-neighbor link
+prediction over the near-dup graph.
+
+Reference trace: the reference computes one join+filter aggregate
+(ETLCNPJFinalEmpresaEstabelecimentos.py:191-234) and has no numeric-
+modeling, time-series or graph surface; these keys are the analytics a
+training-data/metrics pipeline layers on top (SURVEY.md §2.2b growth
+directions), expressed so every one carries a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_cnpjs_spark.catalog import table
+from etl_cnpjs_spark.plans.registry import quantize, quantize_sql, register
+
+# --- agg_linreg -------------------------------------------------------------
+#
+# Exact per-group OLS (y = l_extendedprice on x = l_quantity) from
+# sufficient statistics. The whole fit reduces to five sums — the classic
+# "ML on SQL engines" shape: one map-side-combinable aggregate, no
+# iteration, no driver math. Portability discipline (same family as
+# agg_skew_kurtosis / graph_pagerank):
+#   1. quantize inputs to integer cents: floor(v*100+0.5) — both engines
+#      land on the identical bigint;
+#   2. per-row products in bigint (bounded: x≤5001c, y≤1e7c → xy≤5e10,
+#      y²≤1e14, all << 2^63);
+#   3. accumulate in DECIMAL(38,0) — exact, order-insensitive (y² sums
+#      reach ~6e19 at sf0.1, past int64);
+#   4. cast the exact sums to DOUBLE (correctly rounded in both engines)
+#      and run the closed-form fit as a textually mirrored float
+#      expression — identical IEEE ops on identical inputs;
+#   5. quantize outputs to 1e-6.
+
+_LINREG_FLOAT = {
+    # the float-domain fit, shared textually by both engines
+    "num": "(n * sxy - sx * sy)",
+    "denx": "(n * sxx - sx * sx)",
+    "deny": "(n * syy - sy * sy)",
+}
+
+_SQL_LINREG = f"""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)      AS xs,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS ys
+      FROM lineitem),
+    m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE)                            AS n,
+             CAST(SUM(CAST(xs AS DECIMAL(38,0))) AS DOUBLE)      AS sx,
+             CAST(SUM(CAST(ys AS DECIMAL(38,0))) AS DOUBLE)      AS sy,
+             CAST(SUM(CAST(xs * xs AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(xs * ys AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ys * ys AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM q GROUP BY l_returnflag),
+    f AS (
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+             {_LINREG_FLOAT["num"]} / {_LINREG_FLOAT["denx"]} AS slope,
+             (sy - ({_LINREG_FLOAT["num"]} / {_LINREG_FLOAT["denx"]}) * sx)
+               / n / 100.0 AS intercept,
+             ({_LINREG_FLOAT["num"]} * {_LINREG_FLOAT["num"]})
+               / ({_LINREG_FLOAT["denx"]} * {_LINREG_FLOAT["deny"]}) AS r2
+      FROM m)
+    SELECT l_returnflag, n_rows,
+           {quantize_sql("slope")}     AS slope,
+           {quantize_sql("intercept")} AS intercept,
+           {quantize_sql("r2")}        AS r2
+    FROM f
+"""
+
+
+@register("agg_linreg", oracle=_SQL_LINREG, tags=("agg", "ml", "stats"))
+def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit of extendedprice on quantity: slope,
+    intercept, R² per returnflag — exact, from one aggregation pass.
+
+    Scale story: the expensive part is ONE groupBy over five bigint
+    products — partial aggregation collapses each partition to one row
+    per group before the shuffle, so the exchange moves |groups| rows
+    regardless of input size. No window, no join, no second pass; the
+    same sums make the fit incremental (agg_incremental's merge law
+    applies verbatim). Slope is scale-invariant under the shared ×100
+    input quantization; the intercept descales by /100 at the end."""
+    li = table(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint").alias("xs"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("ys"),
+    )
+    dec = "decimal(38,0)"
+    m = q.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("xs").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("ys").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("xs") * F.col("xs")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("xs") * F.col("ys")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("ys") * F.col("ys")).cast(dec)).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / denx
+    f = m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n") / F.lit(100.0)).alias(
+            "intercept"
+        ),
+        ((num * num) / (denx * deny)).alias("r2"),
+    )
+    return f.select(
+        "l_returnflag",
+        "n_rows",
+        quantize(F.col("slope")).alias("slope"),
+        quantize(F.col("intercept")).alias("intercept"),
+        quantize(F.col("r2")).alias("r2"),
+    )
+
+
+# --- events_downsample_bucket ------------------------------------------------
+
+_DS_BUCKET_S = 900  # 15-minute buckets
+
+
+@register(
+    "events_downsample_bucket",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // {_DS_BUCKET_S}) * {_DS_BUCKET_S}
+               AS bucket_s,
+             event_id, value,
+             row_number() OVER (PARTITION BY event_type,
+                 (CAST(floor(epoch(ts)) AS BIGINT) // {_DS_BUCKET_S}) * {_DS_BUCKET_S}
+                 ORDER BY value, event_id)           AS rn_lo,
+             row_number() OVER (PARTITION BY event_type,
+                 (CAST(floor(epoch(ts)) AS BIGINT) // {_DS_BUCKET_S}) * {_DS_BUCKET_S}
+                 ORDER BY value DESC, event_id DESC) AS rn_hi
+      FROM events)
+    SELECT event_type, bucket_s, 'lo' AS role, event_id, value
+    FROM r WHERE rn_lo = 1
+    UNION ALL
+    SELECT event_type, bucket_s, 'hi' AS role, event_id, value
+    FROM r WHERE rn_hi = 1
+    """,
+    tags=("events", "timeseries", "downsample"),
+)
+def events_downsample_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max point downsampling (the LTTB-lite viz reduction): per
+    (series, 15-min bucket) keep the ORIGINAL rows holding the bucket's
+    extreme values — unlike events_ohlc this selects points (event_id
+    preserved for drill-down), it doesn't aggregate them. Deterministic
+    under value ties via the event_id tiebreaker, textually mirrored as
+    row_number in both engines; a single-event bucket legitimately emits
+    the same point twice (once per role) — identical multiset both sides.
+
+    Scale story: one exchange on (event_type, bucket) serves both window
+    sorts, and AQE reuses it across the two union branches (the filters
+    differ but the windowed child is identical → ReusedExchange). Output
+    is 2 rows per populated bucket — input-size-independent per bucket,
+    the property that makes this the dashboard-backing reduction. Bucket
+    is emitted as epoch seconds (bigint), not a timestamp, so the result
+    is timezone-free in both engines."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    bucket = ((F.unix_timestamp("ts") / _DS_BUCKET_S).cast("bigint") * _DS_BUCKET_S)
+    wlo = W.partitionBy("event_type", bucket).orderBy("value", "event_id")
+    whi = W.partitionBy("event_type", bucket).orderBy(
+        F.desc("value"), F.desc("event_id")
+    )
+    r = ev.select(
+        "event_type",
+        bucket.alias("bucket_s"),
+        "event_id",
+        "value",
+        F.row_number().over(wlo).alias("rn_lo"),
+        F.row_number().over(whi).alias("rn_hi"),
+    )
+    lo = r.filter(F.col("rn_lo") == 1).select(
+        "event_type", "bucket_s", F.lit("lo").alias("role"), "event_id", "value"
+    )
+    hi = r.filter(F.col("rn_hi") == 1).select(
+        "event_type", "bucket_s", F.lit("hi").alias("role"), "event_id", "value"
+    )
+    return lo.unionAll(hi)
+
+
+# --- graph_common_neighbors ---------------------------------------------------
+
+_CN_TOPK = 100
+
+
+def _cn_oracle() -> str:
+    from etl_cnpjs_spark.plans.dedup import _SQL_PAIRS
+
+    return (
+        _SQL_PAIRS
+        + f"""
+      , edges AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j, i FROM pairs),
+      two_path AS (
+        SELECT e1.a AS u, e2.b AS v, COUNT(*) AS common_cnt
+        FROM edges e1 JOIN edges e2 ON e1.b = e2.a AND e1.a < e2.b
+        GROUP BY 1, 2),
+      nonadj AS (
+        SELECT t.u, t.v, t.common_cnt
+        FROM two_path t LEFT JOIN pairs p ON t.u = p.i AND t.v = p.j
+        WHERE p.i IS NULL)
+      SELECT u, v, common_cnt FROM nonadj
+      ORDER BY common_cnt DESC, u, v LIMIT {_CN_TOPK}
+    """
+    )
+
+
+@register("graph_common_neighbors", oracle=_cn_oracle(), tags=("graph", "dedup", "ml"))
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the near-dup graph: for each
+    NON-adjacent pair (u < v) sharing ≥1 neighbor, count the shared
+    neighbors; top-{K} by (count desc, u, v) — the "these two clusters
+    are about to merge" review queue a dedup pipeline surfaces to
+    humans. Completes the graph family (components / pagerank / label
+    propagation / triangles / link prediction).
+
+    Scale story: the same oriented 2-path equi-join discipline as
+    graph_triangle_count — edges shuffle on the midpoint key, u < v
+    halves the candidate space, and the existing-edge removal is one
+    left-anti join on the pair key. Count per candidate pair is exact
+    (COUNT(*), no distinct needed: midpoints are unique per (u,x,v) path
+    because the edge list is a set). Final top-k is
+    TakeOrderedAndProject — no global sort materializes. Candidate
+    volume is bounded by Σ_x deg(x)², the triangle-join envelope already
+    stress-adjudicated at 10× (SCALE.md); for skew beyond that the
+    standard mitigation is capping deg(x) like dedup_stopshingle's
+    df-cap (documented, not needed at this corpus's degree ceiling)."""
+    from etl_cnpjs_spark.plans.dedup import _exact_pairs
+
+    pairs = _exact_pairs(spark, sf_dir).select("i", "j")
+    fwd = pairs.select(F.col("i").alias("a"), F.col("j").alias("b"))
+    rev = pairs.select(F.col("j").alias("a"), F.col("i").alias("b"))
+    edges = fwd.unionAll(rev)
+    e1 = edges.select(F.col("a").alias("u"), F.col("b").alias("x"))
+    e2 = edges.select(F.col("a").alias("x"), F.col("b").alias("v"))
+    two_path = (
+        e1.join(e2, "x")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common_cnt"))
+    )
+    nonadj = two_path.join(
+        pairs,
+        (two_path["u"] == pairs["i"]) & (two_path["v"] == pairs["j"]),
+        "left_anti",
+    )
+    return nonadj.orderBy(F.desc("common_cnt"), "u", "v").limit(_CN_TOPK)

@@ -537,3 +537,32 @@ def test_countmin_merge_partial_aggregated(spark, sf_dir):
     plan = explain_str(QUERIES["agg_countmin_merge"].fn(spark, sf_dir), "simple")
     assert "partial_count" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_linreg_single_partial_aggregated_exchange(spark, sf_dir):
+    """The OLS fit must reduce to ONE map-side-combined aggregation:
+    partial sums before a single exchange, no window, no join — the
+    property that makes the shuffle |groups|-sized at any input scale."""
+    plan = explain_str(QUERIES["agg_linreg"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_sum" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_downsample_bucket_windows_share_partition_keys(spark, sf_dir):
+    """Both extreme-point windows sort inside the same (series, bucket)
+    exchange; per union branch that is one hash exchange — never a
+    range/global sort."""
+    plan = explain_str(QUERIES["events_downsample_bucket"].fn(spark, sf_dir), "simple")
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Window" in plan, plan
+
+
+def test_common_neighbors_topk_no_cartesian(spark, sf_dir):
+    """2-path link prediction: equi-joins only, and the final top-k is
+    TakeOrderedAndProject (local top-k + merge), not a global sort."""
+    plan = explain_str(QUERIES["graph_common_neighbors"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -107,3 +107,68 @@ def test_approx_topk_regime_is_exact(spark):
 
     n = table(spark, SF_DIR, "events").select("event_type").distinct().count()
     assert n <= 64, f"event_type cardinality {n} exceeds the sketch k"
+
+
+def test_linreg_matches_numpy_fit(spark):
+    """Cross-engine equality can share a bug; pin the math itself against
+    numpy's least squares on the same quantized inputs (sf0.001)."""
+    import numpy as np
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        QUERIES["agg_linreg"].fn(spark, sf).toPandas().set_index("l_returnflag")
+    )
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    for flag, g in li.groupby("l_returnflag"):
+        x = np.floor(g["l_quantity"].to_numpy() * 100 + 0.5) / 100.0
+        y = np.floor(g["l_extendedprice"].to_numpy() * 100 + 0.5) / 100.0
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        row = out.loc[flag]
+        assert row["n_rows"] == len(g)
+        assert abs(row["slope"] - slope) < 1e-4, (flag, row["slope"], slope)
+        assert abs(row["intercept"] - intercept) < 1e-2, (flag, row["intercept"], intercept)
+        assert abs(row["r2"] - r * r) < 1e-6, (flag, row["r2"], r * r)
+
+
+def test_downsample_bucket_selects_true_extremes(spark):
+    """Each (series, bucket) emits exactly one 'lo' and one 'hi' row, and
+    they carry the bucket's true min/max values (sf0.001)."""
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["events_downsample_bucket"].fn(spark, sf).toPandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    epoch_s = ev["ts"].astype("datetime64[s]").astype("int64")  # floor to seconds
+    ev["bucket_s"] = (epoch_s // 900) * 900
+    truth = ev.groupby(["event_type", "bucket_s"])["value"].agg(["min", "max"])
+    per_role = out.groupby(["event_type", "bucket_s", "role"]).size()
+    assert (per_role == 1).all(), "each role must appear exactly once per bucket"
+    lo = out[out["role"] == "lo"].set_index(["event_type", "bucket_s"])["value"]
+    hi = out[out["role"] == "hi"].set_index(["event_type", "bucket_s"])["value"]
+    assert len(lo) == len(truth) and len(hi) == len(truth)
+    assert (lo == truth["min"]).all() and (hi == truth["max"]).all()
+
+
+def test_dedup_sweep_funnel_is_nested_and_consistent(spark):
+    """Funnel counts must nest (final ≤ near ≤ exact ≤ total) and the
+    stage-2 total must reconcile exactly with dedup_canonical's
+    surviving-corpus size: canonical lacks the exact-text stage, so the
+    only divergence is duplicate texts too short to shingle (<3 tokens —
+    CC singletons the sweep's exact stage removes but canonical keeps)."""
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    rep = QUERIES["corpus_dedup_sweep"].fn(spark, sf).toPandas()
+    assert (rep["kept_final"] <= rep["kept_near"]).all()
+    assert (rep["kept_near"] <= rep["kept_exact"]).all()
+    assert (rep["kept_exact"] <= rep["n_docs"]).all()
+    canonical_n = QUERIES["dedup_canonical"].fn(spark, sf).count()
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    docs["is_dup_nonmin"] = docs["doc_id"] != docs.groupby("text")["doc_id"].transform(
+        "min"
+    )
+    docs["n_toks"] = docs["text"].str.strip().str.split().map(len)
+    short_dups = int((docs["is_dup_nonmin"] & (docs["n_toks"] < 3)).sum())
+    assert int(rep["kept_near"].sum()) == canonical_n - short_dups

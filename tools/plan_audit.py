@@ -43,6 +43,25 @@ BNLJ_OK = {
 # The one deliberate row-at-a-time Python path: the UDTF demonstration.
 ROW_PY_OK = {"udtf_bigrams"}
 
+# Exchange-watchlist adjudications (marginal plans read by hand): keys
+# whose ≥6 static Exchange nodes are the intended shape, not a smell —
+# the capped posting join legitimately exchanges on shingle for the df
+# window AND both self-join sides (AQE reuses them at runtime:
+# ReusedExchange, pinned for the stopshingle twin in tests/test_plans.py),
+# then doc-grain verify joins; the dedup-sweep capstone chains the exact
+# window + CC-label join + survivor-restricted containment + report.
+EXCHANGES_OK = {
+    "dedup_containment_capped",
+    "corpus_dedup_sweep",
+    # 10 static exchanges = the oriented edge-set subtree appearing in all
+    # three join branches. Interleaved A/B at sf0.1 (2026-08-14, reps=3):
+    # plain 7.2/6.7/7.6 s vs localCheckpoint-barrier 7.6/7.8/7.6 s — the
+    # 2-path join output (12.3 M triangles) dominates and the barrier
+    # costs what the redundant distincts cost, so the plain form stays.
+    # At cluster scale the edge frame would be persisted (docstring).
+    "graph_triangle_count",
+}
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -52,6 +71,25 @@ def main() -> int:
 
     spark = SparkSession.builder.master("local[32]").getOrCreate()
     qs = entrymod.queries()
+
+    # Build the session-memoized frames the dedup family shares BEFORE
+    # auditing, so every key is audited on its MARGINAL plan — without
+    # this, whichever key the registry order happens to put first carries
+    # the whole shared build's exchanges in its plan string and the
+    # audit's findings change when the presentation order rotates.
+    # (bench.py stages the same frames as its shared_dedup_build entry.)
+    try:
+        from etl_cnpjs_spark.plans.dedup import (
+            _doc_shingles,
+            _exact_pairs,
+            dedup_cluster,
+        )
+
+        _doc_shingles(spark, sf_dir)
+        _exact_pairs(spark, sf_dir)
+        dedup_cluster(spark, sf_dir)
+    except Exception as ex:
+        print(f"WARN shared-frame prewarm failed: {ex}")
 
     bad = 0
     for k, fn in qs.items():
@@ -69,7 +107,7 @@ def main() -> int:
         if "BatchEvalPython" in p and k not in ROW_PY_OK:
             issues.append("ROW_PYTHON_UDF")
         ne = p.count("Exchange hashpartitioning")
-        if ne >= 6:
+        if ne >= 6 and k not in EXCHANGES_OK:
             issues.append(f"EXCHANGES={ne}")
         if issues:
             print(f"FLAG {k}: {', '.join(issues)}")
