@@ -183,6 +183,9 @@ _ADDED_R5 = [
     "events_downsample_bucket",
     "graph_common_neighbors",
     "corpus_dedup_sweep",
+    "agg_corr_matrix",
+    "join_asof_nearest",
+    "events_gap_detect",
 ]
 
 

@@ -257,3 +257,285 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return nonadj.orderBy(F.desc("common_cnt"), "u", "v").limit(_CN_TOPK)
+
+
+# --- agg_corr_matrix ---------------------------------------------------------
+
+_CORR_VARS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_PAIRS = (
+    ("q", "e"), ("q", "d"), ("q", "t"), ("e", "d"), ("e", "t"), ("d", "t")
+)
+_CORR_SHORT = {"q": "l_quantity", "e": "l_extendedprice", "d": "l_discount", "t": "l_tax"}
+
+
+def _corr_oracle() -> str:
+    scaled = ",\n             ".join(
+        f"CAST(floor({col} * 100 + 0.5) AS BIGINT) AS {s}"
+        for s, col in _CORR_SHORT.items()
+    )
+    sums = ",\n             ".join(
+        [f"CAST(COUNT(*) AS DOUBLE) AS n"]
+        + [
+            f"CAST(SUM(CAST({s} AS DECIMAL(38,0))) AS DOUBLE) AS s_{s}"
+            for s in _CORR_SHORT
+        ]
+        + [
+            f"CAST(SUM(CAST({a} * {b} AS DECIMAL(38,0))) AS DOUBLE) AS s_{a}{b}"
+            for a in _CORR_SHORT
+            for b in _CORR_SHORT
+            if a <= b
+        ]
+    )
+    corrs = ",\n           ".join(
+        quantize_sql(
+            f"(n * s_{min(a,b)}{max(a,b)} - s_{a} * s_{b})"
+            f" / sqrt((n * s_{a}{a} - s_{a} * s_{a})"
+            f" * (n * s_{b}{b} - s_{b} * s_{b}))"
+        )
+        + f" AS corr_{a}_{b}"
+        for a, b in _CORR_PAIRS
+    )
+    return f"""
+    WITH q AS (
+      SELECT {scaled}
+      FROM lineitem),
+    m AS (
+      SELECT {sums}
+      FROM q)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           {corrs}
+    FROM m
+    """
+
+
+@register("agg_corr_matrix", oracle=_corr_oracle(), tags=("agg", "ml", "stats"))
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise Pearson correlation matrix over lineitem's four
+    numeric measures (quantity, extendedprice, discount, tax) — the
+    multivariate sibling of agg_linreg and the feature-screening step an
+    ML pipeline runs before training. Same exactness discipline: inputs
+    quantized to integer cents (scale factors cancel in Pearson),
+    per-row products in bounded bigint, DECIMAL(38,0) accumulation, one
+    textually-mirrored float expression per coefficient, 1e-6 output
+    quantization.
+
+    Scale story: ALL 15 sufficient statistics ride ONE global aggregate
+    — partial (map-side) combine reduces every partition to a single
+    15-value row, so the exchange carries |partitions| rows total; the
+    d² cross-moment trick is the same one embedding_gram uses for its
+    dim² matrix. Adding variables grows the row width, never the
+    shuffle row count."""
+    li = table(spark, sf_dir, "lineitem")
+    q = li.select(
+        *[
+            F.floor(F.col(col) * 100 + 0.5).cast("bigint").alias(s)
+            for s, col in _CORR_SHORT.items()
+        ]
+    )
+    dec = "decimal(38,0)"
+    aggs = (
+        [F.count(F.lit(1)).cast("double").alias("n")]
+        + [F.sum(F.col(s).cast(dec)).cast("double").alias(f"s_{s}") for s in _CORR_SHORT]
+        + [
+            F.sum((F.col(a) * F.col(b)).cast(dec)).cast("double").alias(f"s_{a}{b}")
+            for a in _CORR_SHORT
+            for b in _CORR_SHORT
+            if a <= b
+        ]
+    )
+    m = q.agg(*aggs)
+
+    def corr(a: str, b: str):
+        lo, hi = min(a, b), max(a, b)
+        num = F.col("n") * F.col(f"s_{lo}{hi}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        va = F.col("n") * F.col(f"s_{a}{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        vb = F.col("n") * F.col(f"s_{b}{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        return quantize(num / F.sqrt(va * vb))
+
+    return m.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        *[corr(a, b).alias(f"corr_{a}_{b}") for a, b in _CORR_PAIRS],
+    )
+
+
+# --- join_asof_nearest -------------------------------------------------------
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase') t
+      WHERE rn = 1),
+    u AS (
+      SELECT user_id, ts, 0 AS kind, event_id, NULL AS p_id
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, 1 AS kind, event_id, event_id AS p_id FROM p),
+    w AS (
+      SELECT user_id, ts, kind, event_id,
+             last_value(CASE WHEN kind = 1 THEN ts END IGNORE NULLS)
+               OVER wb AS back_ts,
+             last_value(p_id IGNORE NULLS) OVER wb AS back_id,
+             first_value(CASE WHEN kind = 1 THEN ts END IGNORE NULLS)
+               OVER wf AS fwd_ts,
+             first_value(p_id IGNORE NULLS) OVER wf AS fwd_id
+      FROM u
+      WINDOW
+        wb AS (PARTITION BY user_id ORDER BY ts, kind DESC, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY user_id ORDER BY ts, kind DESC, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+    SELECT event_id, user_id, ts,
+           CASE WHEN fwd_ts IS NULL THEN back_id
+                WHEN back_ts IS NULL THEN fwd_id
+                WHEN epoch_us(ts) - epoch_us(back_ts)
+                     <= epoch_us(fwd_ts) - epoch_us(ts) THEN back_id
+                ELSE fwd_id END AS near_p_id,
+           CASE WHEN fwd_ts IS NULL THEN epoch_us(ts) - epoch_us(back_ts)
+                WHEN back_ts IS NULL THEN epoch_us(fwd_ts) - epoch_us(ts)
+                ELSE least(epoch_us(ts) - epoch_us(back_ts),
+                           epoch_us(fwd_ts) - epoch_us(ts)) END AS near_diff_us
+    FROM w WHERE kind = 0
+    """,
+    tags=("join", "asof", "timeseries"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest'): each click pairs with its temporally CLOSEST
+    purchase by the same user — before OR after — completing the as-of
+    family (backward join_asof, tolerance join_asof_tolerance). Ties
+    break toward the backward match; same-timestamp purchases dedup to
+    max event_id first (join_asof_tolerance's rule).
+
+    Scale story: the union-tag formulation, not a join — both streams
+    union with a kind tag, ONE exchange on user_id, and two frame-bound
+    window passes (backward last_value IGNORE NULLS to the current row,
+    forward first_value from the next row) resolve both candidates; the
+    same-ts containment rule is encoded purely in the sort key (ts,
+    kind DESC, event_id), so a purchase at the click's exact timestamp
+    sorts before it — visible backward, invisible forward, never double
+    counted. No per-row probe join, no range join, state is one value
+    per direction — this is the shape that survives a billion-event
+    partition. Both engines run the identical window program."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    pr = ev.filter(F.col("event_type") == "purchase")
+    rn = F.row_number().over(
+        W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    )
+    p = (
+        pr.select("user_id", "ts", "event_id", rn.alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        "event_id",
+        F.lit(None).cast("long").alias("p_id"),
+    )
+    purch = p.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.col("event_id").alias("p_id"),
+    )
+    u = clicks.unionAll(purch)
+    order = [F.col("ts"), F.col("kind").desc(), F.col("event_id")]
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    p_ts = F.when(F.col("kind") == 1, F.col("ts"))
+    w = u.select(
+        "user_id",
+        "ts",
+        "kind",
+        "event_id",
+        F.last(p_ts, ignorenulls=True).over(wb).alias("back_ts"),
+        F.last(F.col("p_id"), ignorenulls=True).over(wb).alias("back_id"),
+        F.first(p_ts, ignorenulls=True).over(wf).alias("fwd_ts"),
+        F.first(F.col("p_id"), ignorenulls=True).over(wf).alias("fwd_id"),
+    )
+    back_d = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("back_ts"))
+    fwd_d = F.unix_micros(F.col("fwd_ts")) - F.unix_micros(F.col("ts"))
+    return w.filter(F.col("kind") == 0).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("fwd_ts").isNull(), F.col("back_id"))
+        .when(F.col("back_ts").isNull(), F.col("fwd_id"))
+        .when(back_d <= fwd_d, F.col("back_id"))
+        .otherwise(F.col("fwd_id"))
+        .alias("near_p_id"),
+        F.when(F.col("fwd_ts").isNull(), back_d)
+        .when(F.col("back_ts").isNull(), fwd_d)
+        .otherwise(F.least(back_d, fwd_d))
+        .alias("near_diff_us"),
+    )
+
+
+# --- events_gap_detect -------------------------------------------------------
+
+_GAP_US = 2 * 24 * 3600 * 1_000_000  # report gaps longer than 2 days
+
+
+@register(
+    "events_gap_detect",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+    SELECT user_id, prev_ts AS gap_start, ts AS gap_end,
+           epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+    FROM s
+    WHERE prev_ts IS NOT NULL
+      AND epoch_us(ts) - epoch_us(prev_ts) > {_GAP_US}
+    """,
+    tags=("events", "timeseries", "dq"),
+)
+def events_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-data gap detection: per user, consecutive-event spacings
+    exceeding 2 days, emitted as (gap_start, gap_end, gap_us) intervals
+    — the time-series data-quality complement of events_sessionize
+    (which groups activity; this reports the silence between). The lag
+    window shares events_sessionize's total order (ts, event_id) so tied
+    timestamps are deterministic.
+
+    Scale story: one exchange on user_id, one per-partition sort, one
+    lag — the minimal window envelope; the filter keeps only gap rows,
+    so output is sparse by construction. Microsecond integer arithmetic
+    end to end (unix_micros ≡ DuckDB epoch_us): no float boundary."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts")
+    )
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+    return (
+        s.filter(F.col("prev_ts").isNotNull() & (gap > _GAP_US))
+        .select(
+            "user_id",
+            F.col("prev_ts").alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+            gap.alias("gap_us"),
+        )
+    )

@@ -566,3 +566,30 @@ def test_common_neighbors_topk_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_corr_matrix_single_partial_aggregated_exchange(spark, sf_dir):
+    """All 15 sufficient statistics ride one map-side-combined global
+    aggregate — a single-row exchange at any input size."""
+    plan = explain_str(QUERIES["agg_corr_matrix"].fn(spark, sf_dir), "simple")
+    assert "partial_sum" in plan, plan
+    assert "Join" not in plan, plan
+    # global agg: SinglePartition exchange only — no hash repartition
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_asof_nearest_is_union_window_not_join(spark, sf_dir):
+    """The nearest-direction as-of must run as the union-tag window
+    program: no join operator at all, and at most two exchanges (the
+    same-ts purchase dedup on (user, ts), then the user_id window both
+    directions share)."""
+    plan = explain_str(QUERIES["join_asof_nearest"].fn(spark, sf_dir), "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_gap_detect_minimal_window_envelope(spark, sf_dir):
+    """One exchange on user_id, one sort, one lag — nothing else."""
+    plan = explain_str(QUERIES["events_gap_detect"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan

@@ -172,3 +172,76 @@ def test_dedup_sweep_funnel_is_nested_and_consistent(spark):
     docs["n_toks"] = docs["text"].str.strip().str.split().map(len)
     short_dups = int((docs["is_dup_nonmin"] & (docs["n_toks"] < 3)).sum())
     assert int(rep["kept_near"].sum()) == canonical_n - short_dups
+
+
+def test_corr_matrix_matches_numpy(spark):
+    """Pin the correlation math against numpy on the same quantized
+    inputs (sf0.001) — cross-engine equality alone could share a bug."""
+    import numpy as np
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["agg_corr_matrix"].fn(spark, sf).toPandas().iloc[0]
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    cols = {
+        "q": "l_quantity",
+        "e": "l_extendedprice",
+        "d": "l_discount",
+        "t": "l_tax",
+    }
+    scaled = {
+        s: np.floor(li[c].to_numpy() * 100 + 0.5) for s, c in cols.items()
+    }
+    assert out["n_rows"] == len(li)
+    for a, b in (("q", "e"), ("q", "d"), ("q", "t"), ("e", "d"), ("e", "t"), ("d", "t")):
+        want = np.corrcoef(scaled[a], scaled[b])[0, 1]
+        got = out[f"corr_{a}_{b}"]
+        assert abs(got - want) < 1e-6, (a, b, got, want)
+
+
+def test_asof_nearest_matches_bruteforce(spark):
+    """Every click's match must be the true nearest deduped purchase,
+    ties toward backward (sf0.001 brute force)."""
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        QUERIES["join_asof_nearest"].fn(spark, sf).toPandas().set_index("event_id")
+    )
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    p = (
+        ev[ev["event_type"] == "purchase"]
+        .sort_values("event_id")
+        .groupby(["user_id", "ts"], as_index=False)
+        .last()  # max event_id per (user, ts) — the dedup rule
+    )
+    clicks = ev[ev["event_type"] == "click"]
+    assert len(out) == len(clicks)
+    for _, c in clicks.iterrows():
+        cand = p[p["user_id"] == c["user_id"]]
+        row = out.loc[c["event_id"]]
+        if cand.empty:
+            assert pd.isna(row["near_p_id"])
+            continue
+        diffs = (cand["ts"] - c["ts"]).abs()
+        best = diffs.min()
+        tied = cand[diffs == best]
+        # ties toward the backward (earlier-ts) candidate
+        pick = tied.sort_values("ts").iloc[0]
+        assert row["near_p_id"] == pick["event_id"], c["event_id"]
+        assert row["near_diff_us"] == best // pd.Timedelta(microseconds=1)
+
+
+def test_gap_detect_matches_pandas(spark):
+    """Gap intervals equal the pandas diff-based computation (sf0.001)."""
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["events_gap_detect"].fn(spark, sf).toPandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet").sort_values(["user_id", "ts", "event_id"])
+    ev["prev_ts"] = ev.groupby("user_id")["ts"].shift()
+    gap = (ev["ts"] - ev["prev_ts"]).dt.total_seconds() * 1_000_000
+    want = ev[gap > 2 * 24 * 3600 * 1_000_000]
+    assert len(out) == len(want)
+    got = set(zip(out["user_id"], out["gap_end"]))
+    assert got == set(zip(want["user_id"], want["ts"]))
