@@ -186,6 +186,7 @@ _ADDED_R5 = [
     "agg_corr_matrix",
     "join_asof_nearest",
     "events_gap_detect",
+    "agg_diversity",
 ]
 
 

@@ -539,3 +539,68 @@ def events_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             gap.alias("gap_us"),
         )
     )
+
+
+# --- agg_diversity -----------------------------------------------------------
+
+_DIV_COHORTS = 16
+
+
+@register(
+    "agg_diversity",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id % {_DIV_COHORTS} AS cohort, event_type,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT cohort,
+             CAST(SUM(cnt) AS BIGINT)        AS total,
+             CAST(SUM(cnt * cnt) AS BIGINT)  AS sumsq,
+             CAST(COUNT(*) AS BIGINT)        AS n_types
+      FROM c GROUP BY cohort)
+    SELECT cohort, total, n_types,
+           1.0 - CAST(sumsq AS DOUBLE) / (CAST(total AS DOUBLE)
+                                          * CAST(total AS DOUBLE)) AS gini_simpson
+    FROM m
+    """,
+    tags=("agg", "stats", "diversity"),
+)
+def agg_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity index per user cohort: the Gini–Simpson
+    index 1 − Σpᵢ² of each cohort's event-type mix — the
+    category-concentration metric (ecology's Simpson, economics'
+    inverse-Herfindahl). Chosen over Shannon entropy deliberately:
+    entropy needs log(), which is NOT correctly-rounded libm math and
+    can differ by an ulp between the JVM and C runtimes — Gini–Simpson
+    is one exact integer ratio (Σcnt², total²) and a single mirrored
+    double division, so the oracle holds bit-exact with no quantization.
+
+    Scale story: two stacked map-side-combinable aggregates — the first
+    exchange carries (cohort × event_type) partial counts, the second
+    |cohorts| rows; AQE coalesces both. The sumsq trick turns a
+    per-category distribution metric into plain sums — no window, no
+    collect, and sketch-mergeable across days the way agg_countmin_merge
+    verifies (Σcnt² of merged counts ≠ Σ of daily Σcnt², so true
+    rollups re-merge counts first — documented for the rollup user)."""
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.select((F.col("user_id") % _DIV_COHORTS).alias("cohort"), "event_type")
+        .groupBy("cohort", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = c.groupBy("cohort").agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sumsq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    return m.select(
+        "cohort",
+        "total",
+        "n_types",
+        (
+            F.lit(1.0)
+            - F.col("sumsq").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double"))
+        ).alias("gini_simpson"),
+    )

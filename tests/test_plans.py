@@ -593,3 +593,12 @@ def test_gap_detect_minimal_window_envelope(spark, sf_dir):
     plan = explain_str(QUERIES["events_gap_detect"].fn(spark, sf_dir), "simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_diversity_two_stacked_partial_aggregates(spark, sf_dir):
+    """Gini–Simpson: two map-side-combined aggregates, no window/join;
+    the second exchange is |cohorts|-sized at any input scale."""
+    plan = explain_str(QUERIES["agg_diversity"].fn(spark, sf_dir), "simple")
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

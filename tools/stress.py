@@ -435,6 +435,91 @@ def main() -> None:
     lp1, lr1 = timed(lambda: lpa(le1).count())
     lpk, lrk = timed(lambda: lpa(lek).count())
 
+    # sufficient-statistics aggregate (agg_linreg / agg_corr_matrix
+    # shape): group keys don't grow under replication, so the exchange
+    # carries |groups| rows at any k — expectation: ~scan-cost growth.
+    def suffstats(l):
+        q = l.select(
+            "l_returnflag",
+            F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint").alias("xs"),
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("ys"),
+        )
+        dec = "decimal(38,0)"
+        return q.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("xs").cast(dec)).alias("sx"),
+            F.sum(F.col("ys").cast(dec)).alias("sy"),
+            F.sum((F.col("xs") * F.col("xs")).cast(dec)).alias("sxx"),
+            F.sum((F.col("xs") * F.col("ys")).cast(dec)).alias("sxy"),
+            F.sum((F.col("ys") * F.col("ys")).cast(dec)).alias("syy"),
+        )
+
+    ss1, sr1 = timed(lambda: suffstats(li).count())
+    ssk, srk = timed(lambda: suffstats(li_k).count())
+
+    # nearest-direction as-of (join_asof_nearest shape): replication is
+    # per-user disjoint, so the single user_id window exchange grows k×
+    # with no per-partition blowup — expectation: near-linear.
+    def asof_nearest(e):
+        from pyspark.sql import Window as W
+
+        pr = e.filter(F.col("event_type") == "purchase")
+        p = (
+            pr.select(
+                "user_id", "ts", "event_id",
+                F.row_number().over(
+                    W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+                ).alias("rn"),
+            ).filter(F.col("rn") == 1).drop("rn")
+        )
+        clicks = e.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.lit(0).alias("kind"), "event_id",
+            F.lit(None).cast("long").alias("p_id"),
+        )
+        purch = p.select(
+            "user_id", "ts", F.lit(1).alias("kind"), "event_id",
+            F.col("event_id").alias("p_id"),
+        )
+        u = clicks.unionAll(purch)
+        order = [F.col("ts"), F.col("kind").desc(), F.col("event_id")]
+        wb = W.partitionBy("user_id").orderBy(*order).rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        wf = W.partitionBy("user_id").orderBy(*order).rowsBetween(
+            1, W.unboundedFollowing
+        )
+        p_ts = F.when(F.col("kind") == 1, F.col("ts"))
+        w = u.select(
+            "kind",
+            F.last(p_ts, ignorenulls=True).over(wb).alias("back_ts"),
+            F.first(p_ts, ignorenulls=True).over(wf).alias("fwd_ts"),
+        )
+        return w.filter(F.col("kind") == 0)
+
+    an1, ar1 = timed(lambda: asof_nearest(ev).count())
+    ank, ark = timed(lambda: asof_nearest(ev_k).count())
+
+    # bucket downsampling (events_downsample_bucket shape): replication
+    # keeps (event_type, bucket) grain fixed, so OUTPUT stays constant
+    # while input grows k× — the claim is output-bound invariance.
+    def downsample(e):
+        from pyspark.sql import Window as W
+
+        bucket = (F.unix_timestamp("ts") / 900).cast("bigint") * 900
+        wlo = W.partitionBy("event_type", bucket).orderBy("value", "event_id")
+        whi = W.partitionBy("event_type", bucket).orderBy(
+            F.desc("value"), F.desc("event_id")
+        )
+        r = e.select(
+            "event_type", bucket.alias("bucket_s"), "event_id", "value",
+            F.row_number().over(wlo).alias("rn_lo"),
+            F.row_number().over(whi).alias("rn_hi"),
+        )
+        return r.filter((F.col("rn_lo") == 1) | (F.col("rn_hi") == 1))
+
+    dbs1, dbr1 = timed(lambda: downsample(ev).count())
+    dbsk, dbrk = timed(lambda: downsample(ev_k).count())
+
     print(json.dumps({
         "k": k,
         "flagship_1x_sec": t1, "flagship_kx_sec": tk, "flagship_ratio": round(tk / t1, 1),
@@ -467,6 +552,12 @@ def main() -> None:
         "cms_ratio": round(cmk / cm1, 1), "cms_cells": [cr1, crk],
         "lpa_1x_sec": lp1, "lpa_kx_sec": lpk,
         "lpa_ratio": round(lpk / lp1, 1), "lpa_nodes": [lr1, lrk],
+        "suffstats_1x_sec": ss1, "suffstats_kx_sec": ssk,
+        "suffstats_ratio": round(ssk / ss1, 1), "suffstats_groups": [sr1, srk],
+        "asof_nearest_1x_sec": an1, "asof_nearest_kx_sec": ank,
+        "asof_nearest_ratio": round(ank / an1, 1), "asof_nearest_rows": [ar1, ark],
+        "downsample_1x_sec": dbs1, "downsample_kx_sec": dbsk,
+        "downsample_ratio": round(dbsk / dbs1, 1), "downsample_rows": [dbr1, dbrk],
     }))
 
 
