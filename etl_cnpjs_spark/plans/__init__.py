@@ -187,6 +187,8 @@ _ADDED_R5 = [
     "join_asof_nearest",
     "events_gap_detect",
     "agg_diversity",
+    "events_forecast_eval",
+    "fn_collation",
 ]
 
 

@@ -604,3 +604,136 @@ def agg_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("total").cast("double") * F.col("total").cast("double"))
         ).alias("gini_simpson"),
     )
+
+
+# --- events_forecast_eval ----------------------------------------------------
+
+_SEASON_S = 7 * 24 * 3600  # seasonal-naive lag: same hour last week
+
+
+@register(
+    "events_forecast_eval",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_s,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    j AS (
+      SELECT a.event_type, a.hour_s, a.cnt AS actual, f.cnt AS forecast
+      FROM h a JOIN h f
+        ON a.event_type = f.event_type AND a.hour_s = f.hour_s + {_SEASON_S})
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                        AS n_hours,
+           CAST(SUM(abs(actual - forecast)) AS BIGINT)     AS abs_err_sum,
+           CAST(SUM(actual - forecast) AS BIGINT)          AS bias_sum,
+           CAST(SUM(abs(actual - forecast)) AS BIGINT)
+             * 1000000 // CAST(COUNT(*) AS BIGINT)         AS mae_ppm
+    FROM j GROUP BY event_type
+    """,
+    tags=("events", "timeseries", "forecast", "ml"),
+)
+def events_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: the seasonal-naive baseline (ŷ(h) = actual at
+    h − 1 week) evaluated against realized hourly volumes per series —
+    the evaluation harness every demand/traffic forecasting pipeline
+    runs, and the baseline any model must beat. Reported per series:
+    matched hours, total absolute error, signed bias, and MAE in
+    parts-per-million (bigint DIV — sharp edge #8's portable ratio
+    form; counts are integers so the whole key is float-free).
+
+    Scale story: the hourly rollup is one map-side-combined aggregate
+    (hour grain, input-size-independent output); the forecast join is a
+    self equi-join on (series, shifted hour) — same-keyed, so AQE plans
+    both sides from one exchange-sized frame; the metric rollup
+    collapses to |series| rows. No window over raw events, no explode:
+    everything past the first aggregate is hour-grain."""
+    ev = table(spark, sf_dir, "events")
+    hour_s = (F.unix_timestamp("ts") / 3600).cast("bigint") * 3600
+    h = (
+        ev.select("event_type", hour_s.alias("hour_s"))
+        .groupBy("event_type", "hour_s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = h.select("event_type", "hour_s", F.col("cnt").alias("actual"))
+    f_ = h.select(
+        F.col("event_type").alias("f_type"),
+        (F.col("hour_s") + _SEASON_S).alias("f_hour"),
+        F.col("cnt").alias("forecast"),
+    )
+    j = a.join(
+        f_,
+        (F.col("event_type") == F.col("f_type")) & (F.col("hour_s") == F.col("f_hour")),
+    )
+    d = F.col("actual") - F.col("forecast")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum(F.abs(d)).cast("bigint").alias("abs_err_sum"),
+        F.sum(d).cast("bigint").alias("bias_sum"),
+        (F.sum(F.abs(d)).cast("bigint") * 1000000).cast("bigint").alias("__num"),
+    ).select(
+        "event_type",
+        "n_hours",
+        "abs_err_sum",
+        "bias_sum",
+        F.expr("__num DIV n_hours").alias("mae_ppm"),
+    )
+
+
+# --- fn_collation ------------------------------------------------------------
+
+
+@register(
+    "fn_collation",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END AS seg,
+             c_acctbal
+      FROM customer)
+    SELECT lower(seg) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_binary_variants
+    FROM mixed GROUP BY lower(seg)
+    """,
+    tags=("fn", "string", "collation"),
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 COLLATE): a deterministically
+    case-mangled segment column groups under UTF8_LCASE so 'BUILDING'
+    and 'building' land in ONE group — the engine-level answer to
+    case-insensitive keys that the reference handles by hand-lowering
+    columns (etl.py's case-insensitive column quirk, SURVEY §2.3). The
+    output key is normalized through lower() because a collated GROUP BY
+    exposes an arbitrary representative of each equivalence class —
+    emitting the raw representative would be nondeterministic across
+    partitionings (documented trap). n_binary_variants counts the
+    distinct raw spellings folded into each group (2 here: the CASE
+    mangle produces exactly upper and lower), pinning that the grouping
+    really ran collation-aware, not pre-lowered.
+
+    Scale story — measured, not assumed: Spark 4.1 plans a collated
+    GROUP BY as **SortAggregate**, not HashAggregate (collated keys are
+    not hash-aggregable yet), so collation costs a per-partition sort on
+    top of the one exchange — the "collation tax" (pinned in
+    tests/test_plans.py). At 100 TB that argues for pre-folding with
+    lower() when the collation is a plain case-fold and reserving
+    COLLATE for locale rules lower() can't express — exactly the
+    equivalence this key's lower()-based DuckDB oracle verifies."""
+    c = table(spark, sf_dir, "customer")
+    mixed = c.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment"))
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg")
+    )
+    g = mixed.groupBy(F.collate(F.col("seg"), "UTF8_LCASE").alias("cseg")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        # seg (binary collation) is still visible pre-aggregation: count
+        # the raw spellings folded into each collated group
+        F.count_distinct(F.col("seg")).cast("bigint").alias("n_binary_variants"),
+    )
+    return g.select(
+        F.lower(F.col("cseg")).cast("string").alias("segment"),
+        "n",
+        "n_binary_variants",
+    )

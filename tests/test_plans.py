@@ -602,3 +602,23 @@ def test_diversity_two_stacked_partial_aggregates(spark, sf_dir):
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_forecast_eval_hour_grain_after_first_aggregate(spark, sf_dir):
+    """Everything past the hourly rollup is hour-grain: partial-agg
+    before the first exchange, no window over raw events, bounded
+    exchange count for rollup + self-join + metric rollup."""
+    plan = explain_str(QUERIES["events_forecast_eval"].fn(spark, sf_dir), "simple")
+    assert "partial_count" in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_collation_aggregate_shape_is_sort_based(spark, sf_dir):
+    """Pin the measured Spark 4.1 behavior: collated grouping keys fall
+    back to SortAggregate (not hash-aggregable) — the documented
+    "collation tax". If a Spark upgrade starts hash-aggregating collated
+    keys, this flips and the docstring's guidance should be revisited."""
+    plan = explain_str(QUERIES["fn_collation"].fn(spark, sf_dir), "simple")
+    assert "SortAggregate" in plan, plan
+    assert "Join" not in plan, plan

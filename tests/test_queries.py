@@ -245,3 +245,44 @@ def test_gap_detect_matches_pandas(spark):
     assert len(out) == len(want)
     got = set(zip(out["user_id"], out["gap_end"]))
     assert got == set(zip(want["user_id"], want["ts"]))
+
+
+def test_forecast_eval_matches_pandas(spark):
+    """Seasonal-naive backtest equals the pandas recompute (sf0.001)."""
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        QUERIES["events_forecast_eval"].fn(spark, sf).toPandas()
+        .set_index("event_type")
+    )
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["hour_s"] = (ev["ts"].astype("datetime64[s]").astype("int64") // 3600) * 3600
+    h = ev.groupby(["event_type", "hour_s"]).size().rename("cnt").reset_index()
+    f = h.assign(hour_s=h["hour_s"] + 7 * 24 * 3600).rename(columns={"cnt": "fc"})
+    j = h.merge(f, on=["event_type", "hour_s"])
+    for et, g in j.groupby("event_type"):
+        d = g["cnt"] - g["fc"]
+        row = out.loc[et]
+        assert row["n_hours"] == len(g)
+        assert row["abs_err_sum"] == d.abs().sum()
+        assert row["bias_sum"] == d.sum()
+        assert row["mae_ppm"] == d.abs().sum() * 1_000_000 // len(g)
+
+
+def test_collation_folds_exactly_the_case_variants(spark):
+    """Each collated group must fold exactly the spellings the CASE
+    mangle produced — proving the groupBy ran collation-aware rather
+    than on pre-lowered strings with a fabricated variant count."""
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["fn_collation"].fn(spark, sf).toPandas().set_index("segment")
+    c = pd.read_parquet(f"{sf}/customer.parquet")
+    seg = c["c_mktsegment"].where(c["c_custkey"] % 2 == 0, c["c_mktsegment"].str.lower())
+    seg = seg.where(c["c_custkey"] % 2 != 0, c["c_mktsegment"].str.upper())
+    want = seg.groupby(seg.str.lower()).agg(["size", "nunique"])
+    assert len(out) == len(want)
+    for segment, (n, variants) in want.iterrows():
+        assert out.loc[segment, "n"] == n
+        assert out.loc[segment, "n_binary_variants"] == variants
