@@ -189,6 +189,9 @@ _ADDED_R5 = [
     "agg_diversity",
     "events_forecast_eval",
     "fn_collation",
+    "set_except_all",
+    "set_intersect_all",
+    "sink_json",
 ]
 
 

@@ -737,3 +737,81 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "n_binary_variants",
     )
+
+
+# --- bag-semantics set operations -------------------------------------------
+#
+# set_union/intersect/except (plans/relational.py) are the DISTINCT
+# forms; these are their ALL (multiset) twins — the semantics SQL uses
+# for reconciliation workloads ("which rows are missing, counting
+# multiplicity?"), where collapsing duplicates hides real deltas.
+
+_SETALL_A = "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"
+_SETALL_B = "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+
+
+@register(
+    "set_except_all",
+    oracle=f"{_SETALL_A} EXCEPT ALL {_SETALL_B}",
+    tags=("setop", "bag"),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: per-key multiplicity subtraction — a customer with 5
+    'F' orders and 2 'O' orders survives 3 times (the distinct form
+    erases them entirely the moment ONE 'O' order exists). Spark's
+    exceptAll plans this as a counted anti-semantics via aggregate+
+    generate, not a row-by-row loop; one exchange per side on the full
+    row key. The reconciliation primitive: diffing a reload against a
+    previous load catches dropped DUPLICATES only under bag semantics
+    (the reference's rerun-duplication quirk, SURVEY §3.2, is exactly
+    such a delta)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.exceptAll(b)
+
+
+@register(
+    "set_intersect_all",
+    oracle=f"{_SETALL_A} INTERSECT ALL {_SETALL_B}",
+    tags=("setop", "bag"),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: min-of-multiplicities overlap — how many order
+    slots a customer fills in BOTH statuses. Same counted-aggregate
+    physical shape as exceptAll."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersectAll(b)
+
+
+# --- sink_json ---------------------------------------------------------------
+
+
+@register(
+    "sink_json",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_nationkey IN (3, 7) AND c_acctbal > 0
+    """,
+    tags=("sink", "json"),
+)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDJSON sink + declared-schema read-back — completes the sink
+    format family (csv/parquet/table/partitioned already covered; JSON
+    lines is the interchange format downstream labeling/annotation
+    tools actually ingest). Doubles survive because Spark's JSON writer
+    emits the shortest round-trippable repr and the read back is
+    against a DECLARED schema — never inferred (the engine's O5 rule);
+    per-partition files write in parallel, no coalesce."""
+    import os
+    import tempfile
+
+    from etl_cnpjs_spark.plans.sinks import _slice
+
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_json_"), "slice_json")
+    _slice(spark, sf_dir).write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+    ).json(out)

@@ -622,3 +622,13 @@ def test_collation_aggregate_shape_is_sort_based(spark, sf_dir):
     plan = explain_str(QUERIES["fn_collation"].fn(spark, sf_dir), "simple")
     assert "SortAggregate" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_except_all_is_counted_aggregate_not_cartesian(spark, sf_dir):
+    """Bag-semantics set ops must plan as the counted-multiplicity
+    aggregate (sum/generate), never a nested-loop or cartesian shape."""
+    for key in ("set_except_all", "set_intersect_all"):
+        plan = explain_str(QUERIES[key].fn(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "Generate" in plan or "HashAggregate" in plan, plan
