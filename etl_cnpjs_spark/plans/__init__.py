@@ -191,7 +191,6 @@ _ADDED_R5 = [
     "fn_collation",
     "set_except_all",
     "set_intersect_all",
-    "sink_json",
 ]
 
 

@@ -728,6 +728,10 @@ def corpus_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(labels, "doc_id")
         .withColumn("comp_keep", F.col("component") == F.col("doc_id"))
         .select("doc_id", "source", "ex_keep", "comp_keep")
+        # consumed by TWO branches (survivor set for containment, report
+        # join) — barrier it or the scan+hash-window+labels join runs
+        # twice (the _doc_shingles discipline; frame is 4 narrow cols)
+        .localCheckpoint()
     )
     surv = fl.filter(F.col("ex_keep") & F.col("comp_keep")).select("doc_id")
     sh_surv = _doc_shingles(spark, sf_dir).join(surv, "doc_id", "left_semi")

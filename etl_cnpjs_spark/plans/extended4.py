@@ -221,7 +221,7 @@ def _cn_oracle() -> str:
 def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor link prediction on the near-dup graph: for each
     NON-adjacent pair (u < v) sharing ≥1 neighbor, count the shared
-    neighbors; top-{K} by (count desc, u, v) — the "these two clusters
+    neighbors; top-100 by (count desc, u, v) — the "these two clusters
     are about to merge" review queue a dedup pipeline surfaces to
     humans. Completes the graph family (components / pagerank / label
     propagation / triangles / link prediction).
@@ -670,13 +670,12 @@ def events_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_hours"),
         F.sum(F.abs(d)).cast("bigint").alias("abs_err_sum"),
         F.sum(d).cast("bigint").alias("bias_sum"),
-        (F.sum(F.abs(d)).cast("bigint") * 1000000).cast("bigint").alias("__num"),
     ).select(
         "event_type",
         "n_hours",
         "abs_err_sum",
         "bias_sum",
-        F.expr("__num DIV n_hours").alias("mae_ppm"),
+        F.expr("abs_err_sum * 1000000 DIV n_hours").alias("mae_ppm"),
     )
 
 
@@ -784,34 +783,3 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return a.intersectAll(b)
-
-
-# --- sink_json ---------------------------------------------------------------
-
-
-@register(
-    "sink_json",
-    oracle="""
-    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-    FROM customer WHERE c_nationkey IN (3, 7) AND c_acctbal > 0
-    """,
-    tags=("sink", "json"),
-)
-def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NDJSON sink + declared-schema read-back — completes the sink
-    format family (csv/parquet/table/partitioned already covered; JSON
-    lines is the interchange format downstream labeling/annotation
-    tools actually ingest). Doubles survive because Spark's JSON writer
-    emits the shortest round-trippable repr and the read back is
-    against a DECLARED schema — never inferred (the engine's O5 rule);
-    per-partition files write in parallel, no coalesce."""
-    import os
-    import tempfile
-
-    from etl_cnpjs_spark.plans.sinks import _slice
-
-    out = os.path.join(tempfile.mkdtemp(prefix="sink_json_"), "slice_json")
-    _slice(spark, sf_dir).write.mode("overwrite").json(out)
-    return spark.read.schema(
-        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
-    ).json(out)

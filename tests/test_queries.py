@@ -115,7 +115,9 @@ def test_linreg_matches_numpy_fit(spark):
     import numpy as np
     import pandas as pd
 
-    sf = "/root/testdata/sf0.001"
+    from tests.conftest import SMOKE_SF_DIR
+
+    sf = SMOKE_SF_DIR
     out = (
         QUERIES["agg_linreg"].fn(spark, sf).toPandas().set_index("l_returnflag")
     )
@@ -137,7 +139,9 @@ def test_downsample_bucket_selects_true_extremes(spark):
     they carry the bucket's true min/max values (sf0.001)."""
     import pandas as pd
 
-    sf = "/root/testdata/sf0.001"
+    from tests.conftest import SMOKE_SF_DIR
+
+    sf = SMOKE_SF_DIR
     out = QUERIES["events_downsample_bucket"].fn(spark, sf).toPandas()
     ev = pd.read_parquet(f"{sf}/events.parquet")
     epoch_s = ev["ts"].astype("datetime64[s]").astype("int64")  # floor to seconds
@@ -145,8 +149,9 @@ def test_downsample_bucket_selects_true_extremes(spark):
     truth = ev.groupby(["event_type", "bucket_s"])["value"].agg(["min", "max"])
     per_role = out.groupby(["event_type", "bucket_s", "role"]).size()
     assert (per_role == 1).all(), "each role must appear exactly once per bucket"
-    lo = out[out["role"] == "lo"].set_index(["event_type", "bucket_s"])["value"]
-    hi = out[out["role"] == "hi"].set_index(["event_type", "bucket_s"])["value"]
+    lo = out[out["role"] == "lo"].set_index(["event_type", "bucket_s"])["value"].sort_index()
+    hi = out[out["role"] == "hi"].set_index(["event_type", "bucket_s"])["value"].sort_index()
+    truth = truth.sort_index()  # align labels: Spark output order is not a contract
     assert len(lo) == len(truth) and len(hi) == len(truth)
     assert (lo == truth["min"]).all() and (hi == truth["max"]).all()
 
@@ -159,7 +164,9 @@ def test_dedup_sweep_funnel_is_nested_and_consistent(spark):
     CC singletons the sweep's exact stage removes but canonical keeps)."""
     import pandas as pd
 
-    sf = "/root/testdata/sf0.001"
+    from tests.conftest import SMOKE_SF_DIR
+
+    sf = SMOKE_SF_DIR
     rep = QUERIES["corpus_dedup_sweep"].fn(spark, sf).toPandas()
     assert (rep["kept_final"] <= rep["kept_near"]).all()
     assert (rep["kept_near"] <= rep["kept_exact"]).all()
@@ -180,7 +187,9 @@ def test_corr_matrix_matches_numpy(spark):
     import numpy as np
     import pandas as pd
 
-    sf = "/root/testdata/sf0.001"
+    from tests.conftest import SMOKE_SF_DIR
+
+    sf = SMOKE_SF_DIR
     out = QUERIES["agg_corr_matrix"].fn(spark, sf).toPandas().iloc[0]
     li = pd.read_parquet(f"{sf}/lineitem.parquet")
     cols = {
@@ -204,7 +213,9 @@ def test_asof_nearest_matches_bruteforce(spark):
     ties toward backward (sf0.001 brute force)."""
     import pandas as pd
 
-    sf = "/root/testdata/sf0.001"
+    from tests.conftest import SMOKE_SF_DIR
+
+    sf = SMOKE_SF_DIR
     out = (
         QUERIES["join_asof_nearest"].fn(spark, sf).toPandas().set_index("event_id")
     )
@@ -236,7 +247,9 @@ def test_gap_detect_matches_pandas(spark):
     """Gap intervals equal the pandas diff-based computation (sf0.001)."""
     import pandas as pd
 
-    sf = "/root/testdata/sf0.001"
+    from tests.conftest import SMOKE_SF_DIR
+
+    sf = SMOKE_SF_DIR
     out = QUERIES["events_gap_detect"].fn(spark, sf).toPandas()
     ev = pd.read_parquet(f"{sf}/events.parquet").sort_values(["user_id", "ts", "event_id"])
     ev["prev_ts"] = ev.groupby("user_id")["ts"].shift()
@@ -251,7 +264,9 @@ def test_forecast_eval_matches_pandas(spark):
     """Seasonal-naive backtest equals the pandas recompute (sf0.001)."""
     import pandas as pd
 
-    sf = "/root/testdata/sf0.001"
+    from tests.conftest import SMOKE_SF_DIR
+
+    sf = SMOKE_SF_DIR
     out = (
         QUERIES["events_forecast_eval"].fn(spark, sf).toPandas()
         .set_index("event_type")
@@ -276,7 +291,9 @@ def test_collation_folds_exactly_the_case_variants(spark):
     than on pre-lowered strings with a fabricated variant count."""
     import pandas as pd
 
-    sf = "/root/testdata/sf0.001"
+    from tests.conftest import SMOKE_SF_DIR
+
+    sf = SMOKE_SF_DIR
     out = QUERIES["fn_collation"].fn(spark, sf).toPandas().set_index("segment")
     c = pd.read_parquet(f"{sf}/customer.parquet")
     seg = c["c_mktsegment"].where(c["c_custkey"] % 2 == 0, c["c_mktsegment"].str.lower())

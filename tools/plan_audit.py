@@ -44,22 +44,24 @@ BNLJ_OK = {
 ROW_PY_OK = {"udtf_bigrams"}
 
 # Exchange-watchlist adjudications (marginal plans read by hand): keys
-# whose ≥6 static Exchange nodes are the intended shape, not a smell —
-# the capped posting join legitimately exchanges on shingle for the df
-# window AND both self-join sides (AQE reuses them at runtime:
-# ReusedExchange, pinned for the stopshingle twin in tests/test_plans.py),
-# then doc-grain verify joins; the dedup-sweep capstone chains the exact
-# window + CC-label join + survivor-restricted containment + report.
+# whose ≥6 static Exchange nodes are the intended shape, not a smell.
+# Each maps to its adjudicated CEILING, not a blanket exemption — a
+# refactor that grows the count past the reviewed number still flags
+# (the same pinning discipline as tests/test_plans.py).
 EXCHANGES_OK = {
-    "dedup_containment_capped",
-    "corpus_dedup_sweep",
+    # df window on shingle + both self-join sides (AQE ReusedExchange at
+    # runtime, pinned for the stopshingle twin) + doc-grain verify joins.
+    "dedup_containment_capped": 8,
+    # capstone: exact window + CC-label join + survivor-restricted
+    # containment + per-source report (shared frames pre-warmed below).
+    "corpus_dedup_sweep": 14,
     # 10 static exchanges = the oriented edge-set subtree appearing in all
     # three join branches. Interleaved A/B at sf0.1 (2026-08-14, reps=3):
     # plain 7.2/6.7/7.6 s vs localCheckpoint-barrier 7.6/7.8/7.6 s — the
     # 2-path join output (12.3 M triangles) dominates and the barrier
     # costs what the redundant distincts cost, so the plain form stays.
     # At cluster scale the edge frame would be persisted (docstring).
-    "graph_triangle_count",
+    "graph_triangle_count": 10,
 }
 
 
@@ -107,7 +109,7 @@ def main() -> int:
         if "BatchEvalPython" in p and k not in ROW_PY_OK:
             issues.append("ROW_PYTHON_UDF")
         ne = p.count("Exchange hashpartitioning")
-        if ne >= 6 and k not in EXCHANGES_OK:
+        if ne >= 6 and ne > EXCHANGES_OK.get(k, 5):
             issues.append(f"EXCHANGES={ne}")
         if issues:
             print(f"FLAG {k}: {', '.join(issues)}")
