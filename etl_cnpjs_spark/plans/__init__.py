@@ -191,6 +191,7 @@ _ADDED_R5 = [
     "fn_collation",
     "set_except_all",
     "set_intersect_all",
+    "events_markov_transitions",
 ]
 
 

@@ -783,3 +783,67 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return a.intersectAll(b)
+
+
+# --- events_markov_transitions ----------------------------------------------
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    t AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM s WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2),
+    r AS (
+      SELECT prev_type,
+             CAST(SUM(cnt) AS BIGINT) AS row_total
+      FROM t GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type, t.cnt,
+           t.cnt * 1000000 // r.row_total AS p_ppm
+    FROM t JOIN r ON t.prev_type = r.prev_type
+    """,
+    tags=("events", "sequence", "ml", "stats"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition statistics over user event
+    sequences: for each (prev → next) event-type pair, the observed
+    count and row-normalized transition probability in ppm — the
+    sequence-modeling sufficient statistic behind next-action
+    prediction, funnel leak analysis, and bot detection (a user whose
+    transition row diverges from the population matrix). Sequences
+    order by (ts, event_id) — the same total order sessionize and
+    gap_detect share — so tied timestamps are deterministic.
+
+    Scale story: one user-keyed window exchange (the lag), then the
+    pair rollup collapses to |types|² rows map-side and the row-total
+    join runs on that tiny frame — at any input volume everything past
+    the lag is alphabet-sized. Probabilities are bigint DIV ppm (sharp
+    edge #8): float-free, so the oracle holds with no quantization."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = (
+        s.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    r = t.groupBy("prev_type").agg(F.sum("cnt").cast("bigint").alias("row_total"))
+    return (
+        t.join(F.broadcast(r), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "cnt",
+            F.expr("cnt * 1000000 DIV row_total").alias("p_ppm"),
+        )
+    )

@@ -632,3 +632,12 @@ def test_except_all_is_counted_aggregate_not_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "Generate" in plan or "HashAggregate" in plan, plan
+
+
+def test_markov_transitions_alphabet_sized_after_lag(spark, sf_dir):
+    """Past the user-keyed lag window everything is |types|²-sized: the
+    pair rollup partial-aggregates and the row-total join broadcasts."""
+    plan = explain_str(QUERIES["events_markov_transitions"].fn(spark, sf_dir), "simple")
+    assert "partial_count" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -303,3 +303,15 @@ def test_collation_folds_exactly_the_case_variants(spark):
     for segment, (n, variants) in want.iterrows():
         assert out.loc[segment, "n"] == n
         assert out.loc[segment, "n_binary_variants"] == variants
+
+
+def test_markov_transitions_rows_sum_to_one(spark):
+    """Each prev_type's transition counts must sum to its row total and
+    probabilities to ~1 (ppm floor truncation loses < |types| ppm)."""
+    from tests.conftest import SMOKE_SF_DIR
+
+    out = QUERIES["events_markov_transitions"].fn(spark, SMOKE_SF_DIR).toPandas()
+    by_prev = out.groupby("prev_type").agg(cnt=("cnt", "sum"), p=("p_ppm", "sum"))
+    n_types = out["next_type"].nunique()
+    for prev, row in by_prev.iterrows():
+        assert 1_000_000 - n_types <= row["p"] <= 1_000_000, (prev, row["p"])
