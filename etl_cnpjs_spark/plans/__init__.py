@@ -192,6 +192,7 @@ _ADDED_R5 = [
     "set_except_all",
     "set_intersect_all",
     "events_markov_transitions",
+    "events_interpolate_linear",
 ]
 
 

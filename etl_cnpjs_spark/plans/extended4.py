@@ -847,3 +847,120 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cnt * 1000000 DIV row_total").alias("p_ppm"),
         )
     )
+
+
+# --- events_interpolate_linear ----------------------------------------------
+
+
+def _interp_oracle() -> str:
+    interp = (
+        "pv + (nv - pv) * (CAST(epoch_us(hour_ts) - epoch_us(pt) AS DOUBLE)"
+        " / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))"
+    )
+    return f"""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+                      date_trunc('hour', max(ts)) AS h1
+      FROM events GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+      FROM b),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sv
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT gr.user_id, gr.hour_ts, h.sv,
+             last_value(h.sv IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN h.sv IS NOT NULL THEN gr.hour_ts END
+                        IGNORE NULLS) OVER wb      AS pt,
+             first_value(h.sv IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN h.sv IS NOT NULL THEN gr.hour_ts END
+                         IGNORE NULLS) OVER wf     AS nt
+      FROM grid gr LEFT JOIN hourly h
+        ON gr.user_id = h.user_id AND gr.hour_ts = h.hour_ts
+      WINDOW
+        wb AS (PARTITION BY gr.user_id ORDER BY gr.hour_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY gr.user_id ORDER BY gr.hour_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, hour_ts, sv AS observed,
+           CASE WHEN sv IS NOT NULL THEN sv
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE floor(({interp}) * 1e6 + 0.5) / 1e6 END AS interp_value
+    FROM g
+    """
+
+
+@register(
+    "events_interpolate_linear",
+    oracle=_interp_oracle(),
+    tags=("events", "timeseries", "resample", "ml"),
+)
+def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation on the dense hourly grid — the
+    feature-engineering companion to events_resample's forward fill
+    (ffill carries stale values into gaps; ML feature pipelines usually
+    want the line between the neighbors instead). Edge cells clamp to
+    the nearest observation; observed cells pass through their exact
+    value (quantization applies only to genuinely interpolated cells,
+    so the key never perturbs real data).
+
+    Scale story: the SAME envelope as events_resample — hour-grain
+    map-side aggregate, derived grid explode, one user-keyed exchange —
+    on which BOTH direction passes (backward last_value, forward
+    first_value, each with its observation timestamp) run as two frame
+    variants of one window sort. The interpolation weight is an exact
+    integer µs ratio evaluated as one mirrored double expression;
+    output quantizes to 1e-6 (floor form, never round())."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    b = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = b.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour_ts"),
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("sv"))
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("sv").isNotNull(), F.col("hour_ts"))
+    g = (
+        grid.join(hourly, ["user_id", "hour_ts"], "left")
+        .select(
+            "user_id",
+            "hour_ts",
+            "sv",
+            F.last("sv", ignorenulls=True).over(wb).alias("pv"),
+            F.last(obs_ts, ignorenulls=True).over(wb).alias("pt"),
+            F.first("sv", ignorenulls=True).over(wf).alias("nv"),
+            F.first(obs_ts, ignorenulls=True).over(wf).alias("nt"),
+        )
+    )
+    num = (F.unix_micros(F.col("hour_ts")) - F.unix_micros(F.col("pt"))).cast("double")
+    den = (F.unix_micros(F.col("nt")) - F.unix_micros(F.col("pt"))).cast("double")
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (num / den)
+    return g.select(
+        "user_id",
+        "hour_ts",
+        F.col("sv").alias("observed"),
+        F.when(F.col("sv").isNotNull(), F.col("sv"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.floor(interp * 1e6 + 0.5) / 1e6)
+        .alias("interp_value"),
+    )

@@ -641,3 +641,11 @@ def test_markov_transitions_alphabet_sized_after_lag(spark, sf_dir):
     assert "partial_count" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_interpolate_shares_resample_envelope(spark, sf_dir):
+    """Both direction passes ride the one user-keyed window exchange —
+    same envelope as events_resample (grid explode + hour-grain agg)."""
+    plan = explain_str(QUERIES["events_interpolate_linear"].fn(spark, sf_dir), "simple")
+    assert "Generate explode" in plan or "Generate" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan

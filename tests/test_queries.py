@@ -315,3 +315,21 @@ def test_markov_transitions_rows_sum_to_one(spark):
     n_types = out["next_type"].nunique()
     for prev, row in by_prev.iterrows():
         assert 1_000_000 - n_types <= row["p"] <= 1_000_000, (prev, row["p"])
+
+
+def test_interpolate_linear_matches_pandas(spark):
+    """Interpolated cells equal pandas' time-based linear interpolation
+    on the same hourly series; observed cells pass through exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from tests.conftest import SMOKE_SF_DIR
+
+    out = QUERIES["events_interpolate_linear"].fn(spark, SMOKE_SF_DIR).toPandas()
+    obs = out[out["observed"].notna()]
+    assert (obs["interp_value"] == obs["observed"]).all(), "observed must pass through"
+    for uid, g in out.groupby("user_id"):
+        s = g.set_index("hour_ts").sort_index()
+        want = s["observed"].interpolate(method="time", limit_direction="both")
+        got = s["interp_value"]
+        assert np.allclose(got.to_numpy(), want.to_numpy(), atol=1e-6), uid
