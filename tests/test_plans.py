@@ -645,7 +645,11 @@ def test_markov_transitions_alphabet_sized_after_lag(spark, sf_dir):
 
 def test_interpolate_shares_resample_envelope(spark, sf_dir):
     """Both direction passes ride the one user-keyed window exchange —
-    same envelope as events_resample (grid explode + hour-grain agg)."""
+    same envelope as events_resample (grid explode + hour-grain agg) —
+    and NO [current, unbounded following) frame appears: that frame is
+    quadratic in Spark (re-scans to partition end per row; measured 7×
+    at sf0.1), so the forward pass must stay a reversed running frame."""
     plan = explain_str(QUERIES["events_interpolate_linear"].fn(spark, sf_dir), "simple")
     assert "Generate explode" in plan or "Generate" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "unboundedfollowing$())" not in plan.lower().replace(" ", ""), plan
