@@ -413,9 +413,11 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     max event_id first (join_asof_tolerance's rule).
 
     Scale story: the union-tag formulation, not a join — both streams
-    union with a kind tag, ONE exchange on user_id, and two frame-bound
-    window passes (backward last_value IGNORE NULLS to the current row,
-    forward first_value from the next row) resolve both candidates; the
+    union with a kind tag, ONE exchange on user_id, and two RUNNING
+    window passes (backward last_value IGNORE NULLS to the current row;
+    forward as last_value over the exactly-reversed sort ending one row
+    before current — a (1, +inf) frame is Spark's quadratic shrinking
+    class, see events_interpolate_linear) resolve both candidates; the
     same-ts containment rule is encoded purely in the sort key (ts,
     kind DESC, event_id), so a purchase at the click's exact timestamp
     sorts before it — visible backward, invisible forward, never double
@@ -455,10 +457,14 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    wf = (
+    # forward candidate as a RUNNING frame over the exactly-reversed
+    # order, ending one row before current ((1, +inf) frames are the
+    # quadratic shrinking-frame class — see events_interpolate_linear)
+    order_desc = [F.col("ts").desc(), F.col("kind"), F.col("event_id").desc()]
+    wfd = (
         W.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(1, W.unboundedFollowing)
+        .orderBy(*order_desc)
+        .rowsBetween(W.unboundedPreceding, -1)
     )
     p_ts = F.when(F.col("kind") == 1, F.col("ts"))
     w = u.select(
@@ -468,8 +474,8 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.last(p_ts, ignorenulls=True).over(wb).alias("back_ts"),
         F.last(F.col("p_id"), ignorenulls=True).over(wb).alias("back_id"),
-        F.first(p_ts, ignorenulls=True).over(wf).alias("fwd_ts"),
-        F.first(F.col("p_id"), ignorenulls=True).over(wf).alias("fwd_id"),
+        F.last(p_ts, ignorenulls=True).over(wfd).alias("fwd_ts"),
+        F.last(F.col("p_id"), ignorenulls=True).over(wfd).alias("fwd_id"),
     )
     back_d = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("back_ts"))
     fwd_d = F.unix_micros(F.col("fwd_ts")) - F.unix_micros(F.col("ts"))

@@ -485,14 +485,15 @@ def main() -> None:
         wb = W.partitionBy("user_id").orderBy(*order).rowsBetween(
             W.unboundedPreceding, W.currentRow
         )
-        wf = W.partitionBy("user_id").orderBy(*order).rowsBetween(
-            1, W.unboundedFollowing
+        order_desc = [F.col("ts").desc(), F.col("kind"), F.col("event_id").desc()]
+        wfd = W.partitionBy("user_id").orderBy(*order_desc).rowsBetween(
+            W.unboundedPreceding, -1
         )
         p_ts = F.when(F.col("kind") == 1, F.col("ts"))
         w = u.select(
             "kind",
             F.last(p_ts, ignorenulls=True).over(wb).alias("back_ts"),
-            F.first(p_ts, ignorenulls=True).over(wf).alias("fwd_ts"),
+            F.last(p_ts, ignorenulls=True).over(wfd).alias("fwd_ts"),
         )
         return w.filter(F.col("kind") == 0)
 
