@@ -193,6 +193,7 @@ _ADDED_R5 = [
     "set_intersect_all",
     "events_markov_transitions",
     "events_interpolate_linear",
+    "scan_xml",
 ]
 
 

@@ -978,3 +978,49 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.floor(interp * 1e6 + 0.5) / 1e6)
         .alias("interp_value"),
     )
+
+
+# --- scan_xml ----------------------------------------------------------------
+
+
+@register(
+    "scan_xml",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_nationkey IN (3, 7) AND c_acctbal > 0
+    """,
+    tags=("scan", "sink", "xml", "format"),
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML FILE FORMAT round trip — Spark 4's built-in XML data source
+    (the spark-xml package graduated into core), distinct from fn_xml
+    which exercises the from_xml/to_xml STRING kernel on columns. Write
+    the slice as <row> elements, read back with a DECLARED schema
+    (never inferred — same O5 rule as every reader here). Completes the
+    format family: csv / parquet / orc / json / text / binaryfile /
+    xml all round-trip or scan with pushdown adjudicated per format
+    (XML, like JSON, is a row-parse format: no column pruning at the
+    scan, so at 100 TB it's an INGEST format you convert to parquet
+    once — the docstring IS that guidance). Doubles survive via
+    shortest-round-trip formatting, as with the JSON/CSV sinks."""
+    import os
+    import tempfile
+
+    from etl_cnpjs_spark.plans.sinks import _slice
+
+    out = os.path.join(tempfile.mkdtemp(prefix="scan_xml_"), "slice_xml")
+    (
+        _slice(spark, sf_dir)
+        .write.format("xml")
+        .option("rootTag", "customers")
+        .option("rowTag", "customer")
+        .save(out)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "customer")
+        .schema(
+            "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+        )
+        .load(out)
+    )
