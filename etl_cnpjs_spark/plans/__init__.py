@@ -194,6 +194,7 @@ _ADDED_R5 = [
     "events_markov_transitions",
     "events_interpolate_linear",
     "scan_xml",
+    "sample_temperature_mix",
 ]
 
 

@@ -752,3 +752,67 @@ def corpus_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kept_final"),
     )
+
+
+# --- sample_temperature_mix --------------------------------------------------
+
+_TEMP_ALPHA_NOTE = 0.5  # α = 0.5 → rates ∝ sqrt (documentation constant)
+
+
+@register(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH n AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS nl
+      FROM documents GROUP BY lang),
+    m AS (SELECT MIN(nl) AS nmin FROM n),
+    r AS (
+      SELECT n.lang,
+             CAST(floor(sqrt(CAST(m.nmin AS DOUBLE) / CAST(n.nl AS DOUBLE))
+                        * {_MIX_MOD}) AS BIGINT) AS thresh
+      FROM n, m)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE (d.doc_id * {_MIX_KNUTH}) % {_MIX_MOD} < r.thresh
+    """,
+    tags=("north_star", "sampling", "pipeline", "ml"),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (α = 0.5): per-language keep
+    rates DERIVED from corpus statistics so post-sample counts follow
+    n_l^α — the standard multilingual rebalancing (upweight low-resource
+    languages, flatten the head) — instead of sample_weighted_mix's
+    hand-set rates. The smallest language keeps 100%
+    (r_l = (n_min / n_l)^(1-α) = sqrt(n_min / n_l) at α = 0.5); every
+    other rate follows from the data, so the mix self-adjusts as the
+    corpus grows. Membership stays the deterministic Knuth-hash
+    threshold (rerun/backfill-stable; same key-domain caveat as
+    sample_weighted_mix).
+
+    Float-portability: sqrt is IEEE-correctly-rounded (unlike log/exp —
+    the libm sharp edge), and its argument is one exact-rounded division
+    of exact bigint counts, so both engines land on the identical
+    threshold with no quantization.
+
+    Scale story: the rate table is |langs| rows computed by one
+    map-side-combined count aggregate; it broadcast-joins onto the
+    corpus scan, so the whole selection is scan-side — no shuffle of
+    documents, no driver-side scalars (the min rides a 1-row frame)."""
+    d = table(spark, sf_dir, "documents")
+    n = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("nl"))
+    m = n.agg(F.min("nl").alias("nmin"))
+    r = n.crossJoin(F.broadcast(m)).select(
+        "lang",
+        F.floor(
+            F.sqrt(F.col("nmin").cast("double") / F.col("nl").cast("double"))
+            * F.lit(_MIX_MOD)
+        )
+        .cast("bigint")
+        .alias("thresh"),
+    )
+    return (
+        d.select("doc_id", "lang", "source")
+        .join(F.broadcast(r), "lang")
+        .filter((F.col("doc_id") * _MIX_KNUTH) % _MIX_MOD < F.col("thresh"))
+        .select("doc_id", "lang", "source")
+    )

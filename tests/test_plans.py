@@ -653,3 +653,12 @@ def test_interpolate_shares_resample_envelope(spark, sf_dir):
     assert "Generate explode" in plan or "Generate" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert "unboundedfollowing$())" not in plan.lower().replace(" ", ""), plan
+
+
+def test_temperature_mix_is_scan_side_with_broadcast_rates(spark, sf_dir):
+    """The derived rate table must broadcast onto the corpus scan — the
+    only exchanges are the tiny |langs| count aggregate's, never a
+    shuffle of documents."""
+    plan = explain_str(QUERIES["sample_temperature_mix"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -333,3 +333,28 @@ def test_interpolate_linear_matches_pandas(spark):
         want = s["observed"].interpolate(method="time", limit_direction="both")
         got = s["interp_value"]
         assert np.allclose(got.to_numpy(), want.to_numpy(), atol=1e-6), uid
+
+
+def test_temperature_mix_follows_sqrt_law(spark):
+    """Realized per-language keep rates must match sqrt(n_min/n_l)
+    closely (deterministic-hash PRF quality), and the smallest language
+    must keep 100% of its docs."""
+    import math
+
+    import pandas as pd
+
+    from tests.conftest import SF_DIR
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    totals = docs.groupby("lang").size()
+    kept = (
+        QUERIES["sample_temperature_mix"].fn(spark, SF_DIR).toPandas()
+        .groupby("lang").size()
+    )
+    nmin = totals.min()
+    smallest = totals.idxmin()
+    assert kept[smallest] == totals[smallest], "smallest language keeps 100%"
+    for lang, n in totals.items():
+        want = math.sqrt(nmin / n)
+        realized = kept.get(lang, 0) / n
+        assert abs(realized - want) < 0.08, (lang, realized, want)
