@@ -20,6 +20,7 @@ from etl_cnpjs_spark.plans import extended  # noqa: E402,F401
 from etl_cnpjs_spark.plans import extended2  # noqa: E402,F401
 from etl_cnpjs_spark.plans import extended3  # noqa: E402,F401
 from etl_cnpjs_spark.plans import extended4  # noqa: E402,F401
+from etl_cnpjs_spark.plans import extended5  # noqa: E402,F401
 from etl_cnpjs_spark.plans import tpch  # noqa: E402,F401
 from etl_cnpjs_spark.plans import corpus  # noqa: E402,F401
 from etl_cnpjs_spark.plans import udtf_plans  # noqa: E402,F401
@@ -195,6 +196,10 @@ _ADDED_R5 = [
     "events_interpolate_linear",
     "scan_xml",
     "sample_temperature_mix",
+    "events_attribution",
+    "agg_cooccurrence",
+    "dq_drift",
+    "join_spatial_grid",
 ]
 
 

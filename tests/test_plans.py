@@ -662,3 +662,20 @@ def test_temperature_mix_is_scan_side_with_broadcast_rates(spark, sf_dir):
     plan = explain_str(QUERIES["sample_temperature_mix"].fn(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_spatial_grid_is_cell_equijoin(spark, sf_dir):
+    """The radius join must meet on the (jx, jy) cell keys — an
+    equi-join, never a cartesian/BNLJ all-pairs product."""
+    plan = explain_str(QUERIES["join_spatial_grid"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cooccurrence_single_basket_exchange(spark, sf_dir):
+    """Pair generation must come from the per-user array expansion —
+    one (user, type) dedup exchange feeds everything; no self-join of
+    the basket table on user_id (which would re-shuffle it twice)."""
+    plan = explain_str(QUERIES["agg_cooccurrence"].fn(spark, sf_dir), "simple")
+    assert "Generate explode" in plan or "Generate" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -358,3 +358,89 @@ def test_temperature_mix_follows_sqrt_law(spark):
         want = math.sqrt(nmin / n)
         realized = kept.get(lang, 0) / n
         assert abs(realized - want) < 0.08, (lang, realized, want)
+
+
+def test_spatial_grid_equals_bruteforce(spark, sf_dir):
+    """The grid-bucketed radius join must equal the exact all-pairs
+    join — no pair lost at cell boundaries, none invented — proven
+    in-engine (the oracle proves it cross-engine)."""
+    from pyspark.sql import functions as F
+
+    from etl_cnpjs_spark.catalog import table
+    from etl_cnpjs_spark.plans.extended5 import _SPATIAL_R
+
+    grid = QUERIES["join_spatial_grid"].fn(spark, sf_dir)
+    p = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    a = p.select(*[F.col(c).alias(f"a_{c}") for c in p.columns])
+    b = p.select(*[F.col(c).alias(f"b_{c}") for c in p.columns])
+    d2 = (F.col("a_x") - F.col("b_x")) * (F.col("a_x") - F.col("b_x")) + (
+        F.col("a_y") - F.col("b_y")
+    ) * (F.col("a_y") - F.col("b_y"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("a_vec_id") < F.col("b_vec_id"))
+        .filter(d2 < _SPATIAL_R * _SPATIAL_R)
+        .select(
+            F.col("a_vec_id").alias("a_id"), F.col("b_vec_id").alias("b_id")
+        )
+    )
+    got = grid.select("a_id", "b_id")
+    assert got.exceptAll(brute).count() == 0
+    assert brute.exceptAll(got).count() == 0
+    assert got.count() == got.distinct().count(), "each pair exactly once"
+
+
+def test_attribution_channels_and_totals(spark, sf_dir):
+    """Every purchase is attributed to exactly one channel, and channel
+    purchase counts sum to the total purchase count."""
+    from pyspark.sql import functions as F
+
+    from etl_cnpjs_spark.catalog import table
+
+    out = QUERIES["events_attribution"].fn(spark, sf_dir).toPandas()
+    assert set(out["attributed"]) <= {"click", "view", "none"}
+    n_purchases = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert int(out["purchases"].sum()) == n_purchases
+
+
+def test_cooccurrence_bounds(spark, sf_dir):
+    """Pair support can't exceed either marginal, pairs are strictly
+    ordered, and lift is positive."""
+    import pandas as pd
+
+    from tests.conftest import SF_DIR
+
+    out = QUERIES["agg_cooccurrence"].fn(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    marg = ev.groupby("event_type")["user_id"].nunique()
+    assert (out["type_a"] < out["type_b"]).all()
+    for _, r in out.iterrows():
+        assert r["n_ab"] <= min(marg[r["type_a"]], marg[r["type_b"]])
+    assert (out["lift_ppm"] > 0).all()
+
+
+def test_dq_drift_decomposition(spark, sf_dir):
+    """Window counts must cover every event exactly once and the
+    chi-square contributions are non-negative."""
+    import pandas as pd
+
+    from tests.conftest import SF_DIR
+
+    out = QUERIES["dq_drift"].fn(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    assert int((out["c1"] + out["c2"]).sum()) == len(ev)
+    assert (out["chi2_micro"] >= 0).all()
+    got = out.set_index("event_type")[["c1", "c2"]].sum(axis=1)
+    want = ev.groupby("event_type").size()
+    pd.testing.assert_series_equal(
+        got.sort_index().astype(int), want.sort_index().astype(int),
+        check_names=False,
+    )

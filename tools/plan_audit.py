@@ -38,6 +38,9 @@ BNLJ_OK = {
     "dedup_embedding_cosine", "layout_zorder", "text_tfidf",
     "dq_check",  # (rule, violations, checked) rows from 1-row stat frames
     "text_quality_classifier",  # broadcast 1-row model-weights frame (scalar shape)
+    "sample_temperature_mix",  # broadcast 1-row n_min frame onto the rate table
+    "dq_drift",  # broadcast 1-row window-totals frame onto |types| rows
+    "agg_cooccurrence",  # broadcast 1-row user-total frame onto |types|² pairs
 }
 
 # The one deliberate row-at-a-time Python path: the UDTF demonstration.
@@ -62,6 +65,12 @@ EXCHANGES_OK = {
     # costs what the redundant distincts cost, so the plain form stays.
     # At cluster scale the edge frame would be persisted (docstring).
     "graph_triangle_count": 10,
+    # 7 static = the basket-build exchange subtree appearing twice
+    # (pairs + marginals branches — identical, AQE ReusedExchange at
+    # runtime), the column-pruned user-total two-stage, and three
+    # alphabet-sized rollup exchanges. The only full-data move is the
+    # map-side-deduped (user, partial-set) shuffle.
+    "agg_cooccurrence": 7,
 }
 
 
