@@ -200,6 +200,8 @@ _ADDED_R5 = [
     "agg_cooccurrence",
     "dq_drift",
     "join_spatial_grid",
+    "graph_jaccard",
+    "events_anomaly_mad",
 ]
 
 

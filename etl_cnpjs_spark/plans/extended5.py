@@ -393,3 +393,183 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist2 < F.lit(_SPATIAL_R * _SPATIAL_R))
         .select("a_id", "b_id", quantize(dist2, 12).alias("dist2"))
     )
+
+
+# --- graph_jaccard ----------------------------------------------------------
+#
+# Neighborhood-Jaccard link prediction — the score common_neighbors
+# counts normalize into: |N(u) ∩ N(v)| / |N(u) ∪ N(v)| in ppm for
+# non-adjacent pairs. Completes the link-prediction pair (raw count →
+# normalized score) over the same near-dup graph frame.
+
+_GJ_TOPK = 100
+
+
+def _gj_oracle() -> str:
+    from etl_cnpjs_spark.plans.dedup import _SQL_PAIRS
+
+    return (
+        _SQL_PAIRS
+        + f"""
+      , edges AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j, i FROM pairs),
+      deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+      two_path AS (
+        SELECT e1.a AS u, e2.b AS v, CAST(COUNT(*) AS BIGINT) AS common_cnt
+        FROM edges e1 JOIN edges e2 ON e1.b = e2.a AND e1.a < e2.b
+        GROUP BY 1, 2),
+      nonadj AS (
+        SELECT t.u, t.v, t.common_cnt
+        FROM two_path t LEFT JOIN pairs p ON t.u = p.i AND t.v = p.j
+        WHERE p.i IS NULL)
+      SELECT n.u, n.v, n.common_cnt,
+             n.common_cnt * 1000000 // (du.d + dv.d - n.common_cnt) AS jaccard_ppm
+      FROM nonadj n JOIN deg du ON n.u = du.node JOIN deg dv ON n.v = dv.node
+      ORDER BY jaccard_ppm DESC, n.u, n.v LIMIT {_GJ_TOPK}
+    """
+    )
+
+
+@register("graph_jaccard", oracle=_gj_oracle(), tags=("graph", "dedup", "ml"))
+def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link prediction on the near-dup graph: for each
+    non-adjacent pair sharing ≥1 neighbor, the neighborhood Jaccard
+    |N(u)∩N(v)| / |N(u)∪N(v)| in ppm (bigint DIV — float-free);
+    top-100 by (score desc, u, v). The normalized companion of
+    graph_common_neighbors: raw counts rank hubs first, Jaccard ranks
+    proportionally-overlapping neighborhoods first — the score actually
+    thresholded in entity-resolution merge queues.
+
+    Scale story: identical 2-path envelope as common_neighbors (edges
+    shuffle on the midpoint, u < v halves candidates, anti-join removes
+    existing edges); the degree table is node-sized and broadcast here
+    — at a scale where nodes outgrow broadcast it becomes two
+    co-partitioned joins on the endpoint keys (same discipline as
+    dedup_cluster's label joins). Union size derives from the two
+    degrees and the intersection count — no second pass over edges."""
+    from etl_cnpjs_spark.plans.dedup import _exact_pairs
+
+    pairs = _exact_pairs(spark, sf_dir).select("i", "j")
+    fwd = pairs.select(F.col("i").alias("a"), F.col("j").alias("b"))
+    rev = pairs.select(F.col("j").alias("a"), F.col("i").alias("b"))
+    edges = fwd.unionAll(rev)
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    e1 = edges.select(F.col("a").alias("u"), F.col("b").alias("x"))
+    e2 = edges.select(F.col("a").alias("x"), F.col("b").alias("v"))
+    two_path = (
+        e1.join(e2, "x")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_cnt"))
+    )
+    nonadj = two_path.join(
+        pairs,
+        (two_path["u"] == pairs["i"]) & (two_path["v"] == pairs["j"]),
+        "left_anti",
+    )
+    scored = (
+        nonadj.join(
+            F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))),
+            "v",
+        )
+        .select(
+            "u",
+            "v",
+            "common_cnt",
+            F.expr("common_cnt * 1000000 DIV (du + dv - common_cnt)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("jaccard_ppm"), "u", "v").limit(_GJ_TOPK)
+
+
+# --- events_anomaly_mad -----------------------------------------------------
+#
+# Robust (median/MAD) outlier screen — the heavy-tail-safe twin of
+# events_anomaly's mean/stddev z-score. Median-exactness discipline:
+# values quantize to integer micro-units FIRST, and a median of
+# integers interpolates only at d ∈ {0, 0.5} — (lo+hi)/2 is the same
+# exact double in every formulation — so both engines' linear-
+# interpolation quantiles are bit-identical with no libm involvement.
+
+_MAD_K = 1.4826  # consistency constant: MAD * k estimates sigma under normality
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH q AS (
+      SELECT user_id, CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+      FROM events),
+    med AS (
+      SELECT user_id, quantile_cont(v, 0.5) AS med,
+             CAST(count(*) AS BIGINT) AS n
+      FROM q GROUP BY user_id),
+    dev AS (
+      SELECT q.user_id, med.med, med.n, abs(q.v - med.med) AS ad
+      FROM q JOIN med ON q.user_id = med.user_id),
+    mad AS (
+      SELECT user_id, any_value(med) AS med, any_value(n) AS n,
+             quantile_cont(ad, 0.5) AS mad, max(ad) AS max_ad
+      FROM dev GROUP BY user_id)
+    SELECT user_id, n,
+           med / 1e6 AS median_value,
+           mad / 1e6 AS mad_value,
+           CASE WHEN mad = 0 THEN NULL
+                ELSE {quantize_sql(f'max_ad / (mad * {_MAD_K})')} END AS max_robust_z
+    FROM mad
+    """,
+    tags=("events", "stats", "dq", "robust"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier profile: median, MAD (median absolute
+    deviation), and the worst point's robust z-score
+    max|v - med| / (MAD · 1.4826) — the screen that, unlike
+    events_anomaly's mean/stddev version, a single corrupt reading
+    cannot drag (breakdown point 50% vs 0%). The pipeline DQ pattern:
+    flag users whose max_robust_z blows past ~3.5 for review.
+
+    Float portability: values quantize to integer micro-units BEFORE
+    any statistic, so each median interpolates integers at d ∈ {0, 0.5}
+    — exact in IEEE no matter how the engine writes the interpolation —
+    and every downstream op (subtract, abs, one divide, quantize) is
+    the same fixed double sequence in both engines. No stddev, no libm.
+
+    Scale story: two grouped aggregates and one join, ALL keyed on
+    user_id — one partitioning reused end-to-end (the med join-back is
+    co-partitioned with both groupBys; AQE plans it shuffle-free on the
+    agg side). Exact grouped medians are a per-key sort (spillable),
+    the same envelope agg_quantile already carries at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    q = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 1e6 + 0.5).cast("bigint").alias("v"),
+    )
+    med = q.groupBy("user_id").agg(
+        F.percentile("v", F.lit(0.5)).alias("med"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    dev = q.join(med, "user_id").select(
+        "user_id", "med", "n", F.abs(F.col("v") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.any_value("med").alias("med"),
+        F.any_value("n").alias("n"),
+        F.percentile("ad", F.lit(0.5)).alias("mad"),
+        F.max("ad").alias("max_ad"),
+    )
+    return mad.select(
+        "user_id",
+        "n",
+        (F.col("med") / 1e6).alias("median_value"),
+        (F.col("mad") / 1e6).alias("mad_value"),
+        F.when(F.col("mad") == 0, F.lit(None).cast("double"))
+        .otherwise(quantize(F.col("max_ad") / (F.col("mad") * _MAD_K)))
+        .alias("max_robust_z"),
+    )

@@ -444,3 +444,39 @@ def test_dq_drift_decomposition(spark, sf_dir):
         got.sort_index().astype(int), want.sort_index().astype(int),
         check_names=False,
     )
+
+
+def test_graph_jaccard_score_bounds(spark, sf_dir):
+    """Jaccard ppm is in (0, 1e6]; scored pairs are non-adjacent and
+    strictly ordered."""
+    out = QUERIES["graph_jaccard"].fn(spark, sf_dir).toPandas()
+    assert (out["jaccard_ppm"] > 0).all()
+    assert (out["jaccard_ppm"] <= 1_000_000).all()
+    assert (out["u"] < out["v"]).all()
+    assert (out["common_cnt"] >= 1).all()
+
+
+def test_anomaly_mad_matches_numpy(spark, sf_dir):
+    """Median/MAD per user must equal numpy's on the micro-quantized
+    values, and robust z is max deviation over 1.4826*MAD."""
+    import numpy as np
+    import pandas as pd
+
+    from tests.conftest import SF_DIR
+
+    out = (
+        QUERIES["events_anomaly_mad"].fn(spark, SF_DIR).toPandas()
+        .set_index("user_id")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["v"] = np.floor(ev["value"] * 1e6 + 0.5)
+    for uid, g in list(ev.groupby("user_id"))[:20]:
+        med = np.median(g["v"])
+        ad = (g["v"] - med).abs()
+        mad = np.median(ad)
+        row = out.loc[uid]
+        assert abs(row["median_value"] - med / 1e6) < 1e-9, uid
+        assert abs(row["mad_value"] - mad / 1e6) < 1e-9, uid
+        if mad > 0:
+            want = ad.max() / (mad * 1.4826)
+            assert abs(row["max_robust_z"] - want) < 1e-5, uid

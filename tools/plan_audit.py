@@ -71,6 +71,10 @@ EXCHANGES_OK = {
     # alphabet-sized rollup exchanges. The only full-data move is the
     # map-side-deduped (user, partial-set) shuffle.
     "agg_cooccurrence": 7,
+    # Same oriented edge-set subtree family as graph_triangle_count:
+    # the pairs frame feeds 2-path both sides, the anti-join, and the
+    # degree rollup; AQE reuses the identical subtrees at runtime.
+    "graph_jaccard": 6,
 }
 
 
