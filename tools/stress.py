@@ -521,6 +521,65 @@ def main() -> None:
     dbs1, dbr1 = timed(lambda: downsample(ev).count())
     dbsk, dbrk = timed(lambda: downsample(ev_k).count())
 
+    # grid radius join (join_spatial_grid shape): growth axis = MORE
+    # TERRITORY — each replica shifts x by i×1.0 (≫ the coordinate range),
+    # so per-cell density stays constant and pairs grow exactly k×.
+    # (Replicating WITHOUT the shift is density growth: k² pairs per
+    # cell — the regime the hot-cell cap-and-salt note addresses.)
+    def spatial_frames(k_reps: int):
+        p0 = table(spark, SF_DIR, "embeddings").select(
+            "vec_id",
+            F.col("embedding").getItem(0).cast("double").alias("x"),
+            F.col("embedding").getItem(1).cast("double").alias("y"),
+        )
+        parts = []
+        for i in range(k_reps):
+            parts.append(
+                p0.select(
+                    (F.col("vec_id") + i * KEY_STRIDE).alias("vec_id"),
+                    (F.col("x") + F.lit(float(i))).alias("x"),
+                    "y",
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def spatial_pairs(p, r=0.02):
+        cell = F.lit(r)
+        g = p.select(
+            "*",
+            F.floor(F.col("x") / cell).cast("bigint").alias("cx"),
+            F.floor(F.col("y") / cell).cast("bigint").alias("cy"),
+        )
+        a = g.select(
+            F.col("vec_id").alias("a_id"), F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            F.explode(F.expr("array(cx - 1, cx, cx + 1)")).alias("jx"), "cy",
+        ).select(
+            "a_id", "ax", "ay", "jx",
+            F.explode(F.expr("array(cy - 1, cy, cy + 1)")).alias("jy"),
+        )
+        b = g.select(
+            F.col("vec_id").alias("b_id"), F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            F.col("cx").alias("jx"), F.col("cy").alias("jy"),
+        )
+        d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+            F.col("ay") - F.col("by")
+        ) * (F.col("ay") - F.col("by"))
+        return (
+            a.join(b, ["jx", "jy"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .filter(d2 < F.lit(r * r))
+        )
+
+    sp1f = spatial_frames(1).localCheckpoint()
+    spkf = spatial_frames(k).localCheckpoint()
+    sp1, spr1 = timed(lambda: spatial_pairs(sp1f).count())
+    spk, sprk = timed(lambda: spatial_pairs(spkf).count())
+
     print(json.dumps({
         "k": k,
         "flagship_1x_sec": t1, "flagship_kx_sec": tk, "flagship_ratio": round(tk / t1, 1),
@@ -559,6 +618,8 @@ def main() -> None:
         "asof_nearest_ratio": round(ank / an1, 1), "asof_nearest_rows": [ar1, ark],
         "downsample_1x_sec": dbs1, "downsample_kx_sec": dbsk,
         "downsample_ratio": round(dbsk / dbs1, 1), "downsample_rows": [dbr1, dbrk],
+        "spatial_1x_sec": sp1, "spatial_kx_sec": spk,
+        "spatial_ratio": round(spk / sp1, 1), "spatial_pairs": [spr1, sprk],
     }))
 
 
