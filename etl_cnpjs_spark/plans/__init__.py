@@ -202,6 +202,8 @@ _ADDED_R5 = [
     "join_spatial_grid",
     "graph_jaccard",
     "events_anomaly_mad",
+    "events_survival_hazard",
+    "join_spatial_knn",
 ]
 
 

@@ -573,3 +573,223 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(quantize(F.col("max_ad") / (F.col("mad") * _MAD_K)))
         .alias("max_robust_z"),
     )
+
+
+# --- events_survival_hazard ---------------------------------------------------
+#
+# Discrete-time churn hazard — the Kaplan-Meier sufficient statistic
+# (at-risk n_t, events d_t, hazard d_t/n_t) WITHOUT the float survival
+# product: downstream can fold S(t) = Π(1 - h) however it likes; the
+# engine emits exact integers and bigint-DIV ppm only.
+
+_SURV_EPOCH = "2024-01-01"
+
+
+@register(
+    "events_survival_hazard",
+    oracle=f"""
+    WITH lastd AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '{_SURV_EPOCH}', CAST(max(ts) AS DATE)) AS BIGINT) AS last_day
+      FROM events GROUP BY user_id),
+    d AS (
+      SELECT last_day AS day, CAST(count(*) AS BIGINT) AS churned
+      FROM lastd GROUP BY 1)
+    SELECT day, churned, at_risk,
+           churned * 1000000 // at_risk AS hazard_ppm
+    FROM (
+      SELECT day, churned,
+             CAST(SUM(churned) OVER (ORDER BY day DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS at_risk
+      FROM d)
+    """,
+    tags=("events", "stats", "survival", "ml"),
+)
+def events_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival/churn table: for each day (since the
+    corpus epoch), how many users were last seen that day (churned),
+    how many were still at risk (last seen that day or later), and the
+    hazard d/n in ppm — the Kaplan-Meier sufficient statistic. Emitting
+    (d_t, n_t, hazard) instead of the survival curve keeps the operator
+    float-free (bigint DIV ppm); S(t) is a trivial downstream fold.
+
+    Scale story: one user-keyed max aggregate (map-side combined), then
+    everything is day-grain — ≤ a few thousand rows at ANY input
+    volume. The at-risk count is a suffix sum = running frame over
+    DESCENDING day (the cheap incremental window class, SCALE.md),
+    computed on the day-grain frame, so the single-partition window
+    WARN is day-table-sized, not data-sized."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    lastd = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts").cast("date"), F.lit(_SURV_EPOCH).cast("date"))
+        .cast("bigint")
+        .alias("last_day")
+    )
+    d = lastd.groupBy(F.col("last_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("churned")
+    )
+    w = W.orderBy(F.desc("day")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    at_risk = F.sum("churned").over(w).cast("bigint")
+    return d.select(
+        "day", "churned", at_risk.alias("at_risk")
+    ).select(
+        "day",
+        "churned",
+        "at_risk",
+        F.expr("churned * 1000000 DIV at_risk").alias("hazard_ppm"),
+    )
+
+
+# --- join_spatial_knn ---------------------------------------------------------
+#
+# Exact k-nearest-neighbor self-join on the 2D points via TIERED grid
+# rings: ring-1 (3×3 cells) answers a point exactly when its k-th
+# candidate sits within one cell width (the ring's guaranteed coverage
+# disk); stragglers escalate to ring-2 (5×5, coverage 2·cell); anything
+# still unresolved falls back to brute force against the full
+# (broadcastable) point set. Every tier is a DataFrame op; exactness is
+# by construction, and the oracle is the brute-force SQL.
+
+_KNN_K = 3
+_KNN_CELL = 0.1
+
+
+def _knn_oracle() -> str:
+    return f"""
+    WITH p AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings)
+    SELECT a_id, b_id, rank, dist2 FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             CAST(row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y),
+                        b.vec_id) AS BIGINT) AS rank,
+             {quantize_sql('(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)', 12)} AS dist2
+      FROM p a JOIN p b ON a.vec_id <> b.vec_id)
+    WHERE rank <= {_KNN_K}
+    """
+
+
+def _knn_rank(cand: DataFrame) -> DataFrame:
+    """Top-k per a_id by (raw dist2, b_id) with the k-th raw distance
+    carried alongside (for the coverage acceptance test)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("a_id").orderBy("d2_raw", "b_id")
+    return (
+        cand.select(
+            "a_id",
+            "b_id",
+            "d2_raw",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .filter(F.col("rank") <= _KNN_K)
+        .withColumn(
+            "kth_d2",
+            F.max(F.when(F.col("rank") == _KNN_K, F.col("d2_raw"))).over(
+                W.partitionBy("a_id")
+            ),
+        )
+    )
+
+
+@register("join_spatial_knn", oracle=_knn_oracle(), tags=("join", "spatial", "similarity", "ml"))
+def join_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN (k=3) self-join on the 2D embedding points, ranked by
+    (squared distance, neighbor id): the retrieval primitive under
+    recommendation and density estimation. Tiered grid search keeps it
+    exact WITHOUT an all-pairs product: a ring answers a point exactly
+    when its k-th candidate distance is within the ring's guaranteed
+    coverage disk (ring R covers radius R·cell); points the 3×3 ring
+    can't certify escalate to 5×5, and the (empirically empty at every
+    test SF) remainder brute-forces against a broadcast of the full
+    point set — correctness never depends on density tuning.
+
+    Scale story: candidate volume is O(n · ring² · cell density) for
+    the overwhelming majority resolved at ring 1, and each tier's
+    candidates meet on a (cell_x, cell_y) equi-join. The brute-force
+    tail is |unresolved| × n with unresolved ≈ isolated outliers — at
+    100 TB you'd bound it by capping escalation (emit radius-limited
+    kNN for the tail, the standard ANN contract). Rank ties break on
+    neighbor id — a total order, so the output is deterministic."""
+    emb = table(spark, sf_dir, "embeddings")
+    cell = F.lit(_KNN_CELL)
+    p = emb.select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    ).select(
+        "*",
+        F.floor(F.col("x") / cell).cast("bigint").alias("cx"),
+        F.floor(F.col("y") / cell).cast("bigint").alias("cy"),
+    )
+    b = p.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+
+    def ring_candidates(pts: DataFrame, r: int) -> DataFrame:
+        offs = list(range(-r, r + 1))
+        a = pts.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            F.explode(F.array(*[F.col("cx") + o for o in offs])).alias("jx"),
+            "cy",
+        ).select(
+            "a_id",
+            "ax",
+            "ay",
+            "jx",
+            F.explode(F.array(*[F.col("cy") + o for o in offs])).alias("jy"),
+        )
+        return (
+            a.join(b, ["jx", "jy"])
+            .filter(F.col("a_id") != F.col("b_id"))
+            .select("a_id", "b_id", d2.alias("d2_raw"))
+        )
+
+    def accepted(ranked: DataFrame, radius: float) -> DataFrame:
+        return ranked.filter(
+            F.col("kth_d2").isNotNull() & (F.col("kth_d2") <= radius * radius)
+        )
+
+    k1 = _knn_rank(ring_candidates(p, 1))
+    ok1 = accepted(k1, _KNN_CELL)
+    rest1 = p.join(
+        ok1.select("a_id").distinct(),
+        p["vec_id"] == F.col("a_id"),
+        "left_anti",
+    )
+    k2 = _knn_rank(ring_candidates(rest1, 2))
+    ok2 = accepted(k2, 2 * _KNN_CELL)
+    rest2 = rest1.join(
+        ok2.select("a_id").distinct(),
+        rest1["vec_id"] == F.col("a_id"),
+        "left_anti",
+    )
+    brute = _knn_rank(
+        rest2.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+        )
+        .crossJoin(F.broadcast(b.drop("jx", "jy")))
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", d2.alias("d2_raw"))
+    )
+    out = ok1.unionByName(ok2).unionByName(brute)
+    return out.select(
+        "a_id", "b_id", "rank", quantize(F.col("d2_raw"), 12).alias("dist2")
+    )

@@ -480,3 +480,53 @@ def test_anomaly_mad_matches_numpy(spark, sf_dir):
         if mad > 0:
             want = ad.max() / (mad * 1.4826)
             assert abs(row["max_robust_z"] - want) < 1e-5, uid
+
+
+def test_spatial_knn_exact_and_complete(spark, sf_dir):
+    """Every point gets exactly k ranked neighbors, ranks are 1..k, and
+    spot-checked points match numpy's exact kNN."""
+    import numpy as np
+    import pandas as pd
+
+    from tests.conftest import SF_DIR
+    from etl_cnpjs_spark.plans.extended5 import _KNN_K
+
+    out = QUERIES["join_spatial_knn"].fn(spark, SF_DIR).toPandas()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    pts = np.stack(emb["embedding"].to_numpy())[:, :2].astype("float64")
+    ids = emb["vec_id"].to_numpy()
+    assert len(out) == len(emb) * _KNN_K
+    per = out.groupby("a_id")["rank"].agg(["min", "max", "count"])
+    assert (per["min"] == 1).all() and (per["max"] == _KNN_K).all()
+    assert (per["count"] == _KNN_K).all()
+    rng = np.random.RandomState(7)
+    for idx in rng.choice(len(ids), 15, replace=False):
+        d2 = ((pts - pts[idx]) ** 2).sum(axis=1)
+        order = sorted(
+            (float(d2[j]), int(ids[j])) for j in range(len(ids)) if ids[j] != ids[idx]
+        )
+        want = [b for _, b in order[:_KNN_K]]
+        got = (
+            out[out["a_id"] == ids[idx]].sort_values("rank")["b_id"].tolist()
+        )
+        assert got == want, (ids[idx], got, want)
+
+
+def test_survival_hazard_invariants(spark, sf_dir):
+    """at_risk is the suffix sum of churned, hazard of the first day is
+    1e6 (everyone at risk on the earliest day eventually churns at or
+    after it... the LAST day's hazard is exactly 1e6), and churned sums
+    to the user count."""
+    import pandas as pd
+
+    from tests.conftest import SF_DIR
+
+    out = (
+        QUERIES["events_survival_hazard"].fn(spark, SF_DIR).toPandas()
+        .sort_values("day", ascending=False).reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    assert int(out["churned"].sum()) == ev["user_id"].nunique()
+    assert (out["churned"].cumsum() == out["at_risk"]).all()
+    assert int(out.iloc[0]["hazard_ppm"]) == 1_000_000  # latest day: all remaining churn
+    assert (out["hazard_ppm"] <= 1_000_000).all()

@@ -41,6 +41,9 @@ BNLJ_OK = {
     "sample_temperature_mix",  # broadcast 1-row n_min frame onto the rate table
     "dq_drift",  # broadcast 1-row window-totals frame onto |types| rows
     "agg_cooccurrence",  # broadcast 1-row user-total frame onto |types|² pairs
+    # deliberate bounded brute-force TAIL: only points the 5×5 ring
+    # could not certify (measured: 0-2 per corpus) cross the broadcast
+    "join_spatial_knn",
 }
 
 # The one deliberate row-at-a-time Python path: the UDTF demonstration.
@@ -75,6 +78,10 @@ EXCHANGES_OK = {
     # the pairs frame feeds 2-path both sides, the anti-join, and the
     # degree rollup; AQE reuses the identical subtrees at runtime.
     "graph_jaccard": 6,
+    # three-tier exact kNN: each tier has its own cell-join + rank
+    # window; tiers 2-3 run on anti-joined stragglers (0-2 rows
+    # measured), so their exchanges carry almost nothing at runtime.
+    "join_spatial_knn": 7,
 }
 
 
