@@ -57,7 +57,11 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookback ('none' beyond it), then roll purchases and decimal-exact
     purchase value up per attributed channel. Sequence order is the
     (ts, event_id) total order the whole events family shares, so tied
-    timestamps attribute deterministically.
+    timestamps attribute deterministically. The STREAMING face
+    (streaming/stateful.py::last_touch_attribution — 2 scalars of state
+    per user, append mode) emits the same attribution per purchase over
+    an unbounded stream; tests/test_streaming.py pins its rollup to
+    this batch result.
 
     Scale story: ONE user-keyed window exchange does all the work — the
     carry-forward of the last touch is a running

@@ -138,3 +138,74 @@ def scd2_closed_intervals(feed: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming last-touch attribution (events_attribution's stream face) ---
+#
+# The batch twin is plans/extended5.py::events_attribution (running
+# (unbounded, -1) window frame). Here the SAME semantics run over an
+# unbounded event stream: per-user state carries the latest touch
+# (click/view type + its event-time µs); each purchase emits one
+# attribution row in append mode, credited to the state's touch when it
+# is within the 72 h lookback, else 'none'. Contract: once the stream
+# drains (per-user event-time order across micro-batches — the same
+# CDC-log precondition scd2_closed_intervals documents; within a batch
+# the handler sorts), the emitted rows aggregate to EXACTLY the batch
+# key's channel rollup (tests/test_streaming.py pins it).
+#
+# State is 2 scalars/key — bounded; production eviction would be an
+# EventTimeTimeout at the lookback horizon (after 72 h without a touch
+# the state can only ever attribute 'none', so it may be dropped).
+
+ATTR_LOOKBACK_US = 72 * 3600 * 1_000_000
+
+ATTR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("attributed", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+ATTR_STATE_SCHEMA = StructType(
+    [StructField("touch_type", StringType()), StructField("touch_ts_us", LongType())]
+)
+
+
+def _update_attribution(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    touch_type, touch_ts = state.get if state.exists else (None, None)
+    out: list[tuple[int, int, int, str, float]] = []
+    chunk = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+    for eid, ts, etype, value in zip(
+        chunk["event_id"], chunk["ts_us"], chunk["event_type"], chunk["value"]
+    ):
+        ts = int(ts)
+        if etype in ("click", "view"):
+            touch_type, touch_ts = etype, ts
+        elif etype == "purchase":
+            if touch_ts is None or touch_ts < ts - ATTR_LOOKBACK_US:
+                attributed = "none"
+            else:
+                attributed = touch_type
+            out.append((key[0], int(eid), ts, attributed, float(value)))
+    state.update((touch_type, touch_ts))
+    yield pd.DataFrame(
+        out, columns=["user_id", "event_id", "ts_us", "attributed", "value"]
+    )
+
+
+def last_touch_attribution(events: DataFrame) -> DataFrame:
+    """Streaming (or batch) event feed (user_id, event_id, ts_us,
+    event_type, value) -> one append-mode attribution row per purchase,
+    credited to the user's latest in-lookback click/view."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_attribution,
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -426,3 +426,63 @@ def test_streaming_scd2_matches_batch_closed_intervals(spark, sf_dir, tmp_path):
     }
     assert got == expected
     assert expected, "fixture must close at least one interval"
+
+
+def test_streaming_attribution_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming last-touch attribution (applyInPandasWithState, append
+    mode): events replay in event-time waves (per-user cross-batch
+    order, the CDC-log precondition); the per-purchase rows emitted must
+    aggregate to EXACTLY the batch events_attribution channel rollup —
+    counts integer-equal, value totals to 1e-6 (stream sums floats in
+    arrival order, the batch twin in decimal)."""
+    import time as _time
+
+    from etl_cnpjs_spark.plans.extended5 import events_attribution
+    from etl_cnpjs_spark.streaming.stateful import last_touch_attribution
+
+    batch = {
+        r.attributed: (r.purchases, r.attributed_value)
+        for r in events_attribution(spark, sf_dir).collect()
+    }
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+    bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    lo, hi = bounds[0], bounds[1] + 1
+    step = (hi - lo) // 4 + 1
+    feed_dir = str(tmp_path / "attr_feed")
+    for i in range(4):
+        (
+            ev.filter(
+                (F.col("ts_us") >= lo + i * step)
+                & (F.col("ts_us") < lo + (i + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(feed_dir)
+        )
+        _time.sleep(0.3)  # distinct file mtimes => deterministic log order
+
+    src = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts_us long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    _run_to_memory(last_touch_attribution(src), "t_attr_stream", "append")
+    rows = spark.table("t_attr_stream").collect()
+    got: dict[str, list] = {}
+    for r in rows:
+        agg = got.setdefault(r.attributed, [0, 0.0])
+        agg[0] += 1
+        agg[1] += r.value
+    assert set(got) == set(batch)
+    for ch, (n, total) in batch.items():
+        assert got[ch][0] == n, ch
+        assert abs(got[ch][1] - total) < 1e-6, ch
