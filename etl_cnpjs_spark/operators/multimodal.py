@@ -431,3 +431,54 @@ def bmp_features_map_in_pandas(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=BMP_SCHEMA)
+
+
+BMP_FPRINT_SCHEMA = (
+    "doc_id long, px_md5 string, width int, height int,"
+    " pixel_sum long, px_hash long"
+)
+
+
+def bmp_fingerprint_map_in_pandas(df: DataFrame) -> DataFrame:
+    """(doc_id, seed, width, height) → synthesize the seed's BMP, PARSE
+    the bytes back, and fingerprint the DECODED pixel array: md5 of the
+    raw array bytes (the exact-image-dedup key — content-addressed, like
+    a CAS ingest dedup) plus the closed-form integer features that let a
+    SQL oracle validate the grouping without ever seeing the bytes.
+    Same executor-side discipline as bmp_features_map_in_pandas: bytes
+    are born and die inside the task; only (hash, 4 ints) cross out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, seed, w, h in zip(
+                pdf["doc_id"], pdf["seed"], pdf["width"], pdf["height"]
+            ):
+                doc_id, seed, w, h = int(doc_id), int(seed), int(w), int(h)
+                blob = synth_bmp(seed, w, h)
+                pw, ph, bpp, px = parse_bmp(blob)
+                md5 = hashlib.md5(px.tobytes()).hexdigest()
+                px64 = px.astype(np.int64)
+                cw = px64[:, :, 0] + 2 * px64[:, :, 1] + 3 * px64[:, :, 2]
+                x = np.arange(pw, dtype=np.int64)[None, :]
+                y = np.arange(ph, dtype=np.int64)[:, None]
+                rows.append(
+                    (
+                        doc_id, md5, pw, ph,
+                        int(px64.sum()),
+                        int((cw * (1 + x + pw * y)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "px_md5", "width", "height",
+                    "pixel_sum", "px_hash",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=BMP_FPRINT_SCHEMA)

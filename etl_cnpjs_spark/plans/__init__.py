@@ -204,6 +204,7 @@ _ADDED_R5 = [
     "events_anomaly_mad",
     "events_survival_hazard",
     "join_spatial_knn",
+    "mm_image_dedup",
 ]
 
 

@@ -292,3 +292,87 @@ def mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (8 + F.col("doc_id") % 7).cast("int").alias("height"),
     )
     return bmp_features_map_in_pandas(d)
+
+
+@register(
+    "mm_image_dedup",
+    oracle="""
+    WITH grp AS (
+      SELECT doc_id % 64 AS seed,
+             CAST(count(*) AS BIGINT) AS n_dups,
+             CAST(min(doc_id) AS BIGINT) AS canonical_id
+      FROM documents GROUP BY 1),
+    dims AS (
+      SELECT seed,
+             CAST(8 + seed % 9 AS INT) AS width,
+             CAST(8 + seed % 7 AS INT) AS height
+      FROM grp
+    ),
+    grid AS (
+      SELECT d.seed, d.width, d.height, gy.y, gx.x,
+             (gx.x + 3 * gy.y + d.seed) % 256     AS b,
+             (2 * gx.x + gy.y + d.seed) % 256     AS g,
+             (gx.x + gy.y + 3 * d.seed) % 256     AS r
+      FROM dims d
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) gx
+      CROSS JOIN (SELECT unnest(generate_series(0, 13)) AS y) gy
+      WHERE gx.x < d.width AND gy.y < d.height
+    ),
+    feat AS (
+      SELECT seed,
+             CAST(max(width) AS INT)  AS width,
+             CAST(max(height) AS INT) AS height,
+             CAST(sum(b + g + r) AS BIGINT) AS pixel_sum,
+             CAST(sum((b + 2 * g + 3 * r) * (1 + x + width * y)) AS BIGINT)
+               AS px_hash
+      FROM grid GROUP BY seed)
+    SELECT f.width, f.height, f.pixel_sum, f.px_hash,
+           g.n_dups, g.canonical_id
+    FROM feat f JOIN grp g ON f.seed = g.seed
+    WHERE g.n_dups >= 2
+    """,
+    tags=("north_star", "multimodal", "dedup", "image"),
+)
+def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact image dedup over DECODED bytes — the multimodal↔dedup
+    bridge: every doc synthesizes its image (seed = doc_id % 64, so the
+    corpus genuinely contains ~n/64-way duplicate groups, the CommonCrawl
+    reality), the executor PARSES the real BMP bytes back, and the dedup
+    key is md5 of the decoded pixel array — content-addressed identity,
+    byte-order/padding/flip included, exactly what a CAS-backed ingest
+    dedups on. Groups of ≥2 report size and the min-doc_id canonical.
+
+    The oracle never sees a byte: it re-derives each group's features in
+    closed form from the pixel pattern and each group's membership from
+    the seed arithmetic — so a hash-green row proves the decode+md5+
+    groupBy pipeline found EXACTLY the true duplicate sets (the md5
+    grouping and the analytic grouping must coincide group-for-group).
+
+    Scale story: the shuffle key is a 16-byte digest + 4 ints per IMAGE
+    (never pixels — SCALE.md multimodal rule); dedup_exact's digest-
+    groupBy discipline applied to binary media. Perceptual (near-dup)
+    hashing drops into the same shape by swapping md5 for an
+    average-hash band key, LSH-style (documented seam; the exact path
+    is the verified one)."""
+    from etl_cnpjs_spark.operators.multimodal import bmp_fingerprint_map_in_pandas
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 64).alias("seed"),
+        (8 + (F.col("doc_id") % 64) % 9).cast("int").alias("width"),
+        (8 + (F.col("doc_id") % 64) % 7).cast("int").alias("height"),
+    )
+    fp = bmp_fingerprint_map_in_pandas(d)
+    return (
+        fp.groupBy("px_md5")
+        .agg(
+            F.any_value("width").alias("width"),
+            F.any_value("height").alias("height"),
+            F.any_value("pixel_sum").alias("pixel_sum"),
+            F.any_value("px_hash").alias("px_hash"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.min("doc_id").cast("bigint").alias("canonical_id"),
+        )
+        .filter(F.col("n_dups") >= 2)
+        .drop("px_md5")
+    )

@@ -530,3 +530,22 @@ def test_survival_hazard_invariants(spark, sf_dir):
     assert (out["churned"].cumsum() == out["at_risk"]).all()
     assert int(out.iloc[0]["hazard_ppm"]) == 1_000_000  # latest day: all remaining churn
     assert (out["hazard_ppm"] <= 1_000_000).all()
+
+
+def test_image_dedup_groups_cover_corpus(spark, sf_dir):
+    """Duplicate groups are disjoint md5 classes: group sizes plus
+    singletons cover the whole corpus, and the canonical is the min
+    doc_id of its seed class."""
+    import pandas as pd
+
+    from tests.conftest import SF_DIR
+
+    out = QUERIES["mm_image_dedup"].fn(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    seeds = docs["doc_id"] % 64
+    sizes = seeds.value_counts()
+    want_groups = sizes[sizes >= 2]
+    assert len(out) == len(want_groups)
+    assert int(out["n_dups"].sum()) == int(want_groups.sum())
+    want_canon = set(docs.groupby(seeds)["doc_id"].min()[want_groups.index])
+    assert set(out["canonical_id"]) == want_canon
