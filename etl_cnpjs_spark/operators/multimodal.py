@@ -390,6 +390,23 @@ def parse_bmp(blob: bytes):
     return width, height, bpp, rows
 
 
+def _bmp_feature_row(px, pw: int, ph: int):
+    """Reduce one decoded HxWx3 pixel array to its two integer features.
+    SINGLE definition shared by the decode and fingerprint faces (and
+    mirrored by both DuckDB oracle grids):
+
+        pixel_sum = Σ (b + g + r)
+        px_hash   = Σ (b + 2·g + 3·r) · (1 + x + width·y)   [top-down]
+    """
+    import numpy as np
+
+    px64 = px.astype(np.int64)
+    cw = px64[:, :, 0] + 2 * px64[:, :, 1] + 3 * px64[:, :, 2]
+    x = np.arange(pw, dtype=np.int64)[None, :]
+    y = np.arange(ph, dtype=np.int64)[:, None]
+    return int(px64.sum()), int((cw * (1 + x + pw * y)).sum())
+
+
 def bmp_features_map_in_pandas(df: DataFrame) -> DataFrame:
     """(doc_id, width, height) → synthesize a real BMP per row, PARSE
     the bytes back, and reduce the decoded array to integer features —
@@ -404,25 +421,14 @@ def bmp_features_map_in_pandas(df: DataFrame) -> DataFrame:
     6-number feature row crosses back to the JVM."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             rows = []
             for doc_id, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"]):
                 doc_id, w, h = int(doc_id), int(w), int(h)
                 blob = synth_bmp(doc_id, w, h)
                 pw, ph, bpp, px = parse_bmp(blob)
-                px = px.astype(np.int64)
-                cw = px[:, :, 0] + 2 * px[:, :, 1] + 3 * px[:, :, 2]
-                x = np.arange(pw, dtype=np.int64)[None, :]
-                y = np.arange(ph, dtype=np.int64)[:, None]
-                rows.append(
-                    (
-                        doc_id, pw, ph, bpp,
-                        int(px.sum()),
-                        int((cw * (1 + x + pw * y)).sum()),
-                    )
-                )
+                pixel_sum, px_hash = _bmp_feature_row(px, pw, ph)
+                rows.append((doc_id, pw, ph, bpp, pixel_sum, px_hash))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -451,8 +457,6 @@ def bmp_fingerprint_map_in_pandas(df: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        import numpy as np
-
         for pdf in batches:
             rows = []
             for doc_id, seed, w, h in zip(
@@ -462,17 +466,8 @@ def bmp_fingerprint_map_in_pandas(df: DataFrame) -> DataFrame:
                 blob = synth_bmp(seed, w, h)
                 pw, ph, bpp, px = parse_bmp(blob)
                 md5 = hashlib.md5(px.tobytes()).hexdigest()
-                px64 = px.astype(np.int64)
-                cw = px64[:, :, 0] + 2 * px64[:, :, 1] + 3 * px64[:, :, 2]
-                x = np.arange(pw, dtype=np.int64)[None, :]
-                y = np.arange(ph, dtype=np.int64)[:, None]
-                rows.append(
-                    (
-                        doc_id, md5, pw, ph,
-                        int(px64.sum()),
-                        int((cw * (1 + x + pw * y)).sum()),
-                    )
-                )
+                pixel_sum, px_hash = _bmp_feature_row(px, pw, ph)
+                rows.append((doc_id, md5, pw, ph, pixel_sum, px_hash))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -482,3 +477,86 @@ def bmp_fingerprint_map_in_pandas(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=BMP_FPRINT_SCHEMA)
+
+
+# --- voice-activity detection over decoded PCM ------------------------------
+#
+# The curation step after decode + features: split an audio stream into
+# voiced segments so only speech spans reach transcription. Synthesis gates
+# the sawtooth with alternating silence blocks so segmentation has real
+# structure to find; the gate (energy > 0) is exact because synthesized
+# silence is digital zero — production sets the threshold at the noise
+# floor, the segmentation logic is identical.
+
+VAD_FRAME = 80  # samples per analysis frame (10 ms at 8 kHz)
+VAD_BLOCK = 400  # gating block: alternating voice / silence, 5 frames each
+
+VAD_SCHEMA = (
+    "doc_id long, n_frames long, n_active long, n_segments long, longest_seg long"
+)
+
+
+def synth_wav_gated(doc_id: int, n_samples: int) -> bytes:
+    """synth_wav_tone's sawtooth, force-muted on odd VAD_BLOCK blocks
+    (samples 400-799, 1200-1599, ... are exactly 0). Same container
+    layout, so parse_wav_pcm16 decodes it unchanged."""
+    import struct
+
+    import numpy as np
+
+    rate = 8000 * (1 + doc_id % 3)
+    period = 16 + doc_id % 17
+    i = np.arange(n_samples, dtype=np.int64)
+    vals = (i % period) * 65536 // period - 32768
+    vals = np.where((i // VAD_BLOCK) % 2 == 1, 0, vals).astype("<i2")
+    data = vals.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def vad_segments_map_in_pandas(df: DataFrame) -> DataFrame:
+    """(doc_id, n_samples) → synthesize the gated WAV, parse the BYTES
+    back to PCM, and run frame-energy voice-activity detection over the
+    decoded samples: VAD_FRAME-sample frames (tail partial frame
+    dropped), frame active iff Σ s² > 0, segments = maximal runs of
+    consecutive active frames. Vectorized numpy per Arrow batch; only
+    the 5-integer summary row leaves the task — media bytes never
+    shuffle (SCALE.md multimodal rule)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_samples in zip(pdf["doc_id"], pdf["n_samples"]):
+                blob = synth_wav_gated(int(doc_id), int(n_samples))
+                s = parse_wav_pcm16(blob).astype(np.int64)
+                n_frames = s.size // VAD_FRAME
+                frames = s[: n_frames * VAD_FRAME].reshape(n_frames, VAD_FRAME)
+                active = (frames * frames).sum(axis=1) > 0
+                # run-length segmentation: starts where active rises
+                padded = np.concatenate(([False], active, [False]))
+                starts = np.flatnonzero(~padded[:-1] & padded[1:])
+                ends = np.flatnonzero(padded[:-1] & ~padded[1:])
+                lengths = ends - starts
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(n_frames),
+                        int(active.sum()),
+                        int(lengths.size),
+                        int(lengths.max()) if lengths.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_active", "n_segments", "longest_seg",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=VAD_SCHEMA)

@@ -21,6 +21,7 @@ from etl_cnpjs_spark.plans import extended2  # noqa: E402,F401
 from etl_cnpjs_spark.plans import extended3  # noqa: E402,F401
 from etl_cnpjs_spark.plans import extended4  # noqa: E402,F401
 from etl_cnpjs_spark.plans import extended5  # noqa: E402,F401
+from etl_cnpjs_spark.plans import extended6  # noqa: E402,F401
 from etl_cnpjs_spark.plans import tpch  # noqa: E402,F401
 from etl_cnpjs_spark.plans import corpus  # noqa: E402,F401
 from etl_cnpjs_spark.plans import udtf_plans  # noqa: E402,F401
@@ -205,6 +206,13 @@ _ADDED_R5 = [
     "events_survival_hazard",
     "join_spatial_knn",
     "mm_image_dedup",
+    "events_cohort_matrix",
+    "agg_rfm",
+    "events_ab_lift",
+    "agg_decay_sum",
+    "stream_topk",
+    "sample_negative",
+    "mm_audio_vad",
 ]
 
 

@@ -157,7 +157,9 @@ def scd2_closed_intervals(feed: DataFrame) -> DataFrame:
 # EventTimeTimeout at the lookback horizon (after 72 h without a touch
 # the state can only ever attribute 'none', so it may be dropped).
 
-ATTR_LOOKBACK_US = 72 * 3600 * 1_000_000
+from ..plans.extended5 import _ATTR_LOOKBACK_H
+
+ATTR_LOOKBACK_US = _ATTR_LOOKBACK_H * 3600 * 1_000_000
 
 ATTR_OUTPUT_SCHEMA = StructType(
     [
@@ -191,7 +193,12 @@ def _update_attribution(
                 attributed = "none"
             else:
                 attributed = touch_type
-            out.append((key[0], int(eid), ts, attributed, float(value)))
+            # Batch-twin parity: the batch rollup is a null-skipping SUM,
+            # so a NULL purchase value contributes 0 — never NaN (which
+            # would poison every downstream float aggregate).
+            out.append(
+                (key[0], int(eid), ts, attributed, 0.0 if pd.isna(value) else float(value))
+            )
     state.update((touch_type, touch_ts))
     yield pd.DataFrame(
         out, columns=["user_id", "event_id", "ts_us", "attributed", "value"]

@@ -187,3 +187,23 @@ def signup_error_interval_join(
             ),
         )
     )
+
+
+def top_users_by_value(events: DataFrame, k: int) -> DataFrame:
+    """Top-k users by decimal-exact lifetime value, ties broken by
+    user_id (a total order — the cut line is deterministic). The SAME
+    transform is legal in batch and in streaming COMPLETE output mode
+    (sorting is only allowed there: the sink rewrites the whole result
+    each trigger, so the leaderboard is always globally correct)."""
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("tv"),
+        )
+        .orderBy(F.col("tv").desc(), F.col("user_id"))
+        .limit(k)
+        .select(
+            "user_id", "n_events", F.col("tv").cast("double").alias("total_value")
+        )
+    )

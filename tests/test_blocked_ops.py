@@ -190,3 +190,39 @@ def test_bmp_synth_parse_roundtrip_and_poison():
     info0 = struct.pack("<IiiHHIIiiII", 40, 0, 4, 1, 24, 0, 0, 0, 0, 0, 0)
     with pytest.raises(ValueError, match="degenerate"):
         parse_bmp(struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + info0)
+
+
+def test_vad_closed_form_matches_decode():
+    """The mm_audio_vad oracle's closed-form frame/segment arithmetic
+    must equal the REAL decode → frame → run-length path for the full
+    edge grid: zero samples, sub-frame, sub-block, partial tails, and
+    block-boundary-exact lengths."""
+    import numpy as np
+
+    from etl_cnpjs_spark.operators.multimodal import (
+        VAD_FRAME,
+        parse_wav_pcm16,
+        synth_wav_gated,
+    )
+
+    def decode_counts(doc_id: int, n: int):
+        s = parse_wav_pcm16(synth_wav_gated(doc_id, n)).astype(np.int64)
+        nf = s.size // VAD_FRAME
+        fr = s[: nf * VAD_FRAME].reshape(nf, VAD_FRAME)
+        act = (fr * fr).sum(axis=1) > 0
+        p = np.concatenate(([False], act, [False]))
+        starts = np.flatnonzero(~p[:-1] & p[1:])
+        ends = np.flatnonzero(p[:-1] & ~p[1:])
+        L = ends - starts
+        return nf, int(act.sum()), len(L), int(L.max()) if len(L) else 0
+
+    def closed_form(n: int):
+        frames = n // 80
+        nb, r = frames // 5, frames % 5
+        n_active = 5 * ((nb + 1) // 2) + (r if nb % 2 == 0 else 0)
+        n_seg = (nb + 1) // 2 + (1 if (r > 0 and nb % 2 == 0) else 0)
+        return frames, n_active, n_seg, 5 if nb >= 1 else r
+
+    for doc_id in range(0, 24):
+        for n in (0, 79, 80, 399, 400, 401, 480, 1234, 4800, 5530, 7999, 8001):
+            assert decode_counts(doc_id, n) == closed_form(n), (doc_id, n)

@@ -4,6 +4,8 @@ windowed agg / custom state → memory sink, availableNow trigger)."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -258,7 +260,9 @@ def test_stateful_running_totals(spark, sf_dir, events_dir):
     for uid, (n, total) in batch.items():
         gn, gtotal = got[uid]
         assert gn == n
-        assert abs(gtotal - total) < 1e-6  # float sum order may differ
+        # float sum order may differ; relative tolerance so the bound
+        # holds at any fixture scale, not just sf0.01
+        assert math.isclose(gtotal, total, rel_tol=1e-9, abs_tol=1e-9)
 
 
 def test_session_oracle_tie_at_boundary(spark):
@@ -485,4 +489,31 @@ def test_streaming_attribution_matches_batch(spark, sf_dir, tmp_path):
     assert set(got) == set(batch)
     for ch, (n, total) in batch.items():
         assert got[ch][0] == n, ch
-        assert abs(got[ch][1] - total) < 1e-6, ch
+        assert math.isclose(got[ch][1], total, rel_tol=1e-9, abs_tol=1e-9), ch
+
+
+def test_stream_topk_complete_mode(spark, sf_dir, events_dir):
+    """Streaming leaderboard: groupBy→orderBy→limit is legal ONLY in
+    complete output mode (the sink rewrites the whole result each
+    trigger). Once the availableNow stream drains, the memory table must
+    hold exactly the batch top-k — same users, counts, and decimal-exact
+    totals."""
+    from etl_cnpjs_spark.streaming.windows import top_users_by_value
+
+    batch = [
+        (r.user_id, r.n_events, r.total_value)
+        for r in top_users_by_value(table(spark, sf_dir, "events"), 10).collect()
+    ]
+    src = spark.readStream.schema(spark.read.parquet(events_dir).schema).parquet(
+        events_dir
+    )
+    _run_to_memory(top_users_by_value(src, 10), "t_topk", "complete")
+    got = [
+        (r.user_id, r.n_events, r.total_value)
+        for r in spark.table("t_topk")
+        .orderBy(F.col("total_value").desc(), F.col("user_id"))
+        .collect()
+    ]
+    assert [g[:2] for g in got] == [b[:2] for b in batch]
+    for g, b in zip(got, batch):
+        assert math.isclose(g[2], b[2], rel_tol=1e-9, abs_tol=1e-9)

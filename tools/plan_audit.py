@@ -44,6 +44,10 @@ BNLJ_OK = {
     # deliberate bounded brute-force TAIL: only points the 5×5 ring
     # could not certify (measured: 0-2 per corpus) cross the broadcast
     "join_spatial_knn",
+    "agg_rfm",  # broadcast 1-row anchor-date frame onto the customer grain
+    "events_ab_lift",  # 2-row variant table self-join (A↔B lift lookup)
+    "agg_decay_sum",  # broadcast 1-row anchor-date frame onto the scan
+    "sample_negative",  # broadcast 1-row item-count modulus onto the user list
 }
 
 # The one deliberate row-at-a-time Python path: the UDTF demonstration.
