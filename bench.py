@@ -125,25 +125,11 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: cnpj_env_build failed: {exc}", file=sys.stderr)
 
-    # Pre-warm the memoized KMeans quantizer (offline training in
-    # production; the timed sim_topk_kmeans then measures the probe).
-    try:
-        from pyspark.ml.functions import array_to_vector
-        from pyspark.sql import functions as F
-
-        from etl_cnpjs_spark.plans.similarity import _kmeans_model, _vecs
-
-        t0 = time.perf_counter()
-        n = _vecs(spark, sf_dir).withColumn(
-            "features", array_to_vector(F.col("v"))
-        )
-        model = _kmeans_model(spark, sf_dir, n)
-        # One-row transform initializes the ml scoring path (predictor
-        # broadcast + UDF plumbing) so the timed probe measures the probe.
-        model.transform(n.limit(1)).write.format("noop").mode("overwrite").save()
-        timings["kmeans_train"] = round(time.perf_counter() - t0, 4)
-    except Exception as exc:
-        print(f"bench: kmeans_train failed: {exc}", file=sys.stderr)
+    # (The KMeans-quantizer pre-train left with the registry key: since
+    # r6, sim_topk_kmeans seeds its IVF from deterministic label-mean
+    # centroids — the trained MLlib path lives on as
+    # sim_topk_kmeans_trained, exercised by the recall test, not timed
+    # here.)
 
     # First use of the Python DataSource API spins up its worker
     # infrastructure (~15 s once per session, then <1 s per read). Warm it
@@ -216,6 +202,16 @@ def main() -> None:
             # noise-inflated sample), the run itself for n=1
             timings[name] = sorted(runs)[(len(runs) - 1) // 2]
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    # Split totals (r5 verdict bookkeeping nit #1): infra/staging entries
+    # are every timing key that is not a registry query — one-off fixture
+    # generation and worker-pool warmups. Reporting them inside the
+    # all-queries total made round-over-round totals look like
+    # regressions whenever the registry grew; `value` keeps the combined
+    # number for continuity, the split pair is the comparable one.
+    total_infra = round(
+        sum(t for k, t in timings.items() if k not in QUERIES and t >= 0), 4
+    )
+    total_queries = round(total - total_infra, 4)
 
     # Noise indicator (r3 verdict item #7): per-key max/median rep ratio,
     # plus a fleet-level summary in the one-line output, so a reader can
@@ -250,6 +246,8 @@ def main() -> None:
                 {
                     "metric": "total_wall_sec_all_queries",
                     "value": total,
+                    "total_queries_sec": total_queries,
+                    "total_infra_sec": total_infra,
                     "unit": "sec",
                     "queries": timings,
                     "queries_reps": all_reps,
@@ -271,6 +269,8 @@ def main() -> None:
             {
                 "metric": "total_wall_sec_all_queries",
                 "value": total,
+                "total_queries_sec": total_queries,
+                "total_infra_sec": total_infra,
                 "unit": "sec",
                 "queries": headline,
                 "sf": sf,

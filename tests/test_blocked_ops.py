@@ -69,21 +69,26 @@ def test_brute_force_row_guard(spark, vecs):
 
 
 def test_kmeans_ivf_recall_vs_exact(spark, sf_dir):
-    """Trained-quantizer ANN sanity: KMeans-IVF top-10 vs exact top-10.
-    This corpus's embeddings are near-orthogonal random vectors (max
-    pairwise cos ≈ 0.5), so cluster structure carries little neighbor
-    signal and expected recall is ≈ nprobe/k = 4/16 — the bound asserts
-    the mechanism works (non-trivial overlap, exact scoring inside
-    probes), not clustered-data recall, which random data cannot show."""
+    """Trained-quantizer ANN sanity: KMeans-IVF top-10 vs exact top-10,
+    for BOTH the production trained path (pyspark.ml KMeans — no SQL
+    oracle possible) and the registry's deterministic label-centroid
+    form (oracle-exact). This corpus's embeddings are near-orthogonal
+    random vectors (max pairwise cos ≈ 0.5), so cluster structure
+    carries little neighbor signal and expected recall is ≈ nprobe/k —
+    the bound asserts the mechanism works (non-trivial overlap, exact
+    scoring inside probes), not clustered-data recall, which random
+    data cannot show."""
     from etl_cnpjs_spark.plans import QUERIES
+    from etl_cnpjs_spark.plans.similarity import sim_topk_kmeans_trained
 
     exact = [r.vec_id for r in QUERIES["sim_topk"].fn(spark, sf_dir).collect()]
-    got = QUERIES["sim_topk_kmeans"].fn(spark, sf_dir).collect()
-    assert len(got) == 10
-    sims = [r.cos_sim for r in got]
-    assert sims == sorted(sims, reverse=True)
-    overlap = len(set(exact) & {r.vec_id for r in got})
-    assert overlap >= 2, f"ANN recall below floor: {overlap}/10"
+    for fn in (QUERIES["sim_topk_kmeans"].fn, sim_topk_kmeans_trained):
+        got = fn(spark, sf_dir).collect()
+        assert len(got) == 10
+        sims = [r.cos_sim for r in got]
+        assert sims == sorted(sims, reverse=True)
+        overlap = len(set(exact) & {r.vec_id for r in got})
+        assert overlap >= 2, f"ANN recall below floor: {overlap}/10 ({fn})"
 
 
 def test_wav_synth_parse_roundtrip_and_poison():

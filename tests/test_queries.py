@@ -109,6 +109,46 @@ def test_approx_topk_regime_is_exact(spark):
     assert n <= 64, f"event_type cardinality {n} exceeds the sketch k"
 
 
+def test_approx_distinct_regime_is_exact(spark, sf_dir):
+    """agg_approx_distinct / agg_hll_sketch carry COUNT(DISTINCT)
+    equality oracles only while the DataSketches HLL (lgConfigK=21)
+    stays in its exact coupon regime — pin that the sketch estimates
+    EQUAL exact counts at test cardinality, so a testdata regeneration
+    that blows past the coupon capacity fails loudly here instead of as
+    a driver-row mismatch."""
+    for r in QUERIES["agg_hll_sketch"].fn(spark, sf_dir).collect():
+        assert r.est_distinct == r.exact_distinct, r
+    approx = {
+        r.o_orderstatus: r.approx_custs
+        for r in QUERIES["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.o_orderstatus: r.n_custs
+        for r in QUERIES["agg_count_distinct"].fn(spark, sf_dir).collect()
+    }
+    assert approx == exact
+
+
+def test_approx_quantile_regime_is_exact(spark, sf_dir):
+    """agg_approx_quantile's quantile_disc oracle is an equality only
+    while every group fits inside the GK summary's accuracy (no
+    compression ⇒ exact discrete median) — pin group sizes under the
+    accuracy knob."""
+    from pyspark.sql import functions as F
+
+    from etl_cnpjs_spark.catalog import table
+    from etl_cnpjs_spark.plans.relational import APPROX_QUANTILE_ACCURACY
+
+    top = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert top < APPROX_QUANTILE_ACCURACY, top
+
+
 def test_linreg_matches_numpy_fit(spark):
     """Cross-engine equality can share a bug; pin the math itself against
     numpy's least squares on the same quantized inputs (sf0.001)."""
