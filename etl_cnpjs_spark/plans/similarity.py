@@ -246,8 +246,11 @@ def sim_topk_kmeans_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMEANS_N_PROBE = 4
 
-_SQL_KMEANS = f"""
-    WITH n AS ({_SQL_VECS}),
+# Shared CTE block: deterministic label-mean centroids (one exact
+# Lloyd's assign step, decimal-quantized — embedding_centroids'
+# arithmetic) + nearest-centroid assignment. Used by sim_topk_kmeans
+# and dedup_semantic.
+_SQL_ASSIGN_CTES = f"""
     u AS (
       SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x
       FROM n),
@@ -262,7 +265,40 @@ _SQL_KMEANS = f"""
                ROW_NUMBER() OVER (PARTITION BY n.vec_id
                                   ORDER BY {sql_cosine("n.v", "c.cv")} DESC, c.cid) AS rn
         FROM n, c) t
-      WHERE rn = 1),
+      WHERE rn = 1)
+"""
+
+
+def _label_centroid_assignment(n: DataFrame):
+    """Spark twin of _SQL_ASSIGN_CTES: returns (centroids c[cid, cv],
+    assignment[vec_id, label, v, cid]). Centroid build is one
+    (label,pos) partial-agg shuffle; assignment is a broadcast-centroid
+    map pass — no shuffle of the vectors."""
+    cent_long = (
+        n.select("label", F.posexplode("v").alias("pos0", "x"))
+        .groupBy("label", "pos0")
+        .agg(quantize(F.sum("x") / F.count(F.lit(1))).alias("cx"))
+    )
+    c = cent_long.groupBy(F.col("label").alias("cid")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "cx"))), lambda s: s.cx
+        ).alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(cosine(F.col("v"), F.col("cv"))), F.asc("cid")
+    )
+    assign = (
+        n.crossJoin(F.broadcast(c))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "v", "cid")
+    )
+    return c, assign
+
+
+_SQL_KMEANS = f"""
+    WITH n AS ({_SQL_VECS}),
+    {_SQL_ASSIGN_CTES},
     q AS (SELECT v AS qv, vec_id AS qid FROM n ORDER BY vec_id LIMIT 1),
     probes AS (
       SELECT cid FROM (
@@ -299,25 +335,7 @@ def sim_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast-centroid map pass; a probe touches nprobe/k of the
     corpus."""
     n = _vecs(spark, sf_dir)
-    cent_long = (
-        n.select("label", F.posexplode("v").alias("pos0", "x"))
-        .groupBy("label", "pos0")
-        .agg(quantize(F.sum("x") / F.count(F.lit(1))).alias("cx"))
-    )
-    c = cent_long.groupBy(F.col("label").alias("cid")).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos0", "cx"))), lambda s: s.cx
-        ).alias("cv")
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc(cosine(F.col("v"), F.col("cv"))), F.asc("cid")
-    )
-    assign = (
-        n.crossJoin(F.broadcast(c))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "v", "cid")
-    )
+    c, assign = _label_centroid_assignment(n)
     q = (
         n.orderBy("vec_id")
         .limit(1)
@@ -539,3 +557,70 @@ def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     d = e.select("vec_id", vec_double(F.col("embedding")).alias("v"))
     return gram_upper_map_in_pandas(d, "v")
+
+
+# --- semantic dedup (SemDeDup) ---------------------------------------------
+
+SEMANTIC_TAU = NEAR_DUP_TAU  # same near-dup threshold as the cosine family
+
+_SQL_SEMANTIC = f"""
+    WITH n AS ({_SQL_VECS}),
+    {_SQL_ASSIGN_CTES},
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND b.vec_id < a.vec_id
+      WHERE {sql_cosine("a.v", "b.v")} >= {SEMANTIC_TAU})
+    SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS kept
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+@register(
+    "dedup_semantic",
+    oracle=_SQL_SEMANTIC,
+    tags=("north_star", "similarity", "dedup", "semantic"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv:2303.09540 recipe): coarse-cluster the embeddings, compare
+    pairs ONLY within a cluster, and keep one survivor per semantic
+    near-dup set. Concretely: (1) deterministic label-mean centroids +
+    nearest-centroid assignment (_label_centroid_assignment — the same
+    exact-arithmetic quantizer sim_topk_kmeans uses; production swaps
+    in the trained KMeans quantizer, same layout); (2) a bucket-local
+    self-join scores cos(a,b) for pairs in the SAME bucket; (3) a
+    vector is dropped iff a lower-id vector in its bucket is
+    near-duplicate (cos ≥ τ) — the deterministic keep-lowest-id form of
+    SemDeDup's keep-one rule, which both engines can re-derive, making
+    this approximate algorithm fully hash-checkable (like sim_topk_ivf,
+    the approximation is in the algorithm the oracle re-runs, not the
+    arithmetic).
+
+    Scale shape — the reason SemDeDup exists: the pair space is
+    Σ_buckets (n_b choose 2), ~n²/k for balanced buckets, instead of
+    the global n²; assignment is a broadcast-centroid map pass and the
+    self-join shuffles each vector once on its bucket id. At corpus
+    scale the bucket-local verify runs as blocked numpy
+    (operators/similarity.py::all_pairs_cosine_blocked per bucket) and
+    k grows with the corpus so bucket size stays bounded; cross-bucket
+    near-dups are the accepted miss (the paper's trade), measured
+    against the exact cosine family in tests/test_dedup_recall.py."""
+    n = _vecs(spark, sf_dir)
+    _, assign = _label_centroid_assignment(n)
+    a = assign.select(
+        F.col("cid"), F.col("vec_id").alias("aid"), F.col("v").alias("av")
+    )
+    b = assign.select(
+        F.col("cid"), F.col("vec_id").alias("bid"), F.col("v").alias("bv")
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("bid") < F.col("aid"))
+        .filter(cosine(F.col("av"), F.col("bv")) >= SEMANTIC_TAU)
+        .select(F.col("aid").alias("vec_id"))
+        .distinct()
+    )
+    return assign.join(dropped.withColumn("d", F.lit(1)), "vec_id", "left").select(
+        "vec_id", "cid", F.col("d").isNull().alias("kept")
+    )

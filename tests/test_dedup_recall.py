@@ -237,3 +237,34 @@ def test_lsh_hot_bucket_cap(spark):
     # recall on a cos~1 cluster is certain (p(bit agree) ~ 1); verify
     # guarantees precision — so equality, not subset
     assert got == want, f"missed {want - got} / invented {got - want}"
+
+
+def test_semantic_dedup_sound_and_measured_vs_exact(spark, sf_dir):
+    """SemDeDup's accepted miss is cross-bucket pairs — hold the key to
+    its contract against the exact cosine family: (a) SOUNDNESS: every
+    dropped vector really has an exact near-dup partner with a lower id
+    (intra-bucket pairs are a subset of all near-dup pairs, so no drop
+    can be spurious); (b) the bucketing is load-bearing (vectors spread
+    over >1 bucket); (c) measured intra-bucket recall over the exact
+    pair set is reported in the assertion message so regressions are
+    diagnosable."""
+    from etl_cnpjs_spark.plans import QUERIES
+
+    exact_pairs = {
+        (r.i, r.j)
+        for r in QUERIES["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
+    }
+    sem = QUERIES["dedup_semantic"].fn(spark, sf_dir).collect()
+    dropped = {r.vec_id for r in sem if not r.kept}
+    droppable = {j for (i, j) in exact_pairs}  # i < j by construction
+    assert dropped <= droppable, dropped - droppable
+    assert len({r.cid for r in sem}) > 1
+    if exact_pairs:
+        covered = sum(1 for (i, j) in exact_pairs if j in dropped)
+        recall = covered / len(exact_pairs)
+        # random near-orthogonal vectors land in the same bucket ~1/k of
+        # the time, so ~10% is the chance floor; measured ≈ 27% at
+        # sf0.01 (label structure correlates with near-dups). On real
+        # clustered corpora — SemDeDup's target — near-dups co-cluster
+        # by construction and recall approaches 1.
+        assert recall >= 0.10, f"semantic recall {recall:.2f} over exact pairs"

@@ -517,3 +517,97 @@ def test_stream_topk_complete_mode(spark, sf_dir, events_dir):
     assert [g[:2] for g in got] == [b[:2] for b in batch]
     for g, b in zip(got, batch):
         assert math.isclose(g[2], b[2], rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_stateful_restart_from_checkpoint(spark, sf_dir, tmp_path):
+    """Checkpoint kill-and-resume — the exactly-once recovery claim a
+    100 TB pipeline actually leans on. Run the stateful per-user totals
+    (applyInPandasWithState) over half the feed, STOP the query, drop
+    the second half into the source, and restart from the SAME
+    checkpoint under a new sink: the recovered run must (a) re-emit
+    only the keys the new data touches (update mode over restored
+    state, not a replay), and (b) report totals equal to the full-feed
+    batch aggregate — which is only possible if the first run's state
+    store was recovered, not recomputed."""
+    import glob
+    import shutil
+
+    ev = table(spark, sf_dir, "events")
+    half = F.pmod(F.hash("event_id"), F.lit(2))
+    c1, c2 = ev.filter(half == 0), ev.filter(half == 1)
+    d1, d2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    c1.coalesce(1).write.parquet(d1)
+    c2.coalesce(1).write.parquet(d2)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    for i, f in enumerate(sorted(glob.glob(f"{d1}/*.parquet"))):
+        shutil.copy(f, src / f"a{i}.parquet")
+    schema = spark.read.parquet(d1).schema
+
+    def start(out_dir):
+        # memory sink can't recover from a checkpoint; foreachBatch →
+        # parquet-append is the restartable sink shape (what a real
+        # pipeline's idempotent batch writer looks like)
+        s = spark.readStream.schema(schema).parquet(str(src))
+        return (
+            running_user_totals(s)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.withColumn("bid", F.lit(bid))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def agg(df):
+        return {
+            r.user_id: (r.n_events, r.total_value)
+            for r in df.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+            .collect()
+        }
+
+    def last_update(out_dir):
+        # a run may span several micro-batches; a key's FINAL state is
+        # its highest-batch-id emission
+        return {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.read.parquet(out_dir)
+            .orderBy("bid")
+            .collect()
+        }
+
+    out1, out2 = str(tmp_path / "out1"), str(tmp_path / "out2")
+    q1 = start(out1)
+    q1.awaitTermination(120)
+    run1 = last_update(out1)
+    b1 = agg(c1)
+    assert set(run1) == set(b1)
+    for uid, (n, total) in b1.items():
+        assert run1[uid][0] == n
+        assert math.isclose(run1[uid][1], total, rel_tol=1e-9, abs_tol=1e-9)
+
+    # the "kill": q1 is terminated; new files land while the query is down
+    for i, f in enumerate(sorted(glob.glob(f"{d2}/*.parquet"))):
+        shutil.copy(f, src / f"b{i}.parquet")
+
+    q2 = start(out2)
+    q2.awaitTermination(120)
+    run2 = last_update(out2)
+    full, b2 = agg(ev), agg(c2)
+    # (a) update mode re-emits exactly the keys the new files touched
+    assert set(run2) == set(b2)
+    # (b) their totals are the FULL-feed aggregate: state survived the stop
+    for uid in run2:
+        assert run2[uid][0] == full[uid][0], uid
+        assert math.isclose(run2[uid][1], full[uid][1], rel_tol=1e-9, abs_tol=1e-9), uid
+    # the recovery is load-bearing: at least one key's restart total
+    # exceeds what the second half alone could produce
+    carried = [u for u in run2 if u in b1]
+    assert carried
+    assert all(run2[u][0] > b2[u][0] for u in carried)
