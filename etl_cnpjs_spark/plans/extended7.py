@@ -1,0 +1,822 @@
+"""Round-6 surface growth: CEP-style sequence pattern matching,
+training-pipeline quota/epoch sampling, a hand-rolled Bloom-filter join
+prefilter (the runtime-filter 100 TB pattern), interval concurrency via
+a distributed two-level prefix sum, and corpus line/segment-level
+deduplication (the CCNet/RefinedWeb recipe).
+
+Reference trace: the reference computes one join+filter aggregate
+(ETLCNPJFinalEmpresaEstabelecimentos.py:191-234) and has none of this
+surface; these extend the events/corpus/join families along SURVEY.md
+§2.2b growth directions, each with a full DuckDB oracle.
+
+Determinism: sequence strings are built under a total (ts, event_id)
+order; quota ordering uses a Knuth multiplicative hash both engines
+compute in exact int64; concurrency tie-breaks process interval ENDS
+before STARTS at the same instant (half-open [s,e) semantics) with
+event_id as the final key; segment reassembly is position-ordered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_cnpjs_spark.catalog import table
+from etl_cnpjs_spark.plans.registry import register
+
+# --- events_pattern_match ---------------------------------------------------
+#
+# MATCH_RECOGNIZE / CEP-lite: encode each user's event history as a
+# character sequence under a total (ts, event_id) order and run a regex
+# over it. The pattern here: a signup followed by at least one click and
+# then a purchase, with NO error anywhere between the signup and the
+# purchase — the "clean conversion" question a funnel with per-step
+# windows can't express (events_funnel counts ordered steps; the [^e]
+# classes assert an exclusion BETWEEN steps).
+
+_PM_CASES = [
+    ("signup", "s"),
+    ("click", "c"),
+    ("purchase", "p"),
+    ("error", "e"),
+]
+_PM_REGEX = "s[^e]*c[^e]*p"
+
+
+@register(
+    "events_pattern_match",
+    oracle=f"""
+    WITH ch AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'c'
+                             WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                             ELSE 'v' END AS ch
+      FROM events),
+    s AS (
+      SELECT user_id, string_agg(ch, '' ORDER BY ts, event_id) AS seq
+      FROM ch GROUP BY user_id)
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           regexp_matches(seq, '{_PM_REGEX}') AS converted_clean
+    FROM s
+    """,
+    tags=("events", "cep", "pattern"),
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-over-sequence event pattern matching (the CEP /
+    MATCH_RECOGNIZE shape, composed from primitives Spark already has):
+    per-user character encoding -> ordered collect -> one rlike. The
+    sequence is built with array_sort(collect_list(struct(ts, event_id,
+    ch))) — a total order, so the string is deterministic — and the
+    regex engines agree because the pattern uses only literals and
+    negated character classes (portable RE subset). Distributed shape:
+    ONE hash(user_id) exchange; per-user state is its event string
+    (bounded by history length — same per-key-payload class as
+    agg_collect; a production CEP over unbounded history runs the
+    automaton incrementally in applyInPandasWithState, the
+    streaming/stateful.py seam, instead of materializing the string)."""
+    ev = table(spark, sf_dir, "events")
+    ch = F.col("event_type")
+    mapped = None
+    for k, v in _PM_CASES:
+        mapped = (
+            F.when(ch == k, v) if mapped is None else mapped.when(ch == k, v)
+        )
+    mapped = mapped.otherwise("v")
+    seq = (
+        ev.select("user_id", "ts", "event_id", mapped.alias("ch"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts").alias("t"),
+                                F.col("event_id").alias("e"),
+                                F.col("ch").alias("ch"),
+                            )
+                        )
+                    ),
+                    lambda s: s["ch"],
+                ),
+            ).alias("seq")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("seq_len"),
+        F.col("seq").rlike(_PM_REGEX).alias("converted_clean"),
+    )
+
+
+# --- sample_quota_per_key ---------------------------------------------------
+#
+# Per-source document quotas — the data-recipe primitive that caps any
+# single domain/source's contribution to a training mix (the "no more
+# than N docs per domain" rule every curation pipeline applies after
+# dedup). Selection order inside a source is a Knuth multiplicative
+# hash of doc_id (pseudo-random but exact int64 in both engines), so
+# the quota takes an unbiased slice instead of the lowest ids.
+
+_QUOTA = 15
+_KNUTH = 2654435761  # 2^32 / phi, the classic multiplicative constant
+_MOD32 = 4294967296
+
+
+@register(
+    "sample_quota_per_key",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * {_KNUTH}) % {_MOD32}, doc_id) AS slot
+      FROM documents)
+    SELECT doc_id, source, CAST(slot AS BIGINT) AS slot
+    FROM r WHERE slot <= {_QUOTA}
+    """,
+    tags=("sample", "corpus", "quota"),
+)
+def sample_quota_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling: keep at most {_QUOTA} docs per source, chosen by
+    hash order. One hash(source) exchange + per-group top-k (rank
+    filter prunes early under AQE); the hash order makes re-runs stable
+    under corpus growth for the docs that stay (a doc's rank only
+    changes if new docs hash below it — unlike insertion order, which
+    reshuffles everything). Skew posture: a heavy source's partition
+    still sorts only ITS docs; for web-scale single-domain skew the
+    same op runs after a per-domain salted pre-top-k (take {_QUOTA}
+    per salt, then re-rank — exact because quota ≤ per-salt keep)."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD32), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).cast("bigint").alias("slot"))
+        .filter(F.col("slot") <= _QUOTA)
+    )
+
+
+# --- sample_epoch_repeat ----------------------------------------------------
+#
+# Epoch-repetition mixing — the other half of the data recipe: scarce
+# high-quality sources repeat for multiple epochs while bulk sources
+# run once (the public LLM-training practice of up-sampling curated
+# corpora by small integer factors). Deterministic factors derived from
+# the source id; each (doc, epoch) is a distinct output row.
+
+
+@register(
+    "sample_epoch_repeat",
+    oracle="""
+    SELECT doc_id, source, CAST(unnest(generate_series(1, epochs)) AS BIGINT) AS epoch
+    FROM (
+      SELECT doc_id, source,
+             CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 3
+                  WHEN CAST(substr(source, 4) AS INT) < 10 THEN 2
+                  ELSE 1 END AS epochs
+      FROM documents) t
+    """,
+    tags=("sample", "corpus", "epochs"),
+)
+def sample_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized epoch repetition: sequence(1, epochs) + explode —
+    the repeat factor is a derived column, so the fan-out happens
+    scan-side with NO shuffle at all (pure narrow transform; at 100 TB
+    the writer repartitions the output, not this operator). Factors: 3
+    epochs for sources 0-4, 2 for 5-9, 1 for the rest — stand-ins for
+    a quality-tier table that would broadcast-join identically."""
+    d = table(spark, sf_dir, "documents")
+    sid = F.substring("source", 4, 10).cast("int")
+    epochs = (
+        F.when(sid < 5, 3).when(sid < 10, 2).otherwise(1)
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), epochs)).alias("__e"),
+    ).select("doc_id", "source", F.col("__e").cast("bigint").alias("epoch"))
+
+
+# --- join_bloom_prefilter ---------------------------------------------------
+#
+# The runtime-filter pattern, built from first principles: before
+# shuffling the 100 TB fact side into a join, probe a fixed-size Bloom
+# filter of the dim side's keys and drop non-matching rows AT THE SCAN.
+# Spark injects these automatically in some shapes
+# (spark.sql.optimizer.runtime.bloomFilter.enabled); this plan builds
+# the filter explicitly — k=3 multiplicative hashes over an m-bit
+# space, the bit set materialized as a distinct-position frame and
+# broadcast — so the pruning is visible, testable, and portable. The
+# final equi-join re-verifies every surviving row, so Bloom false
+# positives cost only wasted shuffle rows, never wrong answers — which
+# is why the oracle is the PLAIN join.
+
+_BLOOM_M = 65536
+_BLOOM_HASHES = [(2654435761, 0), (2246822519, 101), (3266489917, 211)]
+
+
+def _bloom_positions(key, h_idx: int):
+    a, b = _BLOOM_HASHES[h_idx]
+    return ((key * F.lit(a) + F.lit(b)) % F.lit(_MOD32)) % F.lit(_BLOOM_M)
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_nationkey = 5
+    """,
+    tags=("join", "bloom", "runtime_filter"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered equi-join: build k=3 hash positions over the
+    selective dim side (customers of nation 5), union-distinct them
+    into one ≤ m-row bit-set frame, broadcast it, and semi-join the
+    fact side's positions against it ONCE per hash — three scan-side
+    broadcast semi-joins that drop most fact rows before the real join
+    shuffles. The bit set is bounded by m = 65536 positions whatever
+    the dim cardinality (the Bloom property: fixed size, one-sided
+    error), and every surviving row is re-verified by the exact join,
+    so the plan's answer equals the unfiltered join bit-for-bit. At
+    cluster scale this is the difference between shuffling the full
+    fact table and shuffling ~selectivity of it; Spark's own
+    InjectRuntimeFilter does the same rewrite invisibly when stats
+    justify it."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 5)
+        .select("c_custkey", "c_name")
+    )
+    key = F.col("c_custkey").cast("bigint")
+    bits = None
+    for i in range(len(_BLOOM_HASHES)):
+        p = c.select(_bloom_positions(key, i).alias("pos"))
+        bits = p if bits is None else bits.unionByName(p)
+    bits = bits.distinct()
+
+    o = table(spark, sf_dir, "orders")
+    okey = F.col("o_custkey").cast("bigint")
+    pruned = o
+    for i in range(len(_BLOOM_HASHES)):
+        pruned = (
+            pruned.withColumn("__pos", _bloom_positions(okey, i))
+            .join(
+                F.broadcast(bits.withColumnRenamed("pos", "__pos")),
+                "__pos",
+                "left_semi",
+            )
+            .drop("__pos")
+        )
+    return (
+        pruned.join(F.broadcast(c), pruned.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "c_name",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
+
+
+# --- events_concurrency -----------------------------------------------------
+#
+# Sweep-line interval concurrency — "how many sessions were live at
+# once" — the Allen-interval aggregate behind capacity planning and
+# concurrency SLAs. Each click opens a 10-minute half-open interval
+# [ts, ts+600s); concurrency at any instant is (starts so far) −
+# (ends so far). The distributed shape is a TWO-LEVEL PREFIX SUM: a
+# per-day local running sum (hash(day) exchange, parallel) plus a
+# cumulative carry-in of whole-day totals (a |days|-row window —
+# trivially small), summed. The naive form is ONE global-order window
+# (a single task at any scale); the oracle runs exactly that naive
+# form, proving the two-level decomposition exact.
+
+_CONC_INTERVAL_S = 600
+
+
+@register(
+    "events_concurrency",
+    oracle=f"""
+    WITH iv AS (
+      SELECT event_id, ts AS s, ts + INTERVAL {_CONC_INTERVAL_S} SECOND AS e
+      FROM events WHERE event_type = 'click'),
+    pts AS (
+      SELECT s AS t, 1 AS d, event_id FROM iv
+      UNION ALL
+      SELECT e AS t, -1 AS d, event_id FROM iv),
+    run AS (
+      SELECT t, SUM(d) OVER (ORDER BY t, d, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM pts)
+    SELECT date_trunc('hour', t) AS hour_ts,
+           CAST(MAX(cc) AS BIGINT) AS max_concurrency
+    FROM run GROUP BY 1
+    """,
+    tags=("events", "interval", "sweep"),
+)
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent 10-minute click sessions per hour. Tie discipline:
+    at the same instant an END (d=-1) processes before a START (d=+1) —
+    half-open [s,e) semantics — via ORDER BY (t, d, event_id), which
+    both engines apply identically. Scale shape: the local running sum
+    partitions by calendar day (parallel), day totals cumulate in a
+    second window over |days| rows (the classic two-level scan — the
+    carry-in), and their sum is the global running concurrency; the
+    oracle computes the single global-order window instead, so a green
+    hash PROVES prefix-sum decomposition correctness, not just
+    arithmetic."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    iv = ev.select(
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(f"INTERVAL {_CONC_INTERVAL_S} SECONDS")).alias("e"),
+    )
+    pts = iv.select(
+        F.col("s").alias("t"), F.lit(1).alias("d"), "event_id"
+    ).unionByName(iv.select(F.col("e").alias("t"), F.lit(-1).alias("d"), "event_id"))
+    day = F.date_trunc("day", F.col("t"))
+    w_local = (
+        Window.partitionBy(day)
+        .orderBy("t", "d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = pts.withColumn("cc_local", F.sum("d").over(w_local)).withColumn(
+        "__day", day
+    )
+    day_tot = (
+        pts.groupBy(day.alias("__day")).agg(F.sum("d").alias("dt"))
+    )
+    w_days = (
+        Window.orderBy("__day").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = day_tot.withColumn(
+        "carry", F.coalesce(F.sum("dt").over(w_days), F.lit(0))
+    ).select("__day", "carry")
+    run = local.join(F.broadcast(carry), "__day").select(
+        "t", (F.col("cc_local") + F.col("carry")).alias("cc")
+    )
+    return run.groupBy(F.date_trunc("hour", "t").alias("hour_ts")).agg(
+        F.max("cc").cast("bigint").alias("max_concurrency")
+    )
+
+
+# --- text_line_dedup --------------------------------------------------------
+#
+# Line/segment-level corpus deduplication — the CCNet / RefinedWeb /
+# Gopher recipe: boilerplate repeats ACROSS documents as identical
+# lines (nav bars, footers, license headers); removing segments whose
+# corpus-wide document frequency exceeds a threshold cleans documents
+# that are NOT near-dups as wholes. This corpus has no newlines, so
+# "lines" are deterministic 12-token segments (the doc_chunk
+# discipline); the dedup key is the segment text itself.
+
+_SEG_TOKENS = 12
+_SEG_DF_MAX = 2  # keep segments appearing in <= 2 docs
+
+
+@register(
+    "text_line_dedup",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    seg AS (
+      SELECT doc_id,
+             CAST(i AS INT) AS seg_idx,
+             array_to_string(t[(i * {_SEG_TOKENS} + 1):((i + 1) * {_SEG_TOKENS})], ' ') AS seg
+      FROM tk, unnest(generate_series(0, CAST(ceil(len(t) / {_SEG_TOKENS}.0) AS INT) - 1)) AS g(i)),
+    df AS (
+      SELECT seg, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY seg),
+    kept AS (
+      SELECT s.doc_id, s.seg_idx, s.seg
+      FROM seg s JOIN df ON s.seg = df.seg
+      WHERE df.df <= {_SEG_DF_MAX})
+    SELECT t.doc_id,
+           CAST(ceil(len(t.t) / {_SEG_TOKENS}.0) AS BIGINT) AS n_segs,
+           CAST(COUNT(k.seg) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(k.seg, ' ' ORDER BY k.seg_idx), '') AS clean_text
+    FROM tk t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    GROUP BY t.doc_id, len(t.t)
+    """,
+    tags=("north_star", "text", "dedup", "lines"),
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level dedup: tokenize once, cut 12-token segments by
+    position (slice — no lambda-captured retokenization, the
+    functions/text.py CSE discipline), posexplode, count corpus-wide
+    doc frequency per segment, drop segments with df > {_SEG_DF_MAX},
+    and reassemble each document position-ordered. Two shuffles: one
+    hash(segment) for the df aggregate, one hash(doc_id) for the
+    rebuild — both carry (doc_id, seg_idx, segment) rows, never whole
+    documents. At 100 TB the segment df frame is the big intermediate;
+    it partial-aggregates map-side and the df filter pushes into the
+    join (a df > k segment never reaches the rebuild shuffle). The
+    left join keeps fully-boilerplate docs as empty strings — the
+    honest outcome a curation pipeline then drops with its length
+    filter."""
+    from etl_cnpjs_spark.functions.text import tokens
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+    )
+    nseg = F.ceil(F.size("t") / F.lit(float(_SEG_TOKENS))).cast("int")
+    segs = (
+        d.select(
+            "doc_id",
+            F.size("t").alias("nt"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), nseg - 1),
+                    lambda i: F.slice(F.col("t"), i * _SEG_TOKENS + 1, _SEG_TOKENS),
+                )
+            ).alias("seg_idx", "seg_toks"),
+        )
+        .select(
+            "doc_id",
+            "nt",
+            F.col("seg_idx").cast("int").alias("seg_idx"),
+            F.array_join("seg_toks", " ").alias("seg"),
+        )
+    )
+    df = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("df"))
+    kept = segs.join(df.filter(F.col("df") <= _SEG_DF_MAX).select("seg"), "seg")
+    base = d.select("doc_id", F.ceil(F.size("t") / F.lit(float(_SEG_TOKENS))).cast("bigint").alias("n_segs"))
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_idx", "seg"))
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_segs",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+# --- graph_bfs_bounded ------------------------------------------------------
+#
+# Multi-source bounded BFS — "everything within 3 hops of the seed set"
+# — the neighborhood-expansion primitive behind abuse-ring discovery
+# and feature extraction on entity graphs. The graph is the undirected
+# part-supplier bipartite graph from lineitem (same derivation as
+# graph_label_propagation); seeds are part nodes with id % 97 == 0.
+# Three unrolled frontier expansions, each a distinct-project join with
+# an anti-join against the visited set — EXACTLY what an iterative BFS
+# does per step, so the fixed unroll is the loop body under test, and
+# the oracle can mirror it without recursion.
+
+_BFS_HOPS = 3
+_BFS_SUPP_OFFSET = 1_000_000
+
+
+@register(
+    "graph_bfs_bounded",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT l_partkey AS u, {_BFS_SUPP_OFFSET} + l_suppkey AS v
+      FROM lineitem),
+    e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+    l0 AS (SELECT DISTINCT u AS node FROM e0 WHERE u % 97 = 0),
+    l1 AS (
+      SELECT DISTINCT e.v AS node FROM e JOIN l0 ON e.u = l0.node
+      EXCEPT SELECT node FROM l0),
+    l2 AS (
+      SELECT DISTINCT e.v AS node FROM e JOIN l1 ON e.u = l1.node
+      EXCEPT SELECT node FROM l0 EXCEPT SELECT node FROM l1),
+    l3 AS (
+      SELECT DISTINCT e.v AS node FROM e JOIN l2 ON e.u = l2.node
+      EXCEPT SELECT node FROM l0 EXCEPT SELECT node FROM l1
+      EXCEPT SELECT node FROM l2)
+    SELECT CAST(node AS BIGINT) AS node, 0 AS level FROM l0
+    UNION ALL SELECT CAST(node AS BIGINT), 1 FROM l1
+    UNION ALL SELECT CAST(node AS BIGINT), 2 FROM l2
+    UNION ALL SELECT CAST(node AS BIGINT), 3 FROM l3
+    """,
+    tags=("graph", "bfs"),
+)
+def graph_bfs_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop multi-source BFS levels. Per hop: frontier ⨝ edges →
+    distinct neighbors → anti-join visited — two shuffles per hop on
+    node keys, the Pregel superstep in DataFrame form (the same loop
+    body graph_pagerank/LPA iterate; bounded hops make it
+    oracle-expressible without recursion — sql_recursive_closure covers
+    the unbounded case). The frontier frames are localCheckpointed per
+    hop at scale to cut the lineage (here 3 hops is shallow enough not
+    to need it); visited stays (node)-narrow so the anti-join
+    broadcast-ables while frontiers are small and shuffles when they
+    are not — AQE's call, not ours."""
+    li = table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_partkey").cast("bigint").alias("u"),
+        (F.lit(_BFS_SUPP_OFFSET) + F.col("l_suppkey")).cast("bigint").alias("v"),
+    ).distinct()
+    e = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    levels = [
+        e0.filter(F.col("u") % 97 == 0).select(F.col("u").alias("node")).distinct()
+    ]
+    visited = levels[0]
+    for _ in range(_BFS_HOPS):
+        frontier = (
+            e.join(levels[-1].withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        levels.append(frontier)
+        visited = visited.unionByName(frontier)
+    out = None
+    for i, l in enumerate(levels):
+        part = l.select("node", F.lit(i).alias("level"))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# --- window_distribution ----------------------------------------------------
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w    AS cume
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice)
+    """,
+    tags=("window", "distribution"),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank ((rank-1)/(n-1)) and
+    cume_dist (rows ≤ current / n) per brand by retail price. Both are
+    value-determined under ties (SQL standard), so no tiebreaker is
+    needed for a deterministic result; the division is one int/int
+    double op, identical in both engines. One hash(p_brand) exchange."""
+    p = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# --- corpus_soft_dedup_weights ----------------------------------------------
+
+from etl_cnpjs_spark.plans.dedup import _SQL_CLUSTER, dedup_cluster  # noqa: E402
+
+_SQL_SOFT_DEDUP = f"""
+    SELECT doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+           CAST(1000000 / COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+             AS weight_ppm
+    FROM ({_SQL_CLUSTER}) labeled
+"""
+
+
+@register(
+    "corpus_soft_dedup_weights",
+    oracle=_SQL_SOFT_DEDUP,
+    tags=("north_star", "dedup", "corpus", "weights"),
+)
+def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of dropping near-dup documents, keep
+    them all and DOWNWEIGHT each cluster to unit total mass —
+    weight_ppm = 1e6 // cluster_size — the loss-weighting alternative
+    to hard dedup (duplicate-aware training: the cluster contributes
+    one document's worth of gradient however many copies exist).
+    Composes dedup_cluster's memoized connected components with one
+    count window over the component key; integer ppm keeps the weights
+    engine-exact. Shuffle cost beyond the clustering: a single
+    hash(component) window exchange."""
+    labels = dedup_cluster(spark, sf_dir)
+    w = Window.partitionBy("component")
+    return labels.select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+        (F.lit(1_000_000) / F.count(F.lit(1)).over(w))
+        .cast("bigint")
+        .alias("weight_ppm"),
+    )
+
+
+# --- fn_crypto_roundtrip ----------------------------------------------------
+
+_AES_KEY = "0123456789abcdef"  # 16-byte demo key; production keys come
+# from a KMS and never appear in plans
+
+
+@register(
+    "fn_crypto_roundtrip",
+    oracle="""
+    SELECT p_partkey,
+           CAST(16 * (length(p_name) // 16 + 1) AS BIGINT) AS ct_len,
+           p_name AS decrypted
+    FROM part
+    """,
+    tags=("fn", "crypto"),
+)
+def fn_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption round trip (the PII-vault pattern:
+    encrypt at ingest, decrypt under policy): aes_encrypt/aes_decrypt
+    in ECB-PKCS mode — deterministic, so the ciphertext LENGTH
+    (16·(⌊n/16⌋+1), PKCS#7 always-pad) and the decrypted payload are
+    oracle-checkable even though DuckDB can't run the cipher itself:
+    the oracle states the algebraic contract (decrypt∘encrypt = id +
+    the padding length law) rather than re-running AES. GCM (random
+    nonce) is the production mode for storage; ECB here because
+    determinism is what makes the plan testable — the mode is one
+    literal."""
+    p = table(spark, sf_dir, "part")
+    enc = F.expr(f"aes_encrypt(p_name, '{_AES_KEY}', 'ECB', 'PKCS')")
+    return p.select(
+        "p_partkey",
+        F.length(enc).cast("bigint").alias("ct_len"),
+        F.expr(
+            f"cast(aes_decrypt(aes_encrypt(p_name, '{_AES_KEY}', 'ECB', 'PKCS'),"
+            f" '{_AES_KEY}', 'ECB', 'PKCS') as string)"
+        ).alias("decrypted"),
+    )
+
+
+# --- events_change_points ---------------------------------------------------
+#
+# Mean-shift detection on regularized per-type hourly counts: compare
+# the W hours BEFORE each hour against the W hours AFTER it (two rows
+# windows over a dense hour grid — the offline two-sample form of
+# CUSUM). All-integer arithmetic: counts, sums, and an absolute-diff
+# threshold, so the flag is bit-portable.
+
+_CP_W = 3
+_CP_THRESHOLD = 30  # |sum_after - sum_before| in events
+
+
+@register(
+    "events_change_points",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', min(ts)) AS h0,
+                         date_trunc('hour', max(ts)) AS h1
+      FROM events GROUP BY event_type),
+    grid AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+      FROM b),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    dense AS (
+      SELECT g.event_type, g.hour_ts, COALESCE(h.n, 0) AS n
+      FROM grid g LEFT JOIN hourly h
+        ON g.event_type = h.event_type AND g.hour_ts = h.hour_ts),
+    w AS (
+      SELECT event_type, hour_ts, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY hour_ts
+                          ROWS BETWEEN {_CP_W} PRECEDING AND 1 PRECEDING) AS prev_n,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY hour_ts
+                          ROWS BETWEEN {_CP_W} PRECEDING AND 1 PRECEDING) AS prev_c,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY hour_ts
+                          ROWS BETWEEN 1 FOLLOWING AND {_CP_W} FOLLOWING) AS next_n,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY hour_ts
+                          ROWS BETWEEN 1 FOLLOWING AND {_CP_W} FOLLOWING) AS next_c
+      FROM dense)
+    SELECT event_type, hour_ts,
+           CAST(prev_n AS BIGINT) AS prev_n, CAST(next_n AS BIGINT) AS next_n,
+           (abs(next_n - prev_n) >= {_CP_THRESHOLD}) AS is_change
+    FROM w WHERE prev_c = {_CP_W} AND next_c = {_CP_W}
+    """,
+    tags=("events", "timeseries", "changepoint"),
+)
+def events_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-window mean-shift changepoints per event type. The hour grid
+    densifies from a per-type bounds aggregate (sequence + explode — no
+    collect), missing hours count 0 (a burst FROM silence is a change
+    too); edge hours without full windows are excluded, not flagged on
+    partial evidence. Distributed shape: hourly counts partial-agg
+    map-side; the grid explode is narrow; both rolling windows share
+    ONE hash(event_type) exchange and sort (Catalyst plans them in a
+    single Window node). The streaming face of this is a 2W-hour
+    sliding aggregate with a watermark — stream_sliding's shape on the
+    derived count stream."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = b.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts"),
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dense = grid.join(hourly, ["event_type", "hour_ts"], "left").select(
+        "event_type", "hour_ts", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-_CP_W, -1)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(1, _CP_W)
+    )
+    w = dense.select(
+        "event_type",
+        "hour_ts",
+        F.sum("n").over(wp).alias("prev_n"),
+        F.count(F.lit(1)).over(wp).alias("prev_c"),
+        F.sum("n").over(wn).alias("next_n"),
+        F.count(F.lit(1)).over(wn).alias("next_c"),
+    )
+    return (
+        w.filter((F.col("prev_c") == _CP_W) & (F.col("next_c") == _CP_W))
+        .select(
+            "event_type",
+            "hour_ts",
+            F.col("prev_n").cast("bigint").alias("prev_n"),
+            F.col("next_n").cast("bigint").alias("next_n"),
+            (F.abs(F.col("next_n") - F.col("prev_n")) >= _CP_THRESHOLD).alias(
+                "is_change"
+            ),
+        )
+    )
+
+
+# --- agg_weighted_median ----------------------------------------------------
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag, l_quantity AS v,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS w
+      FROM lineitem),
+    c AS (
+      SELECT l_returnflag, v, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM q)
+    SELECT l_returnflag, MIN(v) AS weighted_median
+    FROM c WHERE cw * 2 >= tw
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "weighted", "quantile"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (value where cumulative weight first reaches half
+    the total), weights = price micro-quantized to exact bigint cents.
+    Within equal values the cumulative sum crosses the half-line inside
+    the same value run whatever the intra-run row order, so MIN(v)
+    WHERE 2·cum ≥ total is deterministic WITHOUT a tiebreaker — the
+    trick that makes a rank-dependent statistic order-insensitive. One
+    hash(group) exchange shared by both windows and the final min."""
+    l = table(spark, sf_dir, "lineitem")
+    q = l.select(
+        "l_returnflag",
+        F.col("l_quantity").alias("v"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("w"),
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = q.select(
+        "l_returnflag",
+        "v",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        c.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("v").alias("weighted_median"))
+    )
