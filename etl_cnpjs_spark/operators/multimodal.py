@@ -560,3 +560,47 @@ def vad_segments_map_in_pandas(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=VAD_SCHEMA)
+
+
+BMP_AHASH_SCHEMA = "doc_id long, width int, height int, phash long"
+
+# Average-hash window: widths are always >= 8 and heights >= 8 in the
+# seeded corpus (mm_image_dedup's derivation), so an 8x7 top-left
+# region is fully populated for every image and packs into 56 bits —
+# safely inside a signed int64.
+AHASH_W, AHASH_H = 8, 7
+
+
+def bmp_ahash_map_in_pandas(df: DataFrame) -> DataFrame:
+    """(doc_id, seed, width, height) → synthesize the seed's BMP, PARSE
+    the bytes back, and compute a perceptual AVERAGE HASH over the
+    decoded pixels: for each of the 8×7 top-left pixels, bit = (channel
+    sum strictly above the region mean), packed bit (y·8+x). The
+    classic aHash recipe with the downsample step degenerate (these
+    images are already thumbnail-sized); mean comparison is done as
+    s·npix > Σs — pure integers, so a SQL oracle re-derives every bit
+    from the generator pattern without seeing bytes. Same task
+    discipline as the other BMP faces: bytes never leave the task; two
+    numbers cross out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, seed, w, h in zip(
+                pdf["doc_id"], pdf["seed"], pdf["width"], pdf["height"]
+            ):
+                doc_id, seed, w, h = int(doc_id), int(seed), int(w), int(h)
+                blob = synth_bmp(seed, w, h)
+                pw, ph, _bpp, px = parse_bmp(blob)
+                region = px[:AHASH_H, :AHASH_W].astype(np.int64).sum(axis=2)
+                npix = AHASH_W * AHASH_H
+                total = int(region.sum())
+                bits = (region * npix) > total
+                yy, xx = np.nonzero(bits)
+                phash = int(np.sum(1 << (yy * 8 + xx))) if len(yy) else 0
+                rows.append((doc_id, pw, ph, phash))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "phash"])
+
+    return df.mapInPandas(run, schema=BMP_AHASH_SCHEMA)

@@ -820,3 +820,333 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("v").alias("weighted_median"))
     )
+
+
+# --- events_top_paths -------------------------------------------------------
+
+
+_PATHS_K = 10
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS s2,
+             lead(event_type, 2) OVER w AS s3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    p AS (
+      SELECT event_type || '>' || s2 || '>' || s3 AS path, COUNT(*) AS n
+      FROM o WHERE s3 IS NOT NULL GROUP BY 1)
+    SELECT path, CAST(n AS BIGINT) AS n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INT) AS rk
+    FROM p ORDER BY n DESC, path LIMIT {_PATHS_K}
+    """,
+    tags=("events", "paths", "analytics"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k 3-step user journeys (the Sankey/flow primitive): lead×2
+    over each user's (ts, event_id)-ordered stream turns every event
+    into the path it starts; one count + top-k ranks them. Complements
+    events_markov_transitions (1-step transition matrix) with actual
+    multi-step route volume. Shapes: ONE user_id window exchange, one
+    path-count exchange, TakeOrderedAndProject for the top-k; ties
+    rank by path text so the cut is total-ordered."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    )
+    p = (
+        o.filter(F.col("s3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "s2", "s3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        p.withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), F.asc("path")))
+            .cast("int"),
+        )
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(_PATHS_K)
+    )
+
+
+# --- text_langid_confusion --------------------------------------------------
+
+from etl_cnpjs_spark.plans.text import _lang_sql, text_lang_id  # noqa: E402
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ({_lang_sql()}) t
+    GROUP BY labeled_lang, predicted_lang
+    """,
+    tags=("north_star", "text", "eval"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval confusion matrix for the language-ID heuristic
+    against the corpus's labeled lang — the model-monitoring rollup
+    every production classifier ships next to its predictions
+    (precision/recall derive from these cells by marginals). Composes
+    text_lang_id (scan-side codegen expressions) with one tiny
+    (label, prediction) aggregate: the eval costs ONE extra exchange
+    of ≤ |langs|² rows however big the corpus."""
+    return (
+        text_lang_id(spark, sf_dir)
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+# --- agg_gini / agg_hhi -----------------------------------------------------
+#
+# Concentration/inequality metrics over exact integers. Gini uses the
+# rank-weighted identity G = (Σ (2i − n − 1)·x_i) / (n·Σx) on values
+# sorted ascending; within a run of EQUAL values the x factor is
+# constant while the rank coefficients sum to a fixed total, so the
+# numerator is invariant to intra-run order — deterministic without a
+# tiebreaker, same trick as agg_weighted_median. HHI is Σ share² over
+# per-entity sums (share in ppm) — pure integer until one final
+# division.
+
+
+@register(
+    "agg_gini",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL AND value >= 0),
+    r AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS i,
+             COUNT(*)  OVER (PARTITION BY event_type) AS n,
+             SUM(x)    OVER (PARTITION BY event_type) AS sx
+      FROM q)
+    SELECT event_type,
+           CAST(SUM((2 * i - n - 1) * x) AS DOUBLE) / (CAST(MAX(n) AS DOUBLE) * MAX(sx))
+             AS gini
+    FROM r GROUP BY event_type
+    """,
+    tags=("agg", "inequality"),
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Gini coefficient of (non-negative) event values —
+    the inequality profile behind whale-detection and data-skew audits.
+    Values micro-quantize to exact bigint first; the rank-weighted
+    numerator accumulates in bigint (order-insensitive across equal
+    values by the coefficient-sum argument above), and exactly one
+    double division happens at the end — bit-identical cross-engine.
+    One hash(event_type) exchange carries rank, count and sum windows
+    together."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1_000_000 + 0.5).cast("bigint").alias("x"),
+    )
+    wi = Window.partitionBy("event_type").orderBy("x")
+    wp = Window.partitionBy("event_type")
+    r = q.select(
+        "event_type",
+        "x",
+        F.row_number().over(wi).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("x").over(wp).alias("sx"),
+    )
+    return r.groupBy("event_type").agg(
+        (
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("x")).cast("double")
+            / (F.max("n").cast("double") * F.max("sx"))
+        ).alias("gini")
+    )
+
+
+@register(
+    "agg_hhi",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+      FROM orders GROUP BY o_custkey),
+    t AS (SELECT SUM(v) AS tv, COUNT(*) AS n_entities FROM s),
+    sh AS (
+      SELECT t.n_entities, (s.v * 1000000000) // t.tv AS s_ppb
+      FROM s, t)
+    SELECT CAST(n_entities AS BIGINT) AS n_entities,
+           CAST(SUM(s_ppb * s_ppb) AS DOUBLE) / 1e18 AS hhi
+    FROM sh GROUP BY n_entities
+    """,
+    tags=("agg", "concentration"),
+)
+def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of order revenue across
+    customers (share-of-wallet; in a data pipeline the same statistic
+    audits per-source corpus concentration). Float-free until the last
+    step: per-entity sums are exact bigint cents, each share quantizes
+    to parts-per-billion by INTEGER division against the broadcast
+    total (identical floor in both engines), and Σ share_ppb² stays in
+    bigint (≤ 1e18 · HHI, safe) — one final double division scales to
+    the [0,1] HHI. The ppb floor under-counts each share by < 1e-9,
+    bounding the HHI bias below 2e-9·n_entities — quantified, not
+    hand-waved. One groupBy exchange + a broadcast scalar."""
+    o = table(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias("v")
+    )
+    t = s.agg(F.sum("v").alias("tv"), F.count(F.lit(1)).alias("n_entities"))
+    sh = s.crossJoin(F.broadcast(t)).select(
+        "n_entities",
+        F.expr("(v * 1000000000) DIV tv").alias("s_ppb"),
+    )
+    return sh.groupBy("n_entities").agg(
+        (F.sum(F.col("s_ppb") * F.col("s_ppb")).cast("double") / F.lit(1e18)).alias(
+            "hhi"
+        )
+    ).select(
+        F.col("n_entities").cast("bigint").alias("n_entities"), "hhi"
+    )
+
+
+# --- scan_json_nested -------------------------------------------------------
+
+import os as _os  # noqa: E402
+import tempfile as _tempfile  # noqa: E402
+
+
+@register(
+    "scan_json_nested",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           l.l_linenumber, l.l_quantity AS qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey % 50 = 0
+    """,
+    tags=("scan", "json", "nested"),
+)
+def scan_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED JSON round trip — the document-shaped ingest every event
+    bus and API export produces: each order serializes as one JSON
+    document carrying an ARRAY OF LINE STRUCTS, written as JSONL, read
+    back with a DECLARED nested schema (array<struct> — never
+    inferred), and re-flattened with explode. The oracle is the plain
+    relational join the nesting round-trips, so a green hash proves
+    serialize → nested read → explode is lossless. Shapes: the
+    collect_list build is one hash(orderkey) exchange; the read-side
+    explode is narrow (flatten at the scan); schema declaration keeps
+    the 100 TB read single-pass."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    l = table(spark, sf_dir, "lineitem")
+    nested = (
+        l.join(o.select("o_orderkey", "o_orderstatus"), l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_quantity").alias("qty"),
+                    )
+                )
+            ).alias("lines")
+        )
+    )
+    out = _os.path.join(_tempfile.mkdtemp(prefix="scan_json_nested_"), "orders_json")
+    nested.write.json(out)
+    schema = (
+        "o_orderkey bigint, o_orderstatus string,"
+        " lines array<struct<ln:int, qty:double>>"
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.explode("lines").alias("e"),
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("e.ln").alias("l_linenumber"),
+        F.col("e.qty").alias("qty"),
+    )
+
+
+# --- mm_image_phash ---------------------------------------------------------
+
+
+@register(
+    "mm_image_phash",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             doc_id % 64 AS seed,
+             CAST(8 + (doc_id % 64) % 9 AS INT) AS width,
+             CAST(8 + (doc_id % 64) % 7 AS INT) AS height
+      FROM documents),
+    grid AS (
+      SELECT d.doc_id, d.width, d.height, gy.y, gx.x,
+             ((gx.x + 3 * gy.y + d.seed) % 256
+              + (2 * gx.x + gy.y + d.seed) % 256
+              + (gx.x + gy.y + 3 * d.seed) % 256) AS s
+      FROM dims d
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) gx
+      CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS y) gy),
+    tot AS (
+      SELECT doc_id, SUM(s) AS sum_s FROM grid GROUP BY doc_id),
+    hashes AS (
+      SELECT g.doc_id, g.width, g.height,
+             COALESCE(SUM(CASE WHEN g.s * 56 > t.sum_s
+                               THEN (CAST(1 AS BIGINT) << (g.y * 8 + g.x))
+                               ELSE 0 END), 0) AS phash
+      FROM grid g JOIN tot t ON g.doc_id = t.doc_id
+      GROUP BY g.doc_id, g.width, g.height)
+    SELECT width, height, CAST(phash AS BIGINT) AS phash,
+           CAST(COUNT(*) AS BIGINT) AS n_imgs,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+    FROM hashes GROUP BY width, height, phash
+    """,
+    tags=("north_star", "multimodal", "dedup", "phash"),
+)
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (average-hash) image grouping over DECODED bytes — the
+    near-dup seam mm_image_dedup documents, made real: every image's
+    8×7 aHash is computed from the PARSED pixel array executor-side
+    (operators/multimodal.py::bmp_ahash_map_in_pandas — strict-majority
+    bit per pixel vs the region mean, integer-exact), then images group
+    by (dimensions, hash) — the banding step of a perceptual-LSH
+    near-dup pipeline (hamming-ball banding drops in by splitting the
+    56 bits into bands, dedup_simhash's pigeonhole layout). aHash is
+    BRIGHTNESS-INVARIANT by construction (bit = above/below the image's
+    own mean), and this corpus proves it: the seed-0 and seed-63 image
+    families have different BYTES (md5-distinct in mm_image_dedup) but
+    identical dims+aHash, so perceptual grouping merges them — a
+    near-dup catch exact dedup cannot make, visible as one fewer group
+    than the md5 grouping. The oracle re-derives every BIT analytically
+    from the generator pattern without touching bytes, so a green hash
+    proves decode → aHash → groupBy end to end. Scale: the shuffle
+    carries (doc_id, 2 ints, one int64) per image."""
+    from etl_cnpjs_spark.operators.multimodal import bmp_ahash_map_in_pandas
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 64).alias("seed"),
+        (8 + (F.col("doc_id") % 64) % 9).cast("int").alias("width"),
+        (8 + (F.col("doc_id") % 64) % 7).cast("int").alias("height"),
+    )
+    h = bmp_ahash_map_in_pandas(d)
+    return h.groupBy("width", "height", "phash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_imgs"),
+        F.min("doc_id").cast("bigint").alias("canonical_id"),
+    )

@@ -589,3 +589,23 @@ def test_image_dedup_groups_cover_corpus(spark, sf_dir):
     assert int(out["n_dups"].sum()) == int(want_groups.sum())
     want_canon = set(docs.groupby(seeds)["doc_id"].min()[want_groups.index])
     assert set(out["canonical_id"]) == want_canon
+
+
+def test_phash_merges_byte_distinct_near_dups(spark, sf_dir):
+    """The perceptual-vs-exact contract: aHash grouping must merge the
+    brightness-shifted seed family the md5 grouping keeps separate —
+    exactly one fewer perceptual group than byte-content groups (the
+    seed-0/seed-63 merge), and never a split md5 group (byte-identical
+    images cannot be perceptually distinct)."""
+    md5_groups = QUERIES["mm_image_dedup"].fn(spark, sf_dir).count()
+    # mm_image_dedup reports only groups >= 2; recount at the same grain
+    from etl_cnpjs_spark.catalog import table
+
+    n_seeds = (
+        table(spark, sf_dir, "documents")
+        .selectExpr("count(distinct doc_id % 64) AS n")
+        .collect()[0]
+        .n
+    )
+    phash_groups = QUERIES["mm_image_phash"].fn(spark, sf_dir).count()
+    assert phash_groups == n_seeds - 1, (phash_groups, n_seeds)
