@@ -1150,3 +1150,244 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_imgs"),
         F.min("doc_id").cast("bigint").alias("canonical_id"),
     )
+
+
+# --- join_scd2_temporal -----------------------------------------------------
+
+from etl_cnpjs_spark.plans.extended3 import _SQL_SCD2, cdc_scd2  # noqa: E402
+
+
+@register(
+    "join_scd2_temporal",
+    oracle=f"""
+    WITH scd2 AS ({_SQL_SCD2})
+    SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, d.status
+    FROM lineitem l JOIN scd2 d
+      ON l.l_orderkey = d.key
+     AND d.valid_from <= l.l_shipdate
+     AND (d.valid_to IS NULL OR l.l_shipdate < d.valid_to)
+    """,
+    tags=("join", "scd2", "temporal", "cdc"),
+)
+def join_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE warehouse temporal join: facts against a type-2 dimension AT
+    EVENT TIME — each lineitem picks the dimension version whose
+    [valid_from, valid_to) interval covers its ship date (open interval
+    = NULL valid_to). Composes cdc_scd2's interval build with an
+    equi-key join carrying the interval containment as a RESIDUAL
+    predicate — key equality drives the hash join, so there is no range
+    explosion and at most one version matches per fact by SCD2's
+    non-overlap invariant (no distinct needed). Scale: the dim interval
+    table is the small side (broadcast here; co-partitioned sort-merge
+    past broadcast scale); facts never shuffle more than once. The
+    same shape reads ANY bitemporal store — cdc_snapshot_at is this
+    join with a constant timestamp."""
+    li = table(spark, sf_dir, "lineitem")
+    d = cdc_scd2(spark, sf_dir)
+    return (
+        li.join(
+            F.broadcast(d),
+            (li.l_orderkey == d.key)
+            & (d.valid_from <= li.l_shipdate)
+            & (d.valid_to.isNull() | (li.l_shipdate < d.valid_to)),
+        )
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "status")
+    )
+
+
+# --- events_conversion_lag --------------------------------------------------
+
+
+@register(
+    "events_conversion_lag",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts) - epoch_us(s.signup_ts)) AS lag_us
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(MIN(lag_us) AS BIGINT) AS min_lag_us,
+           CAST(quantile_disc(lag_us, 0.5) AS BIGINT) AS p50_lag_us,
+           CAST(quantile_disc(lag_us, 0.9) AS BIGINT) AS p90_lag_us,
+           CAST(MAX(lag_us) AS BIGINT) AS max_lag_us
+    FROM p
+    """,
+    tags=("events", "funnel", "latency"),
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: each user's FIRST signup to their
+    FIRST subsequent purchase, lag in exact integer microseconds, then
+    the discrete percentile profile (n, min, p50, p90, max) — the
+    latency-funnel rollup growth teams watch next to conversion rate
+    (events_funnel counts WHO converts; this measures HOW FAST).
+    Shapes: two per-user aggregates share one hash(user_id) exchange
+    path; the percentile is an exact sort-agg over |converted users|
+    rows (percentile_disc ≡ quantile_disc — a picked element, no
+    interpolation, so integer µs stay exact)."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros("ts") - F.unix_micros("signup_ts")
+            ).alias("lag_us")
+        )
+    )
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.min("lag_us").cast("bigint").alias("min_lag_us"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_us)")
+        .cast("bigint")
+        .alias("p50_lag_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_us)")
+        .cast("bigint")
+        .alias("p90_lag_us"),
+        F.max("lag_us").cast("bigint").alias("max_lag_us"),
+    )
+
+
+# --- events_ab_ttest --------------------------------------------------------
+
+
+@register(
+    "events_ab_ttest",
+    oracle="""
+    WITH q AS (
+      SELECT user_id % 2 AS arm,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+    m AS (
+      SELECT arm, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+      FROM q GROUP BY arm),
+    st AS (
+      SELECT arm, n,
+             CAST(sx AS DOUBLE) / n / 1e6 AS mean,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+               / (n - 1) / 1e12 AS var
+      FROM m),
+    w AS (
+      SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+             a.var / a.n + b.var / b.n AS se2
+      FROM st a JOIN st b ON a.arm = 0 AND b.arm = 1)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           mean_a, mean_b,
+           (mean_b - mean_a) / sqrt(se2) AS t_stat
+    FROM w
+    """,
+    tags=("events", "abtest", "stats"),
+)
+def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t statistic for the A/B purchase-value experiment (the
+    significance companion to events_ab_lift's effect size). Exactness
+    discipline: values micro-quantize to bigint, so n/Σx/Σx² are exact
+    integers; mean and variance derive by a FIXED sequence of double
+    ops on those integers, and sqrt is IEEE-exact — every float in the
+    output is bit-identical cross-engine without quantization. Shapes:
+    one 2-group partial aggregate (map-side combined), then a 2-row
+    self-join — the entire test costs one scan whatever the event
+    volume."""
+    ev = table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    q = ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.floor(F.col("value") * 1_000_000 + 0.5).cast("bigint").alias("x"),
+    )
+    m = q.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    st = m.select(
+        "arm",
+        "n",
+        (F.col("sx").cast("double") / F.col("n") / F.lit(1e6)).alias("mean"),
+        (
+            (
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+            )
+            / (F.col("n") - 1)
+            / F.lit(1e12)
+        ).alias("var"),
+    )
+    a = st.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = st.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
+    )
+    w = a.crossJoin(b)
+    return w.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "mean_a",
+        "mean_b",
+        (
+            (F.col("mean_b") - F.col("mean_a"))
+            / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b"))
+        ).alias("t_stat"),
+    )
+
+
+# --- window_rolling_median --------------------------------------------------
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL)
+    SELECT event_type, event_id,
+           CAST(quantile_cont(x, 0.5) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6
+             AS rolling_median
+    FROM q
+    """,
+    tags=("window", "timeseries", "robust"),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over the trailing 7 observations per series — the
+    robust smoother (median filters shrug off the spikes that wreck a
+    rolling mean; events_anomaly_mad's discipline applied to a moving
+    frame). Spark evaluates percentile() AS A WINDOW FUNCTION over the
+    rows frame — the aggregate-over-frame surface, distinct from
+    grouped percentiles. Exactness: inputs micro-quantize to integers
+    first, so the continuous-median interpolation happens at d ∈
+    {0, .5} over exact ints and divides by 1e6 once — bit-identical in
+    both engines. One hash(event_type) exchange + one sort serves the
+    whole computation."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    q = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1_000_000 + 0.5).cast("bigint").alias("x"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return q.select(
+        "event_type",
+        "event_id",
+        (F.expr("percentile(x, 0.5)").over(w).cast("double") / F.lit(1e6)).alias(
+            "rolling_median"
+        ),
+    )
