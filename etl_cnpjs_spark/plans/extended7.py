@@ -72,9 +72,11 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     negated character classes (portable RE subset). Distributed shape:
     ONE hash(user_id) exchange; per-user state is its event string
     (bounded by history length — same per-key-payload class as
-    agg_collect; a production CEP over unbounded history runs the
-    automaton incrementally in applyInPandasWithState, the
-    streaming/stateful.py seam, instead of materializing the string)."""
+    agg_collect). The UNBOUNDED-stream face is real, not a seam: the
+    same pattern runs as an incremental maximal-progress NFA carrying 3
+    ints of per-user state (streaming/stateful.py::cep_clean_conversion,
+    applyInPandasWithState), proven to converge to THIS batch verdict in
+    tests/test_streaming.py::test_streaming_cep_matches_batch_pattern_match."""
     ev = table(spark, sf_dir, "events")
     ch = F.col("event_type")
     mapped = None

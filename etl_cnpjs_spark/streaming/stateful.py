@@ -216,3 +216,87 @@ def last_touch_attribution(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- incremental CEP automaton (events_pattern_match's streaming face) ------
+#
+# The batch plan (plans/extended7.py::events_pattern_match) materializes
+# each user's full event string and runs one regex — fine for bounded
+# history, impossible for an unbounded stream. This face runs the SAME
+# pattern s[^e]*c[^e]*p as an explicit NFA collapsed to maximal
+# progress, carried as 3 scalars of per-user state:
+#
+#   progress ∈ {0,1,2}: best in-flight prefix (0 none, 1 "s…", 2 "s…c…")
+#   matched: absorbing accept flag
+#   seq_len: events consumed (the batch column, for equivalence checks)
+#
+# Transition (maximal-progress collapse — a path at progress 2 dominates
+# one at 1 because any e-free suffix completing the lower state also
+# completes the higher):
+#   s → progress = max(progress, 1)
+#   c → if progress ≥ 1: progress = max(progress, 2)
+#   p → if progress ≥ 2: matched = true
+#   e → progress = 0   (kills every in-flight gap; matched survives)
+#
+# Precondition, same as the SCD2 face: per-user ts order ACROSS
+# micro-batches (a log replay); within a batch the handler sorts.
+
+CEP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("seq_len", LongType()),
+        StructField("converted_clean", StringType()),  # 'true'/'false' —
+        # kept string so the memory-sink compare is trivially portable
+    ]
+)
+
+CEP_STATE_SCHEMA = StructType(
+    [
+        StructField("progress", LongType()),
+        StructField("matched", LongType()),
+        StructField("seq_len", LongType()),
+    ]
+)
+
+_CEP_CHAR = {"signup": "s", "click": "c", "purchase": "p", "error": "e"}
+
+
+def _update_cep(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    progress, matched, seq_len = state.get if state.exists else (0, 0, 0)
+    chunk = pd.concat(list(pdfs))
+    chunk = chunk.sort_values(["ts", "event_id"])
+    for et in chunk["event_type"]:
+        ch = _CEP_CHAR.get(et, "v")
+        seq_len += 1
+        if ch == "s":
+            progress = max(progress, 1)
+        elif ch == "c" and progress >= 1:
+            progress = 2
+        elif ch == "p" and progress >= 2:
+            matched = 1
+        elif ch == "e":
+            progress = 0
+    state.update((int(progress), int(matched), int(seq_len)))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "seq_len": [int(seq_len)],
+            "converted_clean": ["true" if matched else "false"],
+        }
+    )
+
+
+def cep_clean_conversion(events: DataFrame) -> DataFrame:
+    """Streaming DataFrame → per-user CEP verdict in update mode. State
+    is 3 ints per user — bounded whatever the history length, the
+    property that makes CEP runnable on an unbounded stream where the
+    batch string-materialization is not."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_cep,
+        outputStructType=CEP_OUTPUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

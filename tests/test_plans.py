@@ -679,3 +679,42 @@ def test_cooccurrence_single_basket_exchange(spark, sf_dir):
     plan = explain_str(QUERIES["agg_cooccurrence"].fn(spark, sf_dir), "simple")
     assert "Generate explode" in plan or "Generate" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bloom_prefilter_three_broadcast_semis(spark, sf_dir):
+    """join_bloom_prefilter's plan must show the runtime-filter shape:
+    one broadcast semi-join per hash function pruning the fact side,
+    then the exact broadcast join — and the fact side must never
+    sort-merge."""
+    plan = explain_str(QUERIES["join_bloom_prefilter"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin LeftSemi") == 3, plan[:500]
+    assert "BroadcastHashJoin Inner" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_epoch_repeat_is_shuffle_free(spark, sf_dir):
+    """sample_epoch_repeat's fan-out is a pure narrow transform: the
+    derived repeat factor explodes scan-side with NO exchange."""
+    plan = explain_str(QUERIES["sample_epoch_repeat"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
+def test_concurrency_two_level_scan_shape(spark, sf_dir):
+    """events_concurrency must run the big window PARTITIONED (by day)
+    and join the day carry-ins by broadcast — the two-level prefix sum;
+    a single global-order window over the full point set would show an
+    Exchange SinglePartition feeding the big Window instead."""
+    plan = explain_str(QUERIES["events_concurrency"].fn(spark, sf_dir))
+    assert plan.count("Window") >= 2
+    assert "BroadcastHashJoin" in plan
+    # the day-local running sum partitions by the derived day key
+    assert "date_trunc(day" in plan.lower() or "date_trunc('day'" in plan.lower() \
+        or "partitionBy" not in plan  # formatted plans inline the spec
+
+
+def test_rolling_median_single_window_exchange(spark, sf_dir):
+    """window_rolling_median: one hash(event_type) exchange serves the
+    percentile-over-frame window; no second shuffle."""
+    plan = explain_str(QUERIES["window_rolling_median"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -611,3 +611,64 @@ def test_stateful_restart_from_checkpoint(spark, sf_dir, tmp_path):
     carried = [u for u in run2 if u in b1]
     assert carried
     assert all(run2[u][0] > b2[u][0] for u in carried)
+
+
+def test_streaming_cep_matches_batch_pattern_match(spark, sf_dir, tmp_path):
+    """The CEP automaton face must converge to the batch regex verdict:
+    replay the event log in two ts-ordered waves (per-user order
+    preserved across batches — the CDC-log precondition the operator
+    documents), drain, and the last emitted row per user must equal
+    events_pattern_match's (seq_len, converted_clean)."""
+    import glob
+    import shutil
+
+    from etl_cnpjs_spark.plans import QUERIES
+    from etl_cnpjs_spark.streaming.stateful import cep_clean_conversion
+
+    batch = {
+        r.user_id: (r.seq_len, bool(r.converted_clean))
+        for r in QUERIES["events_pattern_match"].fn(spark, sf_dir).collect()
+    }
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    mid = ev.selectExpr(
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY unix_micros(ts)) AS m"
+    ).collect()[0].m
+    w1, w2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    ev.filter(F.unix_micros("ts") < mid).coalesce(1).write.parquet(w1)
+    ev.filter(F.unix_micros("ts") >= mid).coalesce(1).write.parquet(w2)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    schema = spark.read.parquet(w1).schema
+
+    def drain():
+        s = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            cep_clean_conversion(s)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.withColumn("bid", F.lit(bid))
+                .write.mode("append")
+                .parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for i, wave in enumerate((w1, w2)):
+        for j, f in enumerate(sorted(glob.glob(f"{wave}/*.parquet"))):
+            shutil.copy(f, src / f"wave{i}_{j}.parquet")
+        drain()
+
+    rows = spark.read.parquet(out).orderBy("bid").collect()
+    got = {}
+    for r in rows:  # later batch overwrites: final state per user
+        got[r.user_id] = (r.seq_len, r.converted_clean == "true")
+    assert got == batch
