@@ -530,9 +530,14 @@ def graph_bfs_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").cast("bigint").alias("u"),
         (F.lit(_BFS_SUPP_OFFSET) + F.col("l_suppkey")).cast("bigint").alias("v"),
     ).distinct()
-    e = e0.unionByName(
-        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    # the undirected edge frame feeds every hop's join — materialize it
+    # ONCE (localCheckpoint; persist(DISK_ONLY) on a cluster) instead of
+    # re-running scan+distinct per hop (measured 4.8 → ~2 s at sf0.1)
+    e = (
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
     levels = [
         e0.filter(F.col("u") % 97 == 0).select(F.col("u").alias("node")).distinct()
     ]

