@@ -582,3 +582,120 @@ def test_containment_pairs_match_bruteforce(spark, docs):
         for r in containment_pairs(sdf, "doc_id", "sh", tau).collect()
     }
     assert got == expected
+
+
+# --- round-6 operator kernels against pure-Python reference ----------------
+
+_vals = st.lists(
+    st.integers(min_value=0, max_value=50), min_size=2, max_size=30
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(starts=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=40))
+def test_two_level_prefix_sum_equals_sequential_sweep(spark, starts):
+    """events_concurrency's decomposition on arbitrary interval sets:
+    per-bucket local running sum + cumulated bucket carry-ins must equal
+    the single sequential sweep, including end-before-start ties."""
+    from pyspark.sql import Window
+
+    iv = [(i, s, s + 10) for i, s in enumerate(starts)]  # [s, s+10)
+    pts = [(s, 1, i) for i, s, _ in iv] + [(e, -1, i) for i, _, e in iv]
+    # sequential reference: order by (t, d, id), running sum
+    seq = []
+    run = 0
+    for t, d, i in sorted(pts):
+        run += d
+        seq.append((t, d, i, run))
+    df = spark.createDataFrame(pts, "t long, d int, id long")
+    bucket = (F.col("t") / 100).cast("bigint")
+    w_local = (
+        Window.partitionBy(bucket)
+        .orderBy("t", "d", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = df.withColumn("cc_local", F.sum("d").over(w_local)).withColumn(
+        "__b", bucket
+    )
+    tot = df.groupBy(bucket.alias("__b")).agg(F.sum("d").alias("dt"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    carry = tot.withColumn("carry", F.coalesce(F.sum("dt").over(w_b), F.lit(0)))
+    got = {
+        (r.t, r.d, r.id): r.cc
+        for r in local.join(carry.select("__b", "carry"), "__b")
+        .select("t", "d", "id", (F.col("cc_local") + F.col("carry")).alias("cc"))
+        .collect()
+    }
+    for t, d, i, run in seq:
+        assert got[(t, d, i)] == run, (t, d, i)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(xs=_vals)
+def test_weighted_median_crossing_rule(spark, xs):
+    """agg_weighted_median's crossing rule vs the sequential definition
+    on arbitrary (value, weight) sets — including heavy ties, where the
+    intra-run order must not matter."""
+    from pyspark.sql import Window
+
+    rows = [(int(v), int(v) % 7 + 1) for v in xs]  # weight 1..7
+    # sequential: sort by value, first value where 2*cum >= total
+    tot = sum(w for _, w in rows)
+    cum = 0
+    want = None
+    for v, w in sorted(rows):
+        cum += w
+        if 2 * cum >= tot:
+            want = v
+            break
+    df = spark.createDataFrame(rows, "v long, w long")
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy()
+    got = (
+        df.select("v", F.sum("w").over(wc).alias("cw"), F.sum("w").over(wt).alias("tw"))
+        .filter(F.col("cw") * 2 >= F.col("tw"))
+        .agg(F.min("v"))
+        .collect()[0][0]
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    dim_keys=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=15),
+    fact_keys=st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=40),
+)
+def test_bloom_prefilter_is_lossless(spark, dim_keys, fact_keys):
+    """The Bloom prefilter contract on arbitrary key sets: whatever the
+    false-positive pattern, prefilter + exact join ≡ plain join."""
+    from etl_cnpjs_spark.plans.extended7 import _BLOOM_HASHES, _bloom_positions
+
+    dim = spark.createDataFrame([(k,) for k in set(dim_keys)], "k long")
+    fact = spark.createDataFrame(list(enumerate(fact_keys)), "i long, k long")
+    bits = None
+    for h in range(len(_BLOOM_HASHES)):
+        p = dim.select(_bloom_positions(F.col("k"), h).alias("pos"))
+        bits = p if bits is None else bits.unionByName(p)
+    bits = bits.distinct()
+    pruned = fact
+    for h in range(len(_BLOOM_HASHES)):
+        pruned = (
+            pruned.withColumn("__pos", _bloom_positions(F.col("k"), h))
+            .join(F.broadcast(bits.withColumnRenamed("pos", "__pos")), "__pos", "left_semi")
+            .drop("__pos")
+        )
+    got = {(r.i, r.k) for r in pruned.join(dim, "k").select("i", "k").collect()}
+    want = {(i, k) for i, k in enumerate(fact_keys) if k in set(dim_keys)}
+    assert got == want
