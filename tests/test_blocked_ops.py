@@ -231,3 +231,42 @@ def test_vad_closed_form_matches_decode():
     for doc_id in range(0, 24):
         for n in (0, 79, 80, 399, 400, 401, 480, 1234, 4800, 5530, 7999, 8001):
             assert decode_counts(doc_id, n) == closed_form(n), (doc_id, n)
+
+
+def test_bucket_cosine_pairs_exact_with_hot_bucket_salting(spark):
+    """bucket_cosine_pairs must emit exactly the brute-force intra-bucket
+    pair set — including when a bucket exceeds bucket_cap and salts into
+    group-pair tasks (each true pair scored in exactly one owning task,
+    no loss, no duplicates)."""
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # bucket 0: 30 vectors (hot under cap=8); bucket 1: 5; bucket 2: 1
+    rows = []
+    for i in range(36):
+        b = 0 if i < 30 else (1 if i < 35 else 2)
+        v = rng.standard_normal(8)
+        rows.append((i, int(b), [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "id long, b int, v array<double>")
+
+    from etl_cnpjs_spark.operators.similarity import bucket_cosine_pairs
+
+    tau = 0.2
+    got = {
+        (r.i, r.j)
+        for r in bucket_cosine_pairs(df, "b", "id", "v", tau, bucket_cap=8).collect()
+    }
+
+    def cos(a, bb):
+        a, bb = np.array(a), np.array(bb)
+        return float(a @ bb / (np.linalg.norm(a) * np.linalg.norm(bb)))
+
+    want = {
+        (i, j)
+        for (i, bi, vi), (j, bj, vj) in itertools.combinations(rows, 2)
+        if bi == bj and cos(vi, vj) >= tau
+    }
+    assert want, "fixture must contain at least one qualifying pair"
+    assert got == want
