@@ -974,9 +974,14 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wp).alias("n"),
         F.sum("x").over(wp).alias("sx"),
     )
+    # The rank-weighted numerator term reaches |2i−n−1|·x ≈ n·1e8 per row;
+    # a bigint Σ overflows around n ≈ 3e5 per type (sf1) — accumulate in
+    # DECIMAL(38,0) like every other stats plan (DuckDB's SUM(BIGINT) is
+    # HUGEINT-exact already; identical after the double cast).
     return r.groupBy("event_type").agg(
         (
-            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("x")).cast("double")
+            F.sum(((2 * F.col("i") - F.col("n") - 1) * F.col("x")).cast("decimal(38,0)"))
+            .cast("double")
             / (F.max("n").cast("double") * F.max("sx"))
         ).alias("gini")
     )
@@ -1312,20 +1317,22 @@ def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 2).alias("arm"),
         F.floor(F.col("value") * 1_000_000 + 0.5).cast("bigint").alias("x"),
     )
+    # Σx / Σx² accumulate in DECIMAL(38,0): per-row x ≤ 1e8 so x² ≤ 1e16,
+    # and a bigint Σx² overflows past ~900 purchase rows × sf — it DID at
+    # sf0.1 (caught by the round-6 bench). DuckDB's SUM(BIGINT) is already
+    # HUGEINT-exact; decimal matches it bit-for-bit after the double cast.
     m = q.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
     )
+    sxd = F.col("sx").cast("double")
     st = m.select(
         "arm",
         "n",
-        (F.col("sx").cast("double") / F.col("n") / F.lit(1e6)).alias("mean"),
+        (sxd / F.col("n") / F.lit(1e6)).alias("mean"),
         (
-            (
-                F.col("sxx").cast("double")
-                - F.col("sx").cast("double") * F.col("sx") / F.col("n")
-            )
+            (F.col("sxx").cast("double") - sxd * sxd / F.col("n"))
             / (F.col("n") - 1)
             / F.lit(1e12)
         ).alias("var"),

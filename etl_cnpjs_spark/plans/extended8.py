@@ -255,8 +255,9 @@ _KS_SQL = """
     SELECT event_type,
            CAST(max(n0) AS BIGINT) AS n0,
            CAST(max(n1) AS BIGINT) AS n1,
-           CAST(max(abs(r0 * n1 - r1 * n0)) * 1000000
-                  // (max(n0) * max(n1)) AS BIGINT) AS ks_ppm
+           CAST(floor(CAST(max(abs(r0 * n1 - r1 * n0)) AS DOUBLE)
+                      / (CAST(max(n0) AS DOUBLE) * CAST(max(n1) AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS ks_ppm
     FROM r
     GROUP BY event_type
     HAVING max(n0) > 0 AND max(n1) > 0
@@ -308,9 +309,17 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n0") > 0) & (F.col("n1") > 0))
     )
+    # ks in ppm via an exact double division (sup-diff and n0·n1 are
+    # exact ints < 2^53 through sf100): a bigint `·1e6 DIV` would
+    # overflow int64 around sf10 — same class as the ab_ttest fix.
     return out.select(
         "event_type", "n0", "n1",
-        F.expr("_dmax * 1000000 DIV (n0 * n1)").cast("bigint").alias("ks_ppm"),
+        F.floor(
+            F.col("_dmax").cast("double")
+            / (F.col("n0").cast("double") * F.col("n1").cast("double"))
+            * 1000000
+            + 0.5
+        ).cast("bigint").alias("ks_ppm"),
     )
 
 
