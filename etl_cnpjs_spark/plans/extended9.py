@@ -310,13 +310,17 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = deg.select(F.col("node").alias("a"), F.col("d").alias("dx"))
     dv = deg.select(F.col("node").alias("b"), F.col("d").alias("dy"))
     ed = edges.join(F.broadcast(du), "a").join(F.broadcast(dv), "b")
+    # Σd·d' reaches 2m·d_max² (worst case 2m³) — decimal(38,0)
+    # accumulation keeps the sums exact on template-hub graphs where a
+    # bigint would overflow past ~1.6M edges (DuckDB's SUM(BIGINT) is
+    # HUGEINT-exact already; identical after the double cast).
     s = ed.agg(
         F.count(F.lit(1)).cast("bigint").alias("m"),
         F.sum("dx").cast("bigint").alias("sx"),
         F.sum("dy").cast("bigint").alias("sy"),
-        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
-        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+        F.sum((F.col("dx") * F.col("dy")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("dx") * F.col("dx")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast("decimal(38,0)")).alias("syy"),
     )
     num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     denx = F.sqrt((F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
@@ -528,4 +532,135 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             / F.sum(F.when(inb, 1).otherwise(0))
         ).alias("trimmed_mean"),
+    )
+
+
+# --- agg_autocorr -----------------------------------------------------------
+#
+# Lag-1 autocorrelation of the hourly event-count series per event
+# type — the "is this series bursty or memoryless" scalar that decides
+# whether events_anomaly's i.i.d. z-scores are even valid, and the
+# time-series counterpart of graph_assortativity's Pearson form: six
+# bigint sums + one fixed double-op finish. Consecutive-hour pairs
+# come from a self-join on h+1 (a lag() over existing rows would
+# silently pair across gaps in sparse hours).
+
+
+_AUTOCORR_SQL = """
+    WITH b AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS h
+      FROM events),
+    c AS (
+      SELECT event_type, h, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY 1, 2),
+    pr AS (
+      SELECT a.event_type, a.n AS x, b.n AS y
+      FROM c a JOIN c b ON a.event_type = b.event_type AND b.h = a.h + 1),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pr GROUP BY 1)
+    SELECT event_type, m,
+           CAST(m * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) AS autocorr_lag1
+    FROM s
+    """
+
+
+@register("agg_autocorr", oracle=_AUTOCORR_SQL, tags=("events", "stats", "timeseries"))
+def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Pearson autocorrelation of hourly counts per event type.
+
+    Shapes: one hash(event_type, hour) count aggregate (map-side
+    combined) collapses the scan to |types|·|hours| rows; the
+    consecutive-pair self-join and six-sum reduce run on that tiny
+    frame. Counts are exact bigints; the Pearson finish is the same
+    fixed mul/sub/sqrt/div sequence both engines execute on identical
+    operands (hour counts stay < 2^26 through sf100, so every product
+    here fits int64 with 12 bits to spare — documented bound, with
+    DECIMAL(38,0) the swap if a series ever 4000×'s that)."""
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.select("event_type", F.expr("unix_micros(ts) DIV 3600000000").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    a = c.select("event_type", F.col("h").alias("ha"), F.col("n").alias("x"))
+    b = c.select("event_type", (F.col("h") - 1).alias("ha"), F.col("n").alias("y"))
+    pr = a.join(b, ["event_type", "ha"])
+    s = pr.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = F.sqrt(
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    deny = F.sqrt(
+        (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select("event_type", "m", (num / (denx * deny)).alias("autocorr_lag1"))
+
+
+# --- text_hashing_tf --------------------------------------------------------
+#
+# Feature-hashed document vectors (HashingTF): token → md5-prefix hash
+# → bucket 0..63, term counts per (doc, bucket) — the fixed-width
+# vectorization that feeds linear quality classifiers without a vocab
+# table (no global dictionary state, the whole point at corpus scale).
+# Emitted exploded (doc_id, bucket, tf) — the driver boundary takes no
+# top-level arrays; assembling the dense vector is one groupBy away.
+
+_HTF_BUCKETS = 64
+
+
+_HTF_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT % {_HTF_BUCKETS} AS bucket
+      FROM tok)
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM h GROUP BY 1, 2
+    """
+
+
+@register("text_hashing_tf", oracle=_HTF_SQL, tags=("text", "north_star", "ml"))
+def text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashingTF: md5-prefix feature hashing into {B} buckets.
+
+    The hash is the repo's portable scheme (md5 hex prefix → bigint —
+    operators/dedup.py::_SIMHASH_EXPR discipline), so both engines
+    bucket identically; Spark's murmur-based hash() would not
+    cross-check. Shapes: explode → one hash(doc_id, bucket) aggregate
+    with map-side combine; output is ≤ {B} rows per doc regardless of
+    doc length. At 100 TB this is the classic one-exchange
+    vectorization pass; no vocabulary build, no broadcast state."""
+    from etl_cnpjs_spark.functions.text import tokens
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("bigint")
+        % _HTF_BUCKETS
+    )
+    return (
+        d.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )

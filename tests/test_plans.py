@@ -718,3 +718,46 @@ def test_rolling_median_single_window_exchange(spark, sf_dir):
     percentile-over-frame window; no second shuffle."""
     plan = explain_str(QUERIES["window_rolling_median"].fn(spark, sf_dir), "simple")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_haversine_is_shuffle_free_narrow_map(spark, sf_dir):
+    """fn_geo_haversine: pure scan-side math — no exchange anywhere, and
+    the single-column read schema proves pruning."""
+    plan = explain_str(QUERIES["fn_geo_haversine"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, "haversine must not shuffle"
+    assert "ReadSchema: struct<c_custkey:bigint>" in plan
+
+
+def test_outlier_iqr_second_pass_broadcasts_bounds(spark, sf_dir):
+    """dq_outlier_iqr / agg_winsorized_mean: the tiny percentile frame
+    broadcasts; the big side is never exchanged for the join."""
+    for key in ("dq_outlier_iqr", "agg_winsorized_mean"):
+        plan = explain_str(QUERIES[key].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{key}: bounds must broadcast"
+        assert "SortMergeJoin" not in plan, f"{key}: no big-big join"
+
+
+def test_ks_test_single_value_grid_exchange(spark, sf_dir):
+    """events_ks_test: the raw scan is collapsed by one partial-combined
+    (event_type, value) aggregate before any window work."""
+    plan = explain_str(QUERIES["events_ks_test"].fn(spark, sf_dir))
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, (
+        "grid agg + window partitioning only"
+    )
+
+
+def test_hashing_tf_one_aggregate_no_join(spark, sf_dir):
+    """text_hashing_tf: vectorization is explode + ONE aggregate — no
+    vocabulary join, no broadcast state."""
+    plan = explain_str(QUERIES["text_hashing_tf"].fn(spark, sf_dir))
+    assert "Join" not in plan, "feature hashing must not build a vocab join"
+    assert "partial_count" in plan, "tf counts must combine map-side"
+
+
+def test_seasonality_single_exchange_then_window(spark, sf_dir):
+    """events_seasonality: one partial-combined cell aggregate; the
+    window total runs on the 168-cell frame, not the scan."""
+    plan = explain_str(QUERIES["events_seasonality"].fn(spark, sf_dir))
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
