@@ -699,3 +699,23 @@ def test_bloom_prefilter_is_lossless(spark, dim_keys, fact_keys):
     got = {(r.i, r.k) for r in pruned.join(dim, "k").select("i", "k").collect()}
     want = {(i, k) for i, k in enumerate(fact_keys) if k in set(dim_keys)}
     assert got == want
+
+
+def test_kcore_peel_converged_at_registered_rounds(spark, sf_dir):
+    """graph_kcore registers 'k-core after R rounds'; this pins that the
+    peel has actually CONVERGED by round R at test scale (round R−1
+    already equals round R), so the registered output IS the k-core."""
+    import etl_cnpjs_spark.plans.extended10 as x10
+
+    def run(rounds: int):
+        orig = x10._KCORE_ROUNDS
+        x10._KCORE_ROUNDS = rounds
+        try:
+            return {
+                tuple(r)
+                for r in x10.graph_kcore(spark, sf_dir).collect()
+            }
+        finally:
+            x10._KCORE_ROUNDS = orig
+
+    assert run(x10._KCORE_ROUNDS - 1) == run(x10._KCORE_ROUNDS)
