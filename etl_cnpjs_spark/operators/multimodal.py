@@ -604,3 +604,52 @@ def bmp_ahash_map_in_pandas(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "phash"])
 
     return df.mapInPandas(run, schema=BMP_AHASH_SCHEMA)
+
+
+BMP_CHANNEL_SCHEMA = (
+    "doc_id long, width int, height int,"
+    " sum_b long, sum_g long, sum_r long,"
+    " min_b int, max_b int, min_g int, max_g int, min_r int, max_r int"
+)
+
+
+def bmp_channel_stats_map_in_pandas(df: DataFrame) -> DataFrame:
+    """(doc_id, width, height) → synthesize the doc's BMP, PARSE the
+    bytes back, and reduce the DECODED array to per-channel statistics
+    (sum/min/max for B, G, R) — the normalization profile a vision
+    preprocessing pipeline computes before mean/std scaling. Same
+    executor-side discipline as bmp_features_map_in_pandas: bytes are
+    born and die inside the task, vectorized numpy per image, only the
+    12-integer stats row crosses back to the JVM. Channel separation
+    (vs the summed features of the decode face) pins BGR ordering on
+    its own: swapping any two channels changes the per-channel sums
+    while leaving pixel_sum invariant."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"]):
+                doc_id, w, h = int(doc_id), int(w), int(h)
+                pw, ph, _bpp, px = parse_bmp(synth_bmp(doc_id, w, h))
+                a = px.astype(np.int64)
+                b, g, r = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+                rows.append(
+                    (
+                        doc_id, pw, ph,
+                        int(b.sum()), int(g.sum()), int(r.sum()),
+                        int(b.min()), int(b.max()),
+                        int(g.min()), int(g.max()),
+                        int(r.min()), int(r.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "sum_b", "sum_g", "sum_r",
+                    "min_b", "max_b", "min_g", "max_g", "min_r", "max_r",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=BMP_CHANNEL_SCHEMA)

@@ -187,3 +187,70 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
+
+
+# --- mm_image_channel_stats -------------------------------------------------
+#
+# Per-channel pixel statistics from DECODED image bytes — the
+# normalization profile (per-channel sum/min/max) a vision pipeline
+# computes before mean/std scaling, and a sharper decode check than
+# the summed features: swapping any two channels changes per-channel
+# sums while leaving pixel_sum invariant, so BGR ordering is pinned in
+# isolation. Same real-codec posture as mm_decode_bmp (synthesize a
+# valid 24-bit BMP, parse it back executor-side); the oracle
+# re-derives every statistic from the closed-form pixel pattern.
+
+
+_CHANNEL_SQL = """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 9 AS INT) AS width,
+             CAST(8 + doc_id % 7 AS INT) AS height
+      FROM documents
+    ),
+    grid AS (
+      SELECT d.doc_id, d.width, d.height,
+             (gx.x + 3 * gy.y + d.doc_id) % 256     AS b,
+             (2 * gx.x + gy.y + d.doc_id) % 256     AS g,
+             (gx.x + gy.y + 3 * d.doc_id) % 256     AS r
+      FROM dims d
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) gx
+      CROSS JOIN (SELECT unnest(generate_series(0, 13)) AS y) gy
+      WHERE gx.x < d.width AND gy.y < d.height
+    )
+    SELECT doc_id,
+           CAST(max(width) AS INT)  AS width,
+           CAST(max(height) AS INT) AS height,
+           CAST(sum(b) AS BIGINT) AS sum_b,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(min(b) AS INT) AS min_b, CAST(max(b) AS INT) AS max_b,
+           CAST(min(g) AS INT) AS min_g, CAST(max(g) AS INT) AS max_g,
+           CAST(min(r) AS INT) AS min_r, CAST(max(r) AS INT) AS max_r
+    FROM grid GROUP BY doc_id
+    """
+
+
+@register(
+    "mm_image_channel_stats",
+    oracle=_CHANNEL_SQL,
+    tags=("north_star", "multimodal", "udf", "image"),
+)
+def mm_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel (B/G/R) sum/min/max from decoded BMP pixel arrays.
+
+    Scale shape: Arrow-batched mapInPandas, vectorized numpy per
+    image; bytes never leave the task — only 12 integers per image
+    cross to the JVM, nothing binary shuffles (SCALE.md multimodal
+    rule). The oracle grid re-derives the statistics analytically,
+    fully independent of the bytes."""
+    from etl_cnpjs_spark.operators.multimodal import (
+        bmp_channel_stats_map_in_pandas,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (8 + F.col("doc_id") % 9).cast("int").alias("width"),
+        (8 + F.col("doc_id") % 7).cast("int").alias("height"),
+    )
+    return bmp_channel_stats_map_in_pandas(d)
