@@ -254,3 +254,195 @@ def mm_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (8 + F.col("doc_id") % 7).cast("int").alias("height"),
     )
     return bmp_channel_stats_map_in_pandas(d)
+
+
+# --- sim_topk_filtered ------------------------------------------------------
+#
+# FILTERED vector search: top-k cosine neighbors of the query vector
+# WITHIN each label class (the "metadata-filtered ANN" every modern
+# vector store names as a first-class feature — filter-then-score, not
+# score-then-filter, so the predicate prunes the scan before any
+# distance math). Composes the similarity family's exact scorer with a
+# per-label rank window.
+
+_FILTERED_TOPK = 3
+
+
+def _filtered_sql() -> str:
+    from etl_cnpjs_spark.operators.similarity import sql_cosine
+
+    return f"""
+    WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM n ORDER BY vec_id LIMIT 1),
+    s AS (
+      SELECT n.vec_id, n.label, {sql_cosine('n.v', 'q.qv')} AS cos_sim
+      FROM n, q
+      WHERE n.vec_id <> (SELECT min(vec_id) FROM n)),
+    r AS (
+      SELECT vec_id, label, cos_sim,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM s)
+    SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, cos_sim
+    FROM r WHERE rk <= {_FILTERED_TOPK}
+    """
+
+
+@register(
+    "sim_topk_filtered",
+    oracle=_filtered_sql(),
+    tags=("similarity", "north_star", "ml"),
+)
+def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label top-k cosine neighbors of the corpus's first vector.
+
+    Shapes: the 1-row query broadcasts; scoring is scan-side (the
+    label predicate — here the partition itself — prunes BEFORE
+    distance math, the filtered-ANN contract); the per-label top-k is
+    one rank window over the scored frame. At 100 TB with a selective
+    label filter this is a fraction-of-scan scorer + a tiny window —
+    the production argument for storing label as a partition column.
+    Determinism: cosine is the sequential-fold dot (bit-exact), rank
+    ties break on vec_id."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", vec_double(F.col("embedding")).alias("v")
+    )
+    q = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("v").alias("qv"), F.col("vec_id").alias("qid"))
+    )
+    s = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", "label", cosine(F.col("v"), F.col("qv")).alias("cos_sim"))
+    )
+    from pyspark.sql.window import Window as W
+
+    r = s.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("label").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        ),
+    )
+    return r.filter(F.col("rk") <= _FILTERED_TOPK).select(
+        "label", F.col("rk").cast("bigint").alias("rk"), "vec_id", "cos_sim"
+    )
+
+
+# --- dq_referential ---------------------------------------------------------
+#
+# Referential-integrity report: orphan counts for every FK edge of the
+# star schema in ONE frame — the readme QA items the reference checks
+# by hand (readme.md:140-145: orphaned estabelecimentos/CNAEs), done
+# engine-side as anti-join counts. Completes the DQ family
+# (dq_check/dq_drift/dq_outlier_iqr) with the classic RI audit.
+
+
+_RI_SQL = """
+    SELECT 'orders->customer' AS fk_edge,
+           CAST(count(*) AS BIGINT) AS n_child,
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN oo.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders oo ON l.l_orderkey = oo.o_orderkey
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'supplier->nation',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """
+
+
+@register("dq_referential", oracle=_RI_SQL, tags=("dq",))
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan counts per FK edge (child rows with no parent).
+
+    Shapes: each edge is a left join AGGREGATED TO TWO NUMBERS —
+    Catalyst keeps the parent side broadcast where small (customer/
+    part/nation); the lineitem→orders edge is the one genuine big-big
+    join and shares the bucketed-layout answer join_bucketed proves.
+    The four edges union into one 4-row report frame."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey")
+    su = table(spark, sf_dir, "supplier").select("s_nationkey")
+    na = table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def edge(name, child, parent, ck, pk):
+        j = child.join(parent, child[ck] == parent[pk], "left")
+        return j.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+            F.sum(F.when(parent[pk].isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
+        ).select("fk_edge", "n_child", "n_orphans")
+
+    return (
+        edge("orders->customer", o, c, "o_custkey", "c_custkey")
+        .unionAll(edge("lineitem->orders", li, o.select("o_orderkey"), "l_orderkey", "o_orderkey"))
+        .unionAll(edge("lineitem->part", li, p, "l_partkey", "p_partkey"))
+        .unionAll(edge("supplier->nation", su, na, "s_nationkey", "n_nationkey"))
+    )
+
+
+# --- corpus_source_mix ------------------------------------------------------
+#
+# Corpus composition report: docs, chars and share by (source, lang) —
+# the mixture dashboard a curation run publishes next to its output
+# (what sample_weighted_mix/sample_temperature_mix consume as input
+# rates). All-integer (counts + ppm shares).
+
+
+_SOURCE_MIX_SQL = """
+    WITH g AS (
+      SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY 1, 2)
+    SELECT source, lang, n_docs, n_chars,
+           CAST(n_docs * 1000000
+                // (SELECT CAST(sum(n_docs) AS BIGINT) FROM g) AS BIGINT)
+             AS doc_share_ppm,
+           CAST(n_chars * 1000000
+                // (SELECT CAST(sum(n_chars) AS BIGINT) FROM g) AS BIGINT)
+             AS char_share_ppm
+    FROM g
+    """
+
+
+@register("corpus_source_mix", oracle=_SOURCE_MIX_SQL, tags=("corpus", "north_star"))
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs/chars composition by (source, lang) with ppm shares.
+
+    Shapes: one map-side-combinable aggregate to |sources|·|langs|
+    rows; the grand totals are window sums over that tiny frame.
+    At 100 TB this is the one-exchange composition report."""
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    w = W.partitionBy()
+    return (
+        g.withColumn("_td", F.sum("n_docs").over(w))
+        .withColumn("_tc", F.sum("n_chars").over(w))
+        .select(
+            "source", "lang", "n_docs", "n_chars",
+            F.expr("n_docs * 1000000 DIV _td").cast("bigint").alias("doc_share_ppm"),
+            F.expr("n_chars * 1000000 DIV _tc").cast("bigint").alias("char_share_ppm"),
+        )
+    )
