@@ -446,3 +446,172 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_chars * 1000000 DIV _tc").cast("bigint").alias("char_share_ppm"),
         )
     )
+
+
+# --- events_dau_mau ---------------------------------------------------------
+#
+# DAU/MAU stickiness: per day, distinct active users that day (DAU)
+# and over the trailing 30 days (MAU), ratio in ppm — the engagement
+# metric product teams watch daily. Exact distinct-over-range has no
+# SQL window form; both engines compute it as day-grid × daily-user
+# join (the honest exact shape). All-integer output.
+
+
+_DAU_SQL = """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    mau AS (
+      SELECT g.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+      FROM days g JOIN du u
+        ON u.day BETWEEN g.day - INTERVAL 29 DAY AND g.day
+      GROUP BY g.day),
+    dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, m.mau,
+           CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stickiness_ppm
+    FROM dau d JOIN mau m ON d.day = m.day
+    """
+
+
+@register("events_dau_mau", oracle=_DAU_SQL, tags=("events", "analytics"))
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day DAU, trailing-30d MAU, and stickiness (ppm).
+
+    Shapes: the scan collapses to distinct (day, user) once; the day
+    grid (|days| rows) BROADCASTS onto that frame with a 30-day range
+    condition; one count-distinct per day closes it. Honest about
+    scale: exact trailing distinct is inherently a re-count (users
+    deduplicate across the window — sums of daily DAU overcount);
+    the 100 TB swap is per-day HLL sketches merged over the window
+    (agg_hll_sketch's machinery), trading exactness for one pass —
+    documented here, kept exact because the oracle is exact."""
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    du = du.localCheckpoint()
+    days = du.select("day").distinct().select(F.col("day").alias("g"))
+    mau = (
+        du.join(
+            F.broadcast(days),
+            (F.col("day") <= F.col("g"))
+            & (F.col("day") >= F.date_sub(F.col("g"), 29)),
+        )
+        .groupBy("g")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    j = dau.join(mau, dau["day"] == mau["g"]).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "mau"
+    )
+    return j.select(
+        "day", "dau", "mau",
+        F.expr("dau * 1000000 DIV mau").cast("bigint").alias("stickiness_ppm"),
+    )
+
+
+# --- events_new_vs_returning ------------------------------------------------
+#
+# Per-day split of active users into first-ever-seen (new) vs
+# returning — the acquisition/retention decomposition next to
+# events_dau_mau's aggregate. Pure integer arithmetic on the same
+# distinct (day, user) frame.
+
+
+_NVR_SQL = """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    f AS (SELECT user_id, min(day) AS first_day FROM du GROUP BY user_id)
+    SELECT strftime(du.day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS dau,
+           CAST(sum(CASE WHEN du.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(sum(CASE WHEN du.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users
+    FROM du JOIN f ON du.user_id = f.user_id
+    GROUP BY du.day
+    """
+
+
+@register("events_new_vs_returning", oracle=_NVR_SQL, tags=("events", "analytics"))
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day new vs returning active users.
+
+    Shapes: distinct (day, user) once, a per-user min-day aggregate
+    (user-sized, rejoined on user_id — same exchange key, AQE
+    coalesces), one per-day count. At 100 TB the first-day frame is
+    the user dimension and broadcasts."""
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    f = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = du.join(f, "user_id")
+    return (
+        j.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dau"),
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau", "new_users", "returning_users",
+        )
+    )
+
+
+# --- agg_percent_change_wow -------------------------------------------------
+#
+# Week-over-week change per event type: weekly counts joined to the
+# previous week (consecutive-week self-join — the agg_autocorr
+# discipline; lag() would silently pair across gaps), change in ppm by
+# integer arithmetic. The trend line behind every metrics dashboard.
+
+
+_WOW_SQL = """
+    WITH w AS (
+      SELECT event_type,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT a.event_type, CAST(a.wk AS BIGINT) AS wk,
+           a.n AS n_cur, b.n AS n_prev,
+           CAST((a.n - b.n) * 1000000 // b.n AS BIGINT) AS change_ppm
+    FROM w a JOIN w b
+      ON a.event_type = b.event_type AND b.wk = a.wk - 1
+    """
+
+
+@register("agg_percent_change_wow", oracle=_WOW_SQL, tags=("events", "analytics"))
+def agg_percent_change_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week count change (ppm) per event type.
+
+    Shapes: one weekly-count aggregate (map-side combined), then the
+    consecutive-week pairing runs on the |types|·|weeks| frame. Weeks
+    are epoch-day integer buckets (origin-convention-proof)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "datediff(to_date(ts), date '1970-01-01') DIV 7"
+            ).alias("wk"),
+        )
+        .groupBy("event_type", "wk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    a = w.select("event_type", F.col("wk").alias("wka"), F.col("n").alias("n_cur"))
+    b = w.select(
+        "event_type", (F.col("wk") + 1).alias("wka"), F.col("n").alias("n_prev")
+    )
+    return a.join(b, ["event_type", "wka"]).select(
+        "event_type",
+        F.col("wka").cast("bigint").alias("wk"),
+        "n_cur",
+        "n_prev",
+        F.expr("(n_cur - n_prev) * 1000000 DIV n_prev").cast("bigint").alias(
+            "change_ppm"
+        ),
+    )
