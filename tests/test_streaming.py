@@ -745,3 +745,110 @@ def test_python_datasource_streaming_reader(spark, tmp_path):
     got = {(r.id, r.sq) for r in rows}
     assert got == {(i, i * i) for i in range(N)}  # exactly once, no dupes
     assert len({r.bid for r in rows}) >= 2, "feed must span multiple micro-batches"
+
+
+def test_streaming_cdc_upsert_matches_batch_merge(spark, sf_dir, tmp_path):
+    """Streaming MERGE INTO: the CDC feed arrives as a STREAM (version-1
+    changes in one micro-batch, version-2 changes in a later one) and a
+    foreachBatch upsert merges each batch into a parquet state table
+    with latest-wins-by-version semantics and an atomic directory swap
+    (the os.replace idempotent-publish discipline of cnpj/ingest). The
+    final applied table must equal the BATCH cdc_apply result — which
+    holds only if the upsert keeps per-key latest-wins ACROSS
+    micro-batches through the state table, not merely within one batch."""
+    import os
+    import shutil
+
+    o = table(spark, sf_dir, "orders")
+    f1 = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(1).alias("version"),
+        F.when(F.col("o_orderkey") % 100 == 0, "D").otherwise("U").alias("op"),
+        F.concat(F.lit("v1-"), F.lower("o_orderstatus")).alias("new_status"),
+    )
+    f2 = o.filter(
+        (F.col("o_orderkey") % 20 == 0) & (F.col("o_orderkey") % 100 != 0)
+    ).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(2).alias("version"),
+        F.lit("U").alias("op"),
+        F.concat(F.lit("v2-"), F.lower("o_orderstatus")).alias("new_status"),
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    feed_schema = f1.schema
+
+    def drop_feed(df, prefix):
+        import glob
+
+        d = str(tmp_path / f"stage_{prefix}")
+        df.coalesce(1).write.parquet(d)
+        for i, f in enumerate(sorted(glob.glob(f"{d}/*.parquet"))):
+            shutil.copy(f, src / f"{prefix}{i}.parquet")
+
+    def upsert(batch_df, batch_id):
+        from pyspark.sql import Window as W
+
+        incoming = batch_df
+        if os.path.exists(state):
+            cur = batch_df.sparkSession.read.parquet(state)
+            incoming = cur.unionByName(incoming)
+        w = W.partitionBy("key").orderBy(F.desc("version"))
+        merged = (
+            incoming.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        tmp_out = state + f".tmp{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp_out)
+        old = state + ".old"
+        if os.path.exists(state):
+            os.replace(state, old)
+        os.replace(tmp_out, state)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(feed_schema)
+            .parquet(str(src))
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # micro-batch 1: version-1 changes only
+    drop_feed(f1, "a")
+    run_once()
+    # micro-batch 2 (separate run → separate batch): version-2 changes
+    drop_feed(f2, "b")
+    run_once()
+
+    applied = (
+        o.join(
+            F.broadcast(
+                spark.read.parquet(state).select("key", "op", "new_status")
+            ),
+            o.o_orderkey == F.col("key"),
+            "left",
+        )
+        .filter(~F.col("op").eqNullSafe("D"))
+        .select(
+            "o_orderkey",
+            F.coalesce("new_status", "o_orderstatus").alias("status"),
+        )
+    )
+    got = {r.o_orderkey: r.status for r in applied.collect()}
+    from etl_cnpjs_spark.plans import QUERIES
+
+    want = {
+        r.o_orderkey: r.status
+        for r in QUERIES["cdc_apply"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the cross-batch property is load-bearing: some keys were updated in
+    # BOTH batches and must show version 2
+    assert any(s.startswith("v2-") for s in got.values())
