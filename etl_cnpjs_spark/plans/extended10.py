@@ -615,3 +615,135 @@ def agg_percent_change_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "change_ppm"
         ),
     )
+
+
+# --- udaf_geomean -----------------------------------------------------------
+#
+# Custom aggregate via a GROUPED_AGG pandas UDAF — the missing face of
+# the UDF surface (scalar pandas_udf: udf_cnpj_format; grouped map:
+# udf_grouped_map; UDTF: udtf_bigrams; now the Arrow-batched custom
+# AGGREGATE). Semantics: per-status geometric mean of order totals.
+# Determinism across engines AND partitions: each value contributes
+# floor(ln(x)·1e6 + 0.5) as an INTEGER (math.log = C libm, the same
+# libm DuckDB's ln() binds on this box — and the micro-quantization
+# absorbs any ulp split); the UDAF returns the bigint SUM of those
+# integers, so partial-aggregation order cannot matter, and the final
+# geomean derives by integer division outside the UDAF.
+
+
+_GEOMEAN_SQL = """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(ln(o_totalprice) * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS log_micro_sum,
+           CAST(sum(CAST(floor(ln(o_totalprice) * 1000000 + 0.5) AS BIGINT))
+                // count(*) AS BIGINT) AS geomean_log_micro
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY o_orderstatus
+    """
+
+
+@register("udaf_geomean", oracle=_GEOMEAN_SQL, tags=("udf", "agg"))
+def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF: integer-quantized log-sum per group.
+
+    The UDAF body receives each group's values as one Arrow batch and
+    returns ONE bigint — Catalyst runs it as a real aggregate
+    (partial/merge handled by Spark's ObjectHashAggregate for pandas
+    UDAFs). Per-value work is math.log + floor — the C-libm twin of
+    the oracle's ln(); the 1e-6 quantization is the repo's standard
+    libm posture. Shapes: one hash(status) exchange of Arrow batches;
+    at 100 TB a plain built-in ln()+sum is the faster form (documented
+    — this key exists to prove the custom-UDAF seam, not to beat
+    codegen)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG functionType: the type-hint route only accepts
+    # float-returning Series->scalar signatures in pyspark 4.1
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def log_micro_sum(v: pd.Series):
+        return int(sum(math.floor(math.log(x) * 1000000 + 0.5) for x in v))
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    # a grouped-agg pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — run it alone and join the count
+    # back on the group key (both aggregates share the same exchange;
+    # the joined frames are |groups|-sized)
+    s = o.groupBy("o_orderstatus").agg(
+        log_micro_sum(F.col("o_totalprice")).alias("log_micro_sum")
+    )
+    n = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return s.join(n, "o_orderstatus").select(
+        "o_orderstatus", "n", "log_micro_sum",
+        F.expr("log_micro_sum DIV n").cast("bigint").alias("geomean_log_micro"),
+    )
+
+
+# --- agg_audience_overlap ---------------------------------------------------
+#
+# Audience overlap: for each ordered pair of event types, the distinct
+# users doing A, doing B, doing BOTH, and the Jaccard overlap in ppm —
+# the segmentation/lookalike primitive. Exact via distinct user sets;
+# the 100 TB swap is theta/HLL sketch intersection (agg_hll_sketch's
+# family), traded here for exactness because the oracle is exact.
+
+
+_AUDIENCE_SQL = """
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+          FROM du GROUP BY 1),
+    b AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT b.type_a, b.type_b, na.n_users AS n_a, nb.n_users AS n_b, b.n_both,
+           CAST(b.n_both * 1000000
+                // (na.n_users + nb.n_users - b.n_both) AS BIGINT)
+             AS jaccard_ppm
+    FROM b JOIN n na ON b.type_a = na.event_type
+           JOIN n nb ON b.type_b = nb.event_type
+    """
+
+
+@register("agg_audience_overlap", oracle=_AUDIENCE_SQL, tags=("agg", "analytics"))
+def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience intersection + Jaccard (ppm) across event
+    types.
+
+    Shapes: distinct (type, user) once — ONE hash(user) exchange;
+    the pair intersection is a self-join on user_id over that frame
+    (each user contributes |types-they-did|² pairs, bounded by the
+    type alphabet, NOT by event volume); per-type sizes broadcast
+    onto the tiny pair frame. All-integer output."""
+    ev = table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct().localCheckpoint()
+    n = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    na = n.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    nb = n.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    return (
+        both.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_both",
+            F.expr("n_both * 1000000 DIV (n_a + n_b - n_both)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )
