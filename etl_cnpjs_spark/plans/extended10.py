@@ -747,3 +747,71 @@ def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_ppm"),
         )
     )
+
+
+# --- corpus_shard_assignment ------------------------------------------------
+#
+# Output shard planning: assign every document to one of {S} shards by
+# portable content-independent key hash and report per-shard load
+# (docs, chars) with skew vs the ideal share — the write-layout
+# decision a 100 TB corpus publish makes BEFORE the shuffle (shard =
+# repartition key = output file group). Balance is the whole point:
+# the report IS the evidence the hash spreads load.
+
+_SHARDS = 32
+
+
+_SHARD_SQL = f"""
+    WITH s AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_SHARDS} AS shard,
+             n_chars
+      FROM documents),
+    g AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM s GROUP BY 1)
+    SELECT CAST(shard AS BIGINT) AS shard, n_docs, n_chars,
+           CAST(n_chars * {_SHARDS} * 1000000
+                // (SELECT CAST(sum(n_chars) AS BIGINT) FROM g) AS BIGINT)
+             AS load_vs_ideal_ppm
+    FROM g
+    """
+
+
+@register("corpus_shard_assignment", oracle=_SHARD_SQL, tags=("corpus", "layout"))
+def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard assignment by md5-of-key + per-shard load report
+    (load_vs_ideal_ppm = 1e6 means perfectly balanced).
+
+    The hash is content-independent (doc_id, not text) so shard
+    placement survives document edits — the stable-layout property
+    incremental publishes need. Shapes: one {S}-group aggregate with
+    map-side combine; the grand total is a window over the {S}-row
+    frame. At 100 TB the real write is .repartition(shard).write —
+    this plan is its dry-run report."""
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents").select(
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % _SHARDS
+        ).alias("shard"),
+        "n_chars",
+    )
+    g = d.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    return (
+        g.withColumn("_t", F.sum("n_chars").over(W.partitionBy()))
+        .select(
+            F.col("shard").cast("bigint").alias("shard"),
+            "n_docs",
+            "n_chars",
+            F.expr(f"n_chars * {_SHARDS} * 1000000 DIV _t")
+            .cast("bigint")
+            .alias("load_vs_ideal_ppm"),
+        )
+    )
