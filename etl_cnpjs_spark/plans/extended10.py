@@ -815,3 +815,113 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("load_vs_ideal_ppm"),
         )
     )
+
+
+# --- agg_view_maintenance ---------------------------------------------------
+#
+# Incremental view maintenance (IVM): a per-status (count, revenue)
+# aggregate VIEW is maintained under the cdc_apply CDC feed by DELTA
+# ALGEBRA — subtract each touched row's old contribution, add its new
+# one — never recomputing from the base table. The oracle recomputes
+# the aggregate over the APPLIED table, so equality proves the delta
+# algebra: new_view = old_view − old(touch) + new(touch), with deletes
+# contributing only a subtraction. Decimal accumulation makes the
+# subtraction EXACT (the reason float IVM is untrustworthy and
+# decimal IVM is not).
+
+
+_IVM_SQL = """
+    WITH feed AS (
+      SELECT o_orderkey AS key, 1 AS version,
+             CASE WHEN o_orderkey % 100 = 0 THEN 'D' ELSE 'U' END AS op,
+             'v1-' || lower(o_orderstatus) AS new_status
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', 'v2-' || lower(o_orderstatus)
+      FROM orders WHERE o_orderkey % 20 = 0 AND o_orderkey % 100 <> 0),
+    latest AS (
+      SELECT key, op, new_status FROM (
+        SELECT *, row_number() OVER (PARTITION BY key ORDER BY version DESC) AS rn
+        FROM feed) WHERE rn = 1),
+    applied AS (
+      SELECT COALESCE(l.new_status, b.o_orderstatus) AS status,
+             b.o_totalprice
+      FROM orders b LEFT JOIN latest l ON b.o_orderkey = l.key
+      WHERE l.op IS NULL OR l.op <> 'D')
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM applied GROUP BY status
+    """
+
+
+@register("agg_view_maintenance", oracle=_IVM_SQL, tags=("cdc", "agg", "ivm"))
+def agg_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-maintained per-status aggregate under the CDC feed.
+
+    The maintained view is computed INCREMENTALLY: (1) the old view
+    aggregates the base once; (2) the touched-row frame (base ⨝
+    collapsed feed — feed-sized, broadcast) yields two delta
+    aggregates: −(old status contributions) and +(new status
+    contributions, deletes excluded); (3) the three frames —
+    all |status|-sized — merge by key and statuses whose count hits
+    zero drop out. The base table is scanned exactly ONCE for the
+    view and once for the touch join (both scans prune to 3 columns);
+    nothing rescans per change. The oracle RECOMPUTES over the
+    applied table, so the equality is the IVM correctness proof.
+    Decimal accumulation makes subtraction exact — a double-sum view
+    could not be maintained this way."""
+    from pyspark.sql.window import Window as W
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    f1 = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(1).alias("version"),
+        F.when(F.col("o_orderkey") % 100 == 0, "D").otherwise("U").alias("op"),
+        F.concat(F.lit("v1-"), F.lower("o_orderstatus")).alias("new_status"),
+    )
+    f2 = o.filter(
+        (F.col("o_orderkey") % 20 == 0) & (F.col("o_orderkey") % 100 != 0)
+    ).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(2).alias("version"),
+        F.lit("U").alias("op"),
+        F.concat(F.lit("v2-"), F.lower("o_orderstatus")).alias("new_status"),
+    )
+    w = W.partitionBy("key").orderBy(F.desc("version"))
+    latest = (
+        f1.unionAll(f2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "op", "new_status")
+    )
+    dec = "decimal(27,6)"
+    old_view = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast(dec)).alias("rev"),
+    )
+    touched = o.join(F.broadcast(latest), o.o_orderkey == latest.key)
+    minus = touched.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        (-F.count(F.lit(1))).cast("bigint").alias("n"),
+        (-F.sum(F.col("o_totalprice").cast(dec))).alias("rev"),
+    )
+    plus = (
+        touched.filter(F.col("op") != "D")
+        .groupBy(F.col("new_status").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast(dec)).alias("rev"),
+        )
+    )
+    merged = (
+        old_view.unionAll(minus)
+        .unionAll(plus)
+        .groupBy("status")
+        .agg(F.sum("n").cast("bigint").alias("n_orders"), F.sum("rev").alias("revd"))
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged.select(
+        "status", "n_orders", F.col("revd").cast("double").alias("revenue")
+    )

