@@ -925,3 +925,251 @@ def agg_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "status", "n_orders", F.col("revd").cast("double").alias("revenue")
     )
+
+
+# --- text_keywords ----------------------------------------------------------
+#
+# Per-document keyword extraction: top-3 tokens by tf·idf — the
+# user-facing face of text_tfidf's corpus statistics (that key emits
+# the weighted postings; this one ranks and cuts them per doc). All
+# integer: idf micro-quantized once per vocab term, score = tf ×
+# idf_micro in bigint, rank window with total-order tiebreak.
+
+_KEYWORDS_TOPK = 3
+
+
+_KEYWORDS_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+    tf AS (
+      SELECT doc_id, unnest(toks) AS tok FROM d),
+    tfc AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM tf GROUP BY 1, 2),
+    df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1),
+    sc AS (
+      SELECT tfc.doc_id, tfc.tok,
+             tfc.tf * CAST(floor(ln(CAST(n.n_docs AS DOUBLE) / df.df)
+                                 * 1000000 + 0.5) AS BIGINT) AS score_micro
+      FROM tfc JOIN df ON tfc.tok = df.tok CROSS JOIN n),
+    r AS (
+      SELECT doc_id, tok, score_micro,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_micro DESC, tok) AS rk
+      FROM sc)
+    SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, score_micro
+    FROM r WHERE rk <= {_KEYWORDS_TOPK}
+    """
+
+
+@register("text_keywords", oracle=_KEYWORDS_SQL, tags=("text", "north_star"))
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} tf·idf keywords per document.
+
+    Shapes: tf aggregate on hash(doc, token); df aggregate ON THE TF
+    FRAME (vocab exchange, not corpus); idf joins back vocab-sized
+    (broadcast); the per-doc cut is one rank window. The idf is
+    quantized to integer micro-units BEFORE the tf multiply, so the
+    ranking key is bigint — no float ordering anywhere. At 100 TB
+    this is text_tfidf's envelope plus a window on the doc-sized
+    scored frame."""
+    from pyspark.sql.window import Window as W
+
+    from etl_cnpjs_spark.functions.text import tokens
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+    )
+    n_docs = d.count()
+    tfc = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tfc.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = F.floor(
+        F.log(F.lit(float(n_docs)) / F.col("df").cast("double")) * 1000000 + 0.5
+    ).cast("bigint")
+    sc = tfc.join(F.broadcast(df.select("tok", idf.alias("idf_micro"))), "tok").select(
+        "doc_id", "tok", (F.col("tf") * F.col("idf_micro")).alias("score_micro")
+    )
+    r = sc.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("tok"))
+        ),
+    )
+    return r.filter(F.col("rk") <= _KEYWORDS_TOPK).select(
+        "doc_id", F.col("rk").cast("bigint").alias("rk"), "tok", "score_micro"
+    )
+
+
+# --- events_bot_flags -------------------------------------------------------
+#
+# Bot/automation screen per user — the traffic-quality gate a
+# pretraining-data or product-metrics pipeline runs before trusting
+# event streams: burst rate (max events in any minute) and
+# inter-event gap profile (min + exact-median microsecond gap), with
+# a deterministic flag rule. All-integer (µs gaps, percentile_disc
+# picked element).
+
+_BOT_BURST = 30           # events in one minute
+_BOT_MEDIAN_GAP_US = 2_000_000
+
+
+_BOT_SQL = f"""
+    WITH e AS (
+      SELECT user_id, ts, epoch_us(ts) AS us,
+             epoch_us(ts) // 60000000 AS minute
+      FROM events),
+    bursts AS (
+      SELECT user_id, CAST(max(c) AS BIGINT) AS max_per_min
+      FROM (SELECT user_id, minute, count(*) AS c FROM e GROUP BY 1, 2)
+      GROUP BY 1),
+    gaps AS (
+      SELECT user_id, us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+               AS gap_us
+      FROM e),
+    gstat AS (
+      SELECT user_id,
+             CAST(count(gap_us) AS BIGINT) AS n_gaps,
+             CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+             CAST(quantile_disc(gap_us, 0.5) AS BIGINT) AS median_gap_us
+      FROM gaps WHERE gap_us IS NOT NULL GROUP BY 1)
+    SELECT b.user_id, b.max_per_min, g.n_gaps, g.min_gap_us, g.median_gap_us,
+           (b.max_per_min >= {_BOT_BURST}
+            OR g.median_gap_us < {_BOT_MEDIAN_GAP_US}) AS bot_flag
+    FROM bursts b JOIN gstat g ON b.user_id = g.user_id
+    """
+
+
+@register("events_bot_flags", oracle=_BOT_SQL, tags=("events", "dq", "north_star"))
+def events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user bot screen: burst rate + gap profile + flag.
+
+    Shapes: one hash(user, minute) burst aggregate rolled up to
+    per-user, one hash(user) window for the lag gaps (same exchange
+    key — AQE reuses the partitioning), exact median as a
+    percentile_disc picked element over integer µs. The flag rule is
+    pure integer comparisons — engine-identical. At 100 TB both
+    aggregates partial-combine; nothing exceeds user-grain."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.expr("unix_micros(ts) DIV 60000000").alias("minute"),
+    )
+    bursts = (
+        e.groupBy("user_id", "minute")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").cast("bigint").alias("max_per_min"))
+    )
+    gaps = e.select(
+        "user_id",
+        (
+            F.col("us")
+            - F.lag("us").over(W.partitionBy("user_id").orderBy("us"))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    gstat = gaps.groupBy("user_id").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)")
+        .cast("bigint")
+        .alias("median_gap_us"),
+    )
+    j = bursts.join(gstat, "user_id")
+    return j.select(
+        "user_id", "max_per_min", "n_gaps", "min_gap_us", "median_gap_us",
+        (
+            (F.col("max_per_min") >= _BOT_BURST)
+            | (F.col("median_gap_us") < _BOT_MEDIAN_GAP_US)
+        ).alias("bot_flag"),
+    )
+
+
+# --- text_contamination_score -----------------------------------------------
+#
+# Graded benchmark-overlap score: text_decontaminate flags ANY shared
+# 3-gram (boolean); this scores the overlap — matched shingles over
+# total shingles in ppm per training doc — the signal a curation
+# pipeline thresholds instead of hard-dropping. Benchmark stand-in:
+# doc_id % 13 == 0 (the decontaminate convention).
+
+
+def _contam_sql() -> str:
+    from etl_cnpjs_spark.plans.dedup import _SQL_SHINGLES
+
+    return (
+        _SQL_SHINGLES
+        + """
+      , bench AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 13 = 0),
+      train AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+        WHERE doc_id % 13 <> 0 AND len(shingles) > 0),
+      m AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_matched
+        FROM train t LEFT JOIN bench b ON t.s = b.s
+        GROUP BY 1)
+      SELECT doc_id, n_shingles, n_matched,
+             CAST(n_matched * 1000000 // n_shingles AS BIGINT)
+               AS contamination_ppm
+      FROM m
+    """
+    )
+
+
+@register(
+    "text_contamination_score",
+    oracle=_contam_sql(),
+    tags=("text", "north_star", "dq"),
+)
+def text_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination score per training doc (matched /
+    total 3-gram shingles, ppm).
+
+    Shapes: shares the memoized shingle frame with the whole dedup
+    family (one tokenize+shingle pass per session); the benchmark
+    shingle set is eval-suite-sized and BROADCASTS, so the training
+    corpus is scored scan-side — the decontaminate envelope with a
+    count instead of a flag. Integer ppm output."""
+    from etl_cnpjs_spark.plans.dedup import _doc_shingles
+
+    sh = _doc_shingles(spark, sf_dir)
+    bench = (
+        sh.filter(F.col("doc_id") % 13 == 0)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = sh.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    m = (
+        train.join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias(
+                "n_matched"
+            ),
+        )
+    )
+    return m.select(
+        "doc_id", "n_shingles", "n_matched",
+        F.expr("n_matched * 1000000 DIV n_shingles").cast("bigint").alias(
+            "contamination_ppm"
+        ),
+    )
