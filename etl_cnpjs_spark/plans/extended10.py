@@ -1173,3 +1173,242 @@ def text_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contamination_ppm"
         ),
     )
+
+
+# --- events_funnel_24h ------------------------------------------------------
+#
+# Time-bounded funnel: signup → purchase WITHIN 24 hours, per
+# weekly signup cohort — the conversion-rate-with-deadline metric
+# (events_funnel counts WHO converts ever; events_conversion_lag
+# measures HOW FAST; this one imposes the deadline). All-integer:
+# exact µs comparison, ppm conversion by integer DIV.
+
+_FUNNEL_WINDOW_US = 86_400_000_000
+
+
+_FUNNEL24_SQL = f"""
+    WITH s AS (
+      SELECT user_id, min(epoch_us(ts)) AS signup_us
+      FROM events WHERE event_type = 'signup' GROUP BY 1),
+    conv AS (
+      SELECT s.user_id,
+             max(CASE WHEN e.event_type = 'purchase'
+                       AND epoch_us(e.ts) >= s.signup_us
+                       AND epoch_us(e.ts) < s.signup_us + {_FUNNEL_WINDOW_US}
+                      THEN 1 ELSE 0 END) AS converted
+      FROM s JOIN events e ON e.user_id = s.user_id
+      GROUP BY s.user_id),
+    c AS (
+      SELECT s.user_id,
+             signup_us // (7 * 86400000000) AS signup_week,
+             conv.converted
+      FROM s JOIN conv ON s.user_id = conv.user_id)
+    SELECT CAST(signup_week AS BIGINT) AS signup_week,
+           CAST(count(*) AS BIGINT) AS n_signups,
+           CAST(sum(converted) AS BIGINT) AS n_converted_24h,
+           CAST(sum(converted) * 1000000 // count(*) AS BIGINT)
+             AS conversion_ppm
+    FROM c GROUP BY 1
+    """
+
+
+@register("events_funnel_24h", oracle=_FUNNEL24_SQL, tags=("events", "funnel"))
+def events_funnel_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline funnel: first signup → any purchase within 24h, rolled
+    up by signup week.
+
+    Shapes: per-user first-signup aggregate (user-grain), rejoined to
+    the event stream on the SAME hash(user) key for the deadline
+    check (AQE reuses the partitioning), then a |weeks|-row rollup.
+    The deadline is an exact integer µs window — no timestamp
+    arithmetic in floats anywhere. At 100 TB the signup frame is the
+    user dimension and broadcasts."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("signup_us"))
+    )
+    conv = (
+        ev.join(s, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.unix_micros("ts") >= F.col("signup_us"))
+                    & (
+                        F.unix_micros("ts")
+                        < F.col("signup_us") + _FUNNEL_WINDOW_US
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    c = s.join(conv, "user_id").select(
+        F.expr("signup_us DIV (7 * 86400000000)").alias("signup_week"),
+        "converted",
+    )
+    g = c.groupBy("signup_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_signups"),
+        F.sum("converted").cast("bigint").alias("n_converted_24h"),
+    )
+    return g.select(
+        F.col("signup_week").cast("bigint").alias("signup_week"),
+        "n_signups",
+        "n_converted_24h",
+        F.expr("n_converted_24h * 1000000 DIV n_signups").cast("bigint").alias(
+            "conversion_ppm"
+        ),
+    )
+
+
+# --- graph_bipartite_project ------------------------------------------------
+#
+# Bipartite projection: part↔supplier edges projected onto
+# supplier↔supplier links weighted by shared parts — the
+# co-membership graph (co-purchase/co-authorship shape) that feeds
+# recommendation and community detection. Top edges by weight with a
+# total-order cut.
+
+_BIPROJ_TOPK = 50
+
+
+_BIPROJ_SQL = f"""
+    WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    pr AS (
+      SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS shared_parts
+      FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+      GROUP BY 1, 2),
+    r AS (
+      SELECT s1, s2, shared_parts,
+             row_number() OVER (ORDER BY shared_parts DESC, s1, s2) AS rk
+      FROM pr)
+    SELECT CAST(rk AS BIGINT) AS rk, s1, s2, shared_parts
+    FROM r WHERE rk <= {_BIPROJ_TOPK}
+    """
+
+
+@register("graph_bipartite_project", oracle=_BIPROJ_SQL, tags=("graph",))
+def graph_bipartite_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier co-membership projection (top-{K} by shared parts).
+
+    Shapes: distinct bipartite edges once, then the projection is a
+    self-join ON THE PART KEY — each part contributes
+    |suppliers-of-part|² pairs, bounded by TPC-H's ~4 suppliers per
+    part, so the pair frame is ~16× edges, never |suppliers|². The
+    weight aggregate partial-combines; the global top-K is a
+    TakeOrdered heap with (weight, s1, s2) total order. At 100 TB
+    the hot-part cap (skip parts with > t suppliers, the posting-cap
+    discipline of dedup_stopshingle) bounds the quadratic term —
+    documented, not needed at TPC-H fan-out."""
+    li = table(spark, sf_dir, "lineitem")
+    e = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    a = e.select("p", F.col("s").alias("s1"))
+    b = e.select("p", F.col("s").alias("s2"))
+    pr = (
+        a.join(b, "p")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_parts"))
+    )
+    r = pr.orderBy(F.desc("shared_parts"), F.asc("s1"), F.asc("s2")).limit(
+        _BIPROJ_TOPK
+    )
+    from pyspark.sql.window import Window as W
+
+    return r.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy().orderBy(F.desc("shared_parts"), F.asc("s1"), F.asc("s2"))
+        ),
+    ).select(F.col("rk").cast("bigint").alias("rk"), "s1", "s2", "shared_parts")
+
+
+# --- agg_engagement_minutes -------------------------------------------------
+#
+# Session-time engagement rollup: total sessionized minutes and
+# session counts per user (top users by engaged time) — the product
+# metric the sessionize operator exists to feed. Durations are exact
+# integer µs sums over the session frame.
+
+
+_ENGAGE_TOPK = 100
+
+
+_ENGAGE_SQL = f"""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    f AS (
+      SELECT user_id, us,
+             CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY rn)
+                    > 21600000000
+                  OR lag(us) OVER (PARTITION BY user_id ORDER BY rn) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM o),
+    sess AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS session_seq,
+             us
+      FROM f),
+    agg AS (
+      SELECT user_id, session_seq,
+             max(us) - min(us) AS dur_us
+      FROM sess GROUP BY 1, 2),
+    per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(sum(dur_us) AS BIGINT) AS engaged_us,
+             CAST(sum(dur_us) // 60000000 AS BIGINT) AS engaged_minutes
+      FROM agg GROUP BY 1),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY engaged_us DESC, user_id) AS r
+      FROM per_user)
+    SELECT CAST(r AS BIGINT) AS rk, user_id, n_sessions, engaged_us,
+           engaged_minutes
+    FROM rk WHERE r <= {_ENGAGE_TOPK}
+    """
+
+
+@register("agg_engagement_minutes", oracle=_ENGAGE_SQL, tags=("events", "analytics"))
+def agg_engagement_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} users by total sessionized engagement time.
+
+    Composes the sessionize operator (gap rule, total-order
+    tiebreak) with a per-user rollup: session durations are exact µs
+    integers, summed per user, global top-K by (engaged_us, user_id)
+    total order. Shapes: sessionize's single hash(user) exchange
+    feeds both the session frame and the rollup; the top-K is a
+    TakeOrdered heap."""
+    from pyspark.sql.window import Window as W
+
+    from etl_cnpjs_spark.operators.relational import sessionize
+
+    ev = table(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", "event_id", 21_600_000_000)
+    per_user = sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("duration_us").cast("bigint").alias("engaged_us"),
+    )
+    r = per_user.orderBy(F.desc("engaged_us"), F.asc("user_id")).limit(_ENGAGE_TOPK)
+    return (
+        r.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy().orderBy(F.desc("engaged_us"), F.asc("user_id"))
+            ),
+        )
+        .select(
+            F.col("rk").cast("bigint").alias("rk"),
+            "user_id",
+            "n_sessions",
+            "engaged_us",
+            F.expr("engaged_us DIV 60000000").cast("bigint").alias(
+                "engaged_minutes"
+            ),
+        )
+    )
