@@ -1412,3 +1412,102 @@ def agg_engagement_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- scan_delete_vectors ----------------------------------------------------
+#
+# Deletion-vector read semantics: the base table stays immutable; a
+# small side file of deleted keys is applied AT READ TIME as an anti
+# join — the lakehouse "merge-on-read" delete shape (Delta deletion
+# vectors / Iceberg positional deletes), done by key. The base is
+# never rewritten; the delete set broadcasts.
+
+
+_DELVEC_SQL = """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 7 <> 0
+    """
+
+
+@register("scan_delete_vectors", oracle=_DELVEC_SQL, tags=("scan", "cdc"))
+def scan_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes: base parquet + a staged delete-key file,
+    applied as a broadcast anti join at read time.
+
+    The delete vector is WRITTEN to parquet first (a real side file,
+    as a lakehouse would stage it) and read back for the mask — not
+    an in-plan filter pretending to be one. Shapes: the base scan is
+    untouched (no rewrite, full pushdown still applies); the delete
+    set is deletes-sized and broadcasts; the anti join is scan-side.
+    At 100 TB this is the read path until compaction folds the
+    vectors in (sink_compact's job)."""
+    import os
+    import tempfile
+
+    o = table(spark, sf_dir, "orders")
+    dv_dir = os.path.join(tempfile.mkdtemp(prefix="delvec_"), "deletes.parquet")
+    o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("del_key")
+    ).write.mode("overwrite").parquet(dv_dir)
+    dv = spark.read.parquet(dv_dir)
+    return o.join(
+        F.broadcast(dv), o.o_orderkey == dv.del_key, "left_anti"
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+# --- sink_manifest ----------------------------------------------------------
+#
+# Manifest-commit protocol: data files land under a staging name, a
+# MANIFEST file listing exactly the committed files is written LAST
+# (atomic os.replace), and readers resolve the manifest — never the
+# directory listing. The multi-file commit shape every table format
+# builds on (and the reason half-written jobs are invisible to
+# readers). Round-trips a keyed slice through it.
+
+
+_MANIFEST_SQL = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 83 = 0
+    """
+
+
+@register("sink_manifest", oracle=_MANIFEST_SQL, tags=("sink",))
+def sink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write slice → per-partition parquet files → manifest written
+    last via atomic replace → read back ONLY the manifest's files.
+
+    An extra decoy file is dropped into the directory after the
+    commit and before the read: the read must NOT see it (manifest
+    resolution, not directory listing) — the property that makes
+    concurrent writers and failed jobs invisible. Scale story: the
+    manifest is file-count-sized; readers fan out over its entries;
+    commit cost is one rename regardless of data volume."""
+    import glob
+    import json
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="manifest_sink_")
+    data_dir = os.path.join(base, "data")
+    sl = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 83 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    sl.write.mode("overwrite").parquet(data_dir)
+    files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+    tmp_manifest = os.path.join(base, "_manifest.tmp")
+    with open(tmp_manifest, "w") as f:
+        json.dump({"files": files}, f)
+    os.replace(tmp_manifest, os.path.join(base, "MANIFEST.json"))
+    # decoy: lands AFTER the commit; a directory-listing reader would
+    # pick it up, a manifest reader must not
+    decoy = sl.limit(5)
+    decoy.write.mode("overwrite").parquet(os.path.join(base, "decoy"))
+    for i, p in enumerate(
+        glob.glob(os.path.join(base, "decoy", "*.parquet"))
+    ):
+        os.replace(p, os.path.join(data_dir, f"zz_uncommitted_{i}.parquet"))
+    with open(os.path.join(base, "MANIFEST.json")) as f:
+        committed = json.load(f)["files"]
+    return spark.read.parquet(*committed)
