@@ -761,3 +761,34 @@ def test_seasonality_single_exchange_then_window(spark, sf_dir):
     plan = explain_str(QUERIES["events_seasonality"].fn(spark, sf_dir))
     assert "partial_count" in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_dau_mau_grid_broadcasts_not_shuffles(spark, sf_dir):
+    """events_dau_mau: the day grid joins the distinct frame via
+    broadcast nested loop (range condition) — the big side is never
+    exchanged for the grid join."""
+    plan = explain_str(QUERIES["events_dau_mau"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, "day grid must broadcast"
+
+
+def test_keywords_idf_broadcasts(spark, sf_dir):
+    """text_keywords: the vocab-sized idf frame broadcasts; no big-big
+    join anywhere in the keyword plan."""
+    plan = explain_str(QUERIES["text_keywords"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_delete_vectors_anti_join_broadcasts(spark, sf_dir):
+    """scan_delete_vectors: the delete set applies as a BROADCAST anti
+    join and the base scan keeps its projection (no rewrite)."""
+    plan = explain_str(QUERIES["scan_delete_vectors"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan, "base must not shuffle"
+
+
+def test_view_maintenance_touch_frame_broadcasts(spark, sf_dir):
+    """agg_view_maintenance: the collapsed feed joins the base via
+    broadcast — the base table is never shuffled for the touch join."""
+    plan = explain_str(QUERIES["agg_view_maintenance"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
