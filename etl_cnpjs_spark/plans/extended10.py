@@ -1511,3 +1511,231 @@ def sink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(base, "MANIFEST.json")) as f:
         committed = json.load(f)["files"]
     return spark.read.parquet(*committed)
+
+
+# --- events_lag_features ----------------------------------------------------
+#
+# Supervised-training feature build: per event (ordered within user),
+# the lag-1/lag-2 values and the trailing-3 rolling sum — the
+# classic time-series feature frame a forecasting or CTR model
+# trains on. All columns are micro-quantized bigints BEFORE the
+# window math, so lags are exact copies and the rolling sum is
+# integer — engine-identical, no float window arithmetic.
+
+
+_LAGFEAT_SQL = """
+    WITH q AS (
+      SELECT user_id, event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro,
+             epoch_us(ts) AS us
+      FROM events WHERE value IS NOT NULL)
+    SELECT user_id, event_id, v_micro,
+           lag(v_micro, 1) OVER w AS lag1_micro,
+           lag(v_micro, 2) OVER w AS lag2_micro,
+           CAST(sum(v_micro) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS roll3_sum_micro
+    FROM q
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    """
+
+
+@register("events_lag_features", oracle=_LAGFEAT_SQL, tags=("events", "ml"))
+def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event lag and rolling-window features (integer micro-units).
+
+    Shapes: ONE hash(user) window exchange carries all four features
+    (lag-1, lag-2, trailing-3 sum share the same (us, event_id)
+    total-order frame). At 100 TB this is the standard feature-build
+    pass: partition by entity, sort once, emit every windowed feature
+    from the single sort."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    q = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1_000_000 + 0.5).cast("bigint").alias("v_micro"),
+        F.unix_micros("ts").alias("us"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    wr = w.rowsBetween(-2, W.currentRow)
+    return q.select(
+        "user_id",
+        "event_id",
+        "v_micro",
+        F.lag("v_micro", 1).over(w).alias("lag1_micro"),
+        F.lag("v_micro", 2).over(w).alias("lag2_micro"),
+        F.sum("v_micro").over(wr).cast("bigint").alias("roll3_sum_micro"),
+    )
+
+
+# --- text_collocations_pmi --------------------------------------------------
+#
+# Collocation extraction: top bigrams by pointwise mutual information
+# PMI(x,y) = ln( c_xy · N / (c_x · c_y) ) — the measure that separates
+# real multi-word expressions from frequency accidents. Every count is
+# an exact bigint; the single ln() of an exact rational micro-
+# quantizes at the end, and the ranking key is that integer.
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 50
+
+
+_PMI_SQL = f"""
+    WITH d AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS w FROM d) GROUP BY 1),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM uni),
+    bg AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM d WHERE len(t) >= 2),
+    bc AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS cxy
+      FROM bg GROUP BY 1 HAVING count(*) >= {_PMI_MIN_COUNT}),
+    sc AS (
+      SELECT split_part(bigram, ' ', 1) AS w1,
+             split_part(bigram, ' ', 2) AS w2, cxy
+      FROM bc),
+    p AS (
+      SELECT sc.w1, sc.w2, sc.cxy,
+             CAST(floor(ln(CAST(sc.cxy AS DOUBLE) * n.total
+                           / (CAST(u1.c AS DOUBLE) * u2.c))
+                        * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+      FROM sc JOIN uni u1 ON sc.w1 = u1.w JOIN uni u2 ON sc.w2 = u2.w
+      CROSS JOIN n),
+    r AS (
+      SELECT w1, w2, cxy, pmi_micro,
+             row_number() OVER (ORDER BY pmi_micro DESC, w1, w2) AS rk
+      FROM p)
+    SELECT CAST(rk AS BIGINT) AS rk, w1, w2, cxy, pmi_micro
+    FROM r WHERE rk <= {_PMI_TOPK}
+    """
+
+
+@register("text_collocations_pmi", oracle=_PMI_SQL, tags=("text", "north_star"))
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} collocations by PMI (integer micro-nats ranking key).
+
+    Shapes: the unigram and bigram count aggregates partial-combine
+    (vocab-sized exchanges, min-count prunes the bigram tail before
+    the join); unigram counts join back BROADCAST; one TakeOrdered
+    heap for the cut. The ln() argument is an exact integer rational
+    — both engines evaluate the identical double before the micro
+    quantization."""
+    from pyspark.sql.window import Window as W
+
+    from etl_cnpjs_spark.functions.text import tokens
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(tokens(F.col("text")).alias("t"))
+    )
+    uni = (
+        d.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    total = uni.agg(F.sum("c").cast("bigint").alias("total")).collect()[0].total
+    sz = F.size("t")
+    bigram = F.zip_with(
+        F.slice(F.col("t"), 1, sz - 1),
+        F.slice(F.col("t"), 2, sz - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bc = (
+        d.filter(sz >= 2)
+        .select(F.explode(bigram).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cxy"))
+        .filter(F.col("cxy") >= _PMI_MIN_COUNT)
+    )
+    sc = bc.select(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+        "cxy",
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    p = (
+        sc.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1", "w2", "cxy",
+            F.floor(
+                F.log(
+                    F.col("cxy").cast("double")
+                    * F.lit(float(total))
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                )
+                * 1000000
+                + 0.5
+            ).cast("bigint").alias("pmi_micro"),
+        )
+    )
+    r = p.orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2")).limit(_PMI_TOPK)
+    return r.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy().orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
+        ),
+    ).select(F.col("rk").cast("bigint").alias("rk"), "w1", "w2", "cxy", "pmi_micro")
+
+
+# --- events_error_rate_sla --------------------------------------------------
+#
+# Hourly error-rate SLO screen: error events over total per hour per
+# ... with breach flag when the rate crosses the budget — the alert
+# rule a reliability dashboard evaluates. All-integer.
+
+_SLA_BUDGET_PPM = 250_000
+
+
+_SLA_SQL = f"""
+    WITH h AS (
+      SELECT epoch_us(ts) // 3600000000 AS hour,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM events GROUP BY 1)
+    SELECT CAST(hour AS BIGINT) AS hour, n_total, n_errors,
+           CAST(n_errors * 1000000 // n_total AS BIGINT) AS error_ppm,
+           n_errors * 1000000 // n_total >= {_SLA_BUDGET_PPM} AS breach
+    FROM h
+    """
+
+
+@register("events_error_rate_sla", oracle=_SLA_SQL, tags=("events", "dq"))
+def events_error_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error rate (ppm) with SLO-breach flag.
+
+    Shapes: one hour-bucket aggregate with map-side combine; the
+    breach rule is integer comparison on the hourly frame. The
+    streaming face of this shape is stream_tumbling's window — this
+    is its batch SLO read."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.select(
+        F.expr("unix_micros(ts) DIV 3600000000").alias("hour"),
+        F.col("event_type"),
+    ).groupBy("hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
+    return h.select(
+        F.col("hour").cast("bigint").alias("hour"),
+        "n_total",
+        "n_errors",
+        F.expr("n_errors * 1000000 DIV n_total").cast("bigint").alias("error_ppm"),
+        (F.expr("n_errors * 1000000 DIV n_total") >= _SLA_BUDGET_PPM).alias(
+            "breach"
+        ),
+    )
