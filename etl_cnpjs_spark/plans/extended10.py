@@ -1739,3 +1739,78 @@ def events_error_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             "breach"
         ),
     )
+
+
+# --- agg_skyline ------------------------------------------------------------
+#
+# Pareto front (skyline): orders not dominated on (order day,
+# total price), both maximized — the multi-criteria "best tradeoffs"
+# operator (skyline query literature; no SQL built-in anywhere).
+# Dominance (q dominates p ⟺ q ≥ p on both axes, strict on at least
+# one) decomposes into two window tests, each mirrored TEXTUALLY in
+# both engines so tie semantics cannot diverge:
+#   dominated ⟺ max(price | strictly later day)   ≥ my price
+#             ∨ max(price | same day)             > my price
+# (equal day + strictly higher price dominates; strictly later day +
+# equal price dominates; exact duplicates do NOT dominate each other).
+# The window form is O(n log n) — the NOT EXISTS oracle would be
+# O(n²) and unrunnable at sf0.1.
+
+
+_SKYLINE_SQL = """
+    WITH p AS (
+      SELECT o_orderkey,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day,
+             o_totalprice AS price
+      FROM orders),
+    w AS (
+      SELECT o_orderkey, day, price,
+             max(price) OVER (ORDER BY day DESC
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS max_later,
+             max(price) OVER (PARTITION BY day) AS max_same
+      FROM p)
+    SELECT o_orderkey, CAST(day AS BIGINT) AS day, price
+    FROM w
+    WHERE (max_later IS NULL OR max_later < price) AND price >= max_same
+    """
+
+
+@register("agg_skyline", oracle=_SKYLINE_SQL, tags=("agg", "skyline"))
+def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto front over (day, price), both maximized.
+
+    Shapes: one global range-frame window ordered by day (descending
+    epoch-day integer) carries the strictly-later running max; the
+    same-day max is a partition window on the same exchange. At scale
+    the global window is the cost — the distributed swap is
+    angular/grid partitioning with per-partition skylines merged by a
+    final pass (the standard parallel-skyline decomposition),
+    documented here; at a 750k-row dimension table the single window
+    is the right call. Price comparisons are raw parquet doubles
+    (identical bits, no arithmetic)."""
+    from pyspark.sql.window import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    p = o.select(
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("day"),
+        F.col("o_totalprice").alias("price"),
+    )
+    w_later = (
+        W.orderBy(F.col("day").desc())
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_same = W.partitionBy("day")
+    wdf = p.select(
+        "o_orderkey",
+        "day",
+        "price",
+        F.max("price").over(w_later).alias("max_later"),
+        F.max("price").over(w_same).alias("max_same"),
+    )
+    return wdf.filter(
+        (F.col("max_later").isNull() | (F.col("max_later") < F.col("price")))
+        & (F.col("price") >= F.col("max_same"))
+    ).select("o_orderkey", F.col("day").cast("bigint").alias("day"), "price")

@@ -719,3 +719,50 @@ def test_kcore_peel_converged_at_registered_rounds(spark, sf_dir):
             x10._KCORE_ROUNDS = orig
 
     assert run(x10._KCORE_ROUNDS - 1) == run(x10._KCORE_ROUNDS)
+
+
+def test_skyline_matches_bruteforce_dominance(spark):
+    """agg_skyline's window formulation (shared textually by plan and
+    oracle) could hide a semantics bug that both engines reproduce —
+    pin it against the DEFINITION: p is on the front iff no q with
+    q ≥ p on both axes and q > p on at least one."""
+    from etl_cnpjs_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.o_orderkey, r.day, r.price)
+        for r in QUERIES["agg_skyline"].fn(spark, sf).collect()
+    }
+    from etl_cnpjs_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    pts = [
+        (r.o_orderkey, r.day, r.price)
+        for r in table(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("day"),
+            F.col("o_totalprice").alias("price"),
+        )
+        .collect()
+    ]
+    # brute force over the maxima candidates only: any point dominated by
+    # the global per-day max is out — prefilter to per-day maxima first
+    # (dominance among day-maxima is the full front; ties kept)
+    by_day = {}
+    for k, d, p in pts:
+        by_day.setdefault(d, []).append((k, d, p))
+    cands = [
+        t for d, rows in by_day.items()
+        for t in rows
+        if t[2] >= max(p for _, _, p in rows)
+    ]
+    front = set()
+    for k, d, p in cands:
+        dominated = any(
+            (d2 >= d and p2 >= p and (d2 > d or p2 > p))
+            for _, d2, p2 in cands
+        )
+        if not dominated:
+            front.add((k, d, p))
+    assert got == front
