@@ -1814,3 +1814,241 @@ def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_later").isNull() | (F.col("max_later") < F.col("price")))
         & (F.col("price") >= F.col("max_same"))
     ).select("o_orderkey", F.col("day").cast("bigint").alias("day"), "price")
+
+
+# --- text_js_divergence -----------------------------------------------------
+#
+# Jensen–Shannon divergence between the token distributions of two
+# corpus sources — the symmetric, bounded distribution distance a
+# curation pipeline tracks as "did this source drift". Per-term
+# contributions are computed in double FROM EXACT INTEGER COUNTS with
+# an identical op sequence, micro-quantized per term, then
+# bigint-summed — the chi2/entropy discipline.
+
+
+def _jsd_sql() -> str:
+    return """
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0),
+    src2 AS (
+      SELECT CASE WHEN source = (SELECT min(source) FROM tok) THEN 0 ELSE 1 END
+               AS s, w
+      FROM tok),
+    c AS (
+      SELECT w,
+             CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM src2 GROUP BY 1),
+    n AS (
+      SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1
+      FROM c),
+    terms AS (
+      SELECT
+        CASE WHEN c.c0 > 0 THEN
+          CAST(floor(
+            CAST(c.c0 AS DOUBLE) / n.n0
+            * ln(CAST(c.c0 AS DOUBLE) / n.n0
+                 / ((CAST(c.c0 AS DOUBLE) / n.n0
+                     + CAST(c.c1 AS DOUBLE) / n.n1) / 2.0))
+            * 1000000 + 0.5) AS BIGINT)
+        ELSE 0 END AS t0,
+        CASE WHEN c.c1 > 0 THEN
+          CAST(floor(
+            CAST(c.c1 AS DOUBLE) / n.n1
+            * ln(CAST(c.c1 AS DOUBLE) / n.n1
+                 / ((CAST(c.c0 AS DOUBLE) / n.n0
+                     + CAST(c.c1 AS DOUBLE) / n.n1) / 2.0))
+            * 1000000 + 0.5) AS BIGINT)
+        ELSE 0 END AS t1
+      FROM c CROSS JOIN n)
+    SELECT (SELECT n0 FROM n) AS n0, (SELECT n1 FROM n) AS n1,
+           CAST(sum(t0) AS BIGINT) AS kl0_micro_sum,
+           CAST(sum(t1) AS BIGINT) AS kl1_micro_sum,
+           CAST((sum(t0) + sum(t1)) // 2 AS BIGINT) AS jsd_micro
+    FROM terms
+    """
+
+
+@register("text_js_divergence", oracle=_jsd_sql(), tags=("text", "dq", "north_star"))
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSD (micro-nats) between the two lexicographically-first corpus
+    sources' token distributions.
+
+    Shapes: one hash(token) aggregate carries both sources' counts
+    (map-side combined); the totals are a 1-row frame cross-joined
+    (broadcast scalar); per-term KL contributions quantize to bigint
+    BEFORE the final sum, so accumulation is order-proof. At 100 TB
+    the vocab frame is the only exchange — the drift metric costs
+    one token-count pass."""
+    from etl_cnpjs_spark.functions.text import tokens
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("source", F.explode(tokens(F.col("text"))).alias("w"))
+    )
+    s0 = d.agg(F.min("source").alias("m")).collect()[0].m
+    c = (
+        d.select((F.col("source") != s0).cast("int").alias("s"), "w")
+        .groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).cast("bigint").alias("c0"),
+            F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("bigint").alias("c1"),
+        )
+    )
+    n = c.agg(
+        F.sum("c0").cast("bigint").alias("n0"), F.sum("c1").cast("bigint").alias("n1")
+    )
+    j = c.crossJoin(F.broadcast(n))
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    m = (p0 + p1) / F.lit(2.0)
+    t0 = F.when(
+        F.col("c0") > 0,
+        F.floor(p0 * F.log(p0 / m) * 1000000 + 0.5).cast("bigint"),
+    ).otherwise(F.lit(0))
+    t1 = F.when(
+        F.col("c1") > 0,
+        F.floor(p1 * F.log(p1 / m) * 1000000 + 0.5).cast("bigint"),
+    ).otherwise(F.lit(0))
+    terms = j.select(t0.alias("t0"), t1.alias("t1"), "n0", "n1")
+    return terms.agg(
+        F.max("n0").alias("n0"),
+        F.max("n1").alias("n1"),
+        F.sum("t0").cast("bigint").alias("kl0_micro_sum"),
+        F.sum("t1").cast("bigint").alias("kl1_micro_sum"),
+        F.expr("(sum(t0) + sum(t1)) DIV 2").cast("bigint").alias("jsd_micro"),
+    )
+
+
+# --- events_fano_factor -----------------------------------------------------
+#
+# Fano factor (variance/mean of hourly counts) per event type — the
+# burstiness index (1 = Poisson, >1 = bursty, <1 = regular) that
+# complements agg_autocorr's memory measure. Integer count sums, one
+# fixed double-op finish.
+
+
+_FANO_SQL = """
+    WITH c AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS sn,
+             CAST(sum(n * n) AS BIGINT) AS snn
+      FROM c GROUP BY 1)
+    SELECT event_type, k, sn,
+           (CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / k) / (k - 1)
+             / (CAST(sn AS DOUBLE) / k) AS fano
+    FROM s WHERE k > 1
+    """
+
+
+@register("events_fano_factor", oracle=_FANO_SQL, tags=("events", "stats"))
+def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-count Fano factor per event type.
+
+    Shapes: hour-bucket counts (map-side combined) → per-type sums →
+    one double finish with a fixed op sequence on exact integers
+    (sample variance / mean). Hour counts stay far below the int64
+    product bound at any realistic scale (documented; decimal is the
+    swap)."""
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.select("event_type", F.expr("unix_micros(ts) DIV 3600000000").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("snn"),
+    )
+    snd = F.col("sn").cast("double")
+    var = (F.col("snn").cast("double") - snd * F.col("sn") / F.col("k")) / (
+        F.col("k") - 1
+    )
+    mean = snd / F.col("k")
+    return s.filter(F.col("k") > 1).select(
+        "event_type", "k", "sn", (var / mean).alias("fano")
+    )
+
+
+# --- mm_cas_chunks ----------------------------------------------------------
+#
+# Content-addressed chunk store (CAS): split each document's bytes
+# into fixed 64-byte chunks, address each by md5, and report the
+# corpus-wide shared chunks (refcount ≥ 2, top by refcount) — the
+# storage-dedup primitive under every blob store / artifact cache.
+# Fixed-size chunking keeps both engines' chunk boundaries trivially
+# identical (content-defined chunking is the production upgrade —
+# documented, same plan shape).
+
+_CAS_CHUNK = 64
+_CAS_TOPK = 50
+
+
+_CAS_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE length(text) > 0),
+    ch AS (
+      SELECT doc_id,
+             md5(substr(text, CAST((i.g - 1) * {_CAS_CHUNK} + 1 AS INT),
+                        {_CAS_CHUNK})) AS chunk_md5
+      FROM d, (SELECT unnest(generate_series(1, 100)) AS g) i
+      WHERE (i.g - 1) * {_CAS_CHUNK} < length(text)),
+    rc AS (
+      SELECT chunk_md5, CAST(count(*) AS BIGINT) AS refcount
+      FROM ch GROUP BY 1 HAVING count(*) >= 2),
+    r AS (
+      SELECT chunk_md5, refcount,
+             row_number() OVER (ORDER BY refcount DESC, chunk_md5) AS rk
+      FROM rc)
+    SELECT CAST(rk AS BIGINT) AS rk, chunk_md5, refcount
+    FROM r WHERE rk <= {_CAS_TOPK}
+    """
+
+
+@register("mm_cas_chunks", oracle=_CAS_SQL, tags=("multimodal", "dedup", "sink"))
+def mm_cas_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} shared content-addressed chunks (md5, refcount).
+
+    Shapes: the chunk explode emits (doc, hash) rows — bytes never
+    shuffle, only 32-hex digests; one hash(chunk) refcount aggregate
+    with map-side combine; TakeOrdered cut. At 100 TB this is the
+    dedup planning pass of a CAS ingest: refcounted chunks skip
+    upload, the ratio prices the store."""
+    from pyspark.sql.window import Window as W
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "text")
+    )
+    ch = d.select(
+        "doc_id",
+        F.expr(
+            f"explode(sequence(1, least(cast(ceil(length(text) / {_CAS_CHUNK}.0) "
+            f"as int), 100)))"
+        ).alias("g"),
+        "text",
+    ).select(
+        F.md5(
+            F.expr(f"substr(text, ((g - 1) * {_CAS_CHUNK}) + 1, {_CAS_CHUNK})")
+        ).alias("chunk_md5")
+    )
+    rc = (
+        ch.groupBy("chunk_md5")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("refcount"))
+        .filter(F.col("refcount") >= 2)
+    )
+    r = rc.orderBy(F.desc("refcount"), F.asc("chunk_md5")).limit(_CAS_TOPK)
+    return r.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy().orderBy(F.desc("refcount"), F.asc("chunk_md5"))
+        ),
+    ).select(F.col("rk").cast("bigint").alias("rk"), "chunk_md5", "refcount")
