@@ -2052,3 +2052,131 @@ def mm_cas_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             W.partitionBy().orderBy(F.desc("refcount"), F.asc("chunk_md5"))
         ),
     ).select(F.col("rk").cast("bigint").alias("rk"), "chunk_md5", "refcount")
+
+
+# --- agg_topn_share ---------------------------------------------------------
+#
+# Top-N concentration: the share of total purchase value held by the
+# top-10 users — the single concentration POINT a dashboard quotes
+# next to agg_gini/agg_hhi's whole-distribution indices. Values
+# micro-quantize to bigint before any summation; shares are integer
+# ppm.
+
+_TOPN_SHARE_N = 10
+
+
+_TOPN_SHARE_SQL = f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS v_micro
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY 1),
+    t AS (SELECT CAST(sum(v_micro) AS BIGINT) AS total_micro,
+                 CAST(count(*) AS BIGINT) AS n_users FROM u),
+    r AS (
+      SELECT v_micro, row_number() OVER (ORDER BY v_micro DESC, user_id) AS rk
+      FROM u)
+    SELECT t.n_users, t.total_micro,
+           CAST(sum(CASE WHEN r.rk <= {_TOPN_SHARE_N} THEN r.v_micro ELSE 0 END)
+                AS BIGINT) AS topn_micro,
+           CAST(sum(CASE WHEN r.rk <= {_TOPN_SHARE_N} THEN r.v_micro ELSE 0 END)
+                * 1000000 // t.total_micro AS BIGINT) AS topn_share_ppm
+    FROM r CROSS JOIN t
+    GROUP BY t.n_users, t.total_micro
+    """
+
+
+@register("agg_topn_share", oracle=_TOPN_SHARE_SQL, tags=("agg", "analytics"))
+def agg_topn_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{N} users' share of purchase value (ppm).
+
+    Shapes: per-user micro sums (one hash(user) exchange), a global
+    rank window over the user-sized frame, one scalar reduce. At
+    100 TB the user frame is dimension-sized; the top-N could drop
+    to a TakeOrdered heap + broadcast — the ranked form keeps the
+    oracle textual."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 1_000_000 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("v_micro")
+    )
+    r = u.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("v_micro"), F.asc("user_id")))
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("v_micro").cast("bigint").alias("total_micro"),
+        F.sum(F.when(F.col("rk") <= _TOPN_SHARE_N, F.col("v_micro")).otherwise(0))
+        .cast("bigint")
+        .alias("topn_micro"),
+    ).select(
+        "n_users",
+        "total_micro",
+        "topn_micro",
+        F.expr("topn_micro * 1000000 DIV total_micro").cast("bigint").alias(
+            "topn_share_ppm"
+        ),
+    )
+
+
+# --- text_type_token_ratio --------------------------------------------------
+#
+# Lexical diversity per document: type–token ratio (distinct tokens /
+# tokens, ppm) plus hapax share (tokens seen once in the doc) — two
+# standard corpus-quality features next to text_stats/text_quality.
+# All-integer.
+
+
+_TTR_SQL = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0),
+    tc AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(count(*) * 1000000 // CAST(sum(c) AS BIGINT) AS BIGINT)
+             AS ttr_ppm,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                // CAST(count(*) AS BIGINT) AS BIGINT) AS hapax_ppm
+    FROM tc GROUP BY doc_id
+    """
+
+
+@register("text_type_token_ratio", oracle=_TTR_SQL, tags=("text", "north_star"))
+def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type–token ratio and hapax share per document (ppm).
+
+    Shapes: one hash(doc, token) aggregate (map-side combined), one
+    doc-grain rollup — both on the same doc-keyed exchange path.
+    Classic quality features; all-integer output."""
+    from etl_cnpjs_spark.functions.text import tokens
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    )
+    tc = d.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.expr("count(1) * 1000000 DIV sum(c)").cast("bigint").alias("ttr_ppm"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias(
+            "n_hapax"
+        ),
+        F.expr(
+            "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 DIV count(1)"
+        )
+        .cast("bigint")
+        .alias("hapax_ppm"),
+    )
