@@ -525,3 +525,414 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lix_ppm"),
     )
+
+
+# --- window_ewma ------------------------------------------------------------
+#
+# Exponentially weighted moving average over a trailing 20-row frame
+# per event_type: s = fold(s·(1−α) + x·α) left-to-right across the
+# frame, seeded by the frame's first value — the smoothing primitive
+# under monitoring dashboards and adstock/carryover features that a
+# plain windowed AVG can't express (recency weighting). Both engines
+# fold the SAME value sequence in the SAME order with the SAME two
+# IEEE ops per step, so the double result is bit-identical before the
+# safety quantization.
+
+_EWMA_ALPHA = 0.5
+_EWMA_WIN = 20
+
+
+_EWMA_SQL = f"""
+    WITH o AS (
+      SELECT event_type, event_id, value,
+             list(value) OVER (PARTITION BY event_type
+                               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+                               ROWS BETWEEN {_EWMA_WIN - 1} PRECEDING
+                                        AND CURRENT ROW) AS frame
+      FROM events)
+    SELECT event_type, event_id,
+           floor(value * 1e6 + 0.5) / 1e6 AS value_q,
+           floor(list_reduce(frame,
+                             (acc, x) -> acc * {1.0 - _EWMA_ALPHA} +
+                                         x * {_EWMA_ALPHA}) * 1e6 + 0.5) / 1e6
+             AS ewma_q
+    FROM o
+    """
+
+
+@register("window_ewma", oracle=_EWMA_SQL, tags=("window", "timeseries"))
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-frame EWMA per event_type (quantized doubles).
+
+    Determinism: collect_list over a sorted row frame yields the frame
+    rows IN FRAME ORDER in both engines; F.aggregate / list_reduce
+    both run a LEFT fold seeded by the first element (Spark folds
+    slice(l, 2, …) from element_at(l, 1); DuckDB's list_reduce without
+    an init does exactly that), and each step is acc·(1−α) + x·α in
+    that textual order — bit-identical IEEE sequences, quantized at
+    the boundary only as harness safety. Shapes: one exchange on
+    event_type, one sort, a bounded 20-row frame (state O(win) per
+    row — no unbounded running state); the fold is a codegen'd
+    higher-order function, not a UDF."""
+    ev = table(spark, sf_dir, "events")
+    ws = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("ts").cast("bigint"), "event_id")
+        .rowsBetween(-(_EWMA_WIN - 1), 0)
+    )
+    o = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.collect_list("value").over(ws).alias("frame"),
+    )
+    fold = (
+        f"aggregate(slice(frame, 2, greatest(size(frame) - 1, 0)), "
+        f"element_at(frame, 1), "
+        f"(acc, x) -> acc * {1.0 - _EWMA_ALPHA}D + x * {_EWMA_ALPHA}D)"
+    )
+    return o.select(
+        "event_type",
+        "event_id",
+        F.expr("floor(value * 1e6 + 0.5) / 1e6").alias("value_q"),
+        F.expr(f"floor(({fold}) * 1e6 + 0.5) / 1e6").alias("ewma_q"),
+    )
+
+
+# --- agg_grouping_sets_df ---------------------------------------------------
+#
+# GROUPING SETS via the Spark 4 DataFrame groupingSets() API (the
+# existing agg_grouping_sets key covers the SQL form; this one pins
+# the typed API surface):
+# ((priority, status), (priority), (status), ()) over orders, with
+# per-column GROUPING() flags (engine-portable, unlike GROUPING_ID's
+# engine-specific bit order) and NULL-distinguishing labels.
+
+
+_GSETS_SQL = """
+    SELECT coalesce(o_orderpriority, '(all)') AS priority,
+           coalesce(o_orderstatus, '(all)') AS status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    """
+
+
+@register("agg_grouping_sets_df", oracle=_GSETS_SQL, tags=("agg",))
+def agg_grouping_sets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with portable GROUPING() flags (all-integer
+    money via cent-quantized accumulation).
+
+    Shapes: Spark's Expand operator replicates each input row once per
+    grouping set BEFORE the single hash aggregate — one exchange total
+    (keyed on the expanded grouping tuple), exactly what agg_rollup/
+    agg_cube already do; sets share map-side partials. GROUPING() per
+    column instead of GROUPING_ID() because the two engines pack the
+    bit vector in opposite orders — per-column flags are the portable
+    (and self-documenting) surface."""
+    o = table(spark, sf_dir, "orders")
+    g = o.groupingSets(
+        [
+            [F.col("o_orderpriority"), F.col("o_orderstatus")],
+            [F.col("o_orderpriority")],
+            [F.col("o_orderstatus")],
+            [],
+        ],
+        F.col("o_orderpriority"),
+        F.col("o_orderstatus"),
+    ).agg(
+        F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+    return g.select(
+        F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+        F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+        "g_priority",
+        "g_status",
+        "n_orders",
+        "total_cents",
+    )
+
+
+# --- fn_string_distance -----------------------------------------------------
+#
+# Edit-distance function surface: levenshtein() agrees between Spark
+# and DuckDB (same Wagner–Fischer DP, no transposition). Distances of
+# each customer name to the canonical template and to a digit-smudged
+# variant — the fuzzy-key toolkit dedup_fuzzy_names builds on, exposed
+# as a scalar-function key like fn_string/fn_regexp.
+
+
+_STRDIST_SQL = """
+    SELECT c_custkey,
+           CAST(levenshtein(c_name, 'Customer#000000000') AS BIGINT)
+             AS d_template,
+           CAST(levenshtein(c_name, replace(c_name, '0', 'O')) AS BIGINT)
+             AS d_smudge,
+           CAST((length(c_name) - levenshtein(c_name, 'Customer#000000000'))
+                * 1000000 // length(c_name) AS BIGINT) AS sim_template_ppm
+    FROM customer
+    """
+
+
+@register("fn_string_distance", oracle=_STRDIST_SQL, tags=("functions", "dedup"))
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distances per customer name (integer).
+
+    Per-row scalar expressions only — no shuffle, no UDF; both engines
+    implement the identical unit-cost DP. The ppm similarity uses the
+    integer DIV discipline."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000000"))
+        .cast("bigint")
+        .alias("d_template"),
+        F.levenshtein(
+            F.col("c_name"), F.regexp_replace(F.col("c_name"), "0", "O")
+        )
+        .cast("bigint")
+        .alias("d_smudge"),
+        F.expr(
+            "(length(c_name) - levenshtein(c_name, 'Customer#000000000'))"
+            " * 1000000 DIV length(c_name)"
+        )
+        .cast("bigint")
+        .alias("sim_template_ppm"),
+    )
+
+
+# --- agg_ratio_ci -----------------------------------------------------------
+#
+# Wilson 95% score interval for a conversion ratio per event_type:
+# the A/B-report CI that stays inside [0,1] at small n (unlike the
+# Wald interval events_ab_lift would naively imply). k = events with
+# value above the threshold; all double arithmetic is a fixed textual
+# formula over exact integers (k, n) with a correctly-rounded sqrt,
+# then ppm-quantized.
+
+_RCI_Z = 1.96
+_RCI_THRESH = 50.0
+
+
+_RCI_SQL = f"""
+    WITH a AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value > {_RCI_THRESH} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM events GROUP BY 1)
+    SELECT event_type, n, k,
+           CAST(floor(CAST(k AS DOUBLE) / n * 1000000 + 0.5) AS BIGINT) AS p_ppm,
+           CAST(floor(
+             (CAST(k AS DOUBLE) / n + {_RCI_Z} * {_RCI_Z} / (2.0 * n)
+              - {_RCI_Z} * sqrt(CAST(k AS DOUBLE) / n
+                                * (1.0 - CAST(k AS DOUBLE) / n) / n
+                                + {_RCI_Z} * {_RCI_Z} / (4.0 * n * n)))
+             / (1.0 + {_RCI_Z} * {_RCI_Z} / n) * 1000000 + 0.5) AS BIGINT)
+             AS lo_ppm,
+           CAST(floor(
+             (CAST(k AS DOUBLE) / n + {_RCI_Z} * {_RCI_Z} / (2.0 * n)
+              + {_RCI_Z} * sqrt(CAST(k AS DOUBLE) / n
+                                * (1.0 - CAST(k AS DOUBLE) / n) / n
+                                + {_RCI_Z} * {_RCI_Z} / (4.0 * n * n)))
+             / (1.0 + {_RCI_Z} * {_RCI_Z} / n) * 1000000 + 0.5) AS BIGINT)
+             AS hi_ppm
+    FROM a
+    """
+
+
+@register("agg_ratio_ci", oracle=_RCI_SQL, tags=("agg", "events", "ml"))
+def agg_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% CI per event_type conversion ratio (ppm integers).
+
+    Determinism: the only aggregates are exact integer (k, n); the CI
+    is a per-group scalar formula written ONCE and textually mirrored
+    (same operation order, correctly-rounded IEEE sqrt in both
+    engines), then floor-quantized. Shapes: one map-side-combined
+    groupBy on a tiny key domain."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") > _RCI_THRESH, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    z2 = _RCI_Z * _RCI_Z
+    p = "CAST(k AS DOUBLE) / n"
+    rad = f"sqrt({p} * (1.0 - {p}) / n + {z2:.4f} / (4.0 * n * n))"
+    lo = f"({p} + {z2:.4f} / (2.0 * n) - {_RCI_Z} * {rad}) / (1.0 + {z2:.4f} / n)"
+    hi = f"({p} + {z2:.4f} / (2.0 * n) + {_RCI_Z} * {rad}) / (1.0 + {z2:.4f} / n)"
+    return a.select(
+        "event_type",
+        "n",
+        "k",
+        F.expr(f"CAST(floor({p} * 1000000 + 0.5) AS BIGINT)").alias("p_ppm"),
+        F.expr(f"CAST(floor(({lo}) * 1000000 + 0.5) AS BIGINT)").alias("lo_ppm"),
+        F.expr(f"CAST(floor(({hi}) * 1000000 + 0.5) AS BIGINT)").alias("hi_ppm"),
+    )
+
+
+# --- events_burstiness ------------------------------------------------------
+#
+# Goh–Barabási burstiness per user: B = (σ − μ)/(σ + μ) over the
+# inter-arrival gaps (−1 = perfectly periodic, 0 = Poisson, → 1 =
+# bursty). The temporal-signature feature next to events_fano_factor
+# (which measures count dispersion, not gap dispersion). Gap moments
+# accumulate as exact integers; σ and B are one fixed-order double
+# formula per user, ppm-quantized (micro would overflow nothing, but
+# ppm matches the family's resolution).
+
+
+_BURST_SQL = """
+    WITH o AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             lag(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS prev_s
+      FROM events),
+    g AS (
+      SELECT user_id, s - prev_s AS gap FROM o WHERE prev_s IS NOT NULL),
+    m AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) AS BIGINT) AS sum_g,
+             CAST(sum(gap * gap) AS BIGINT) AS sum_g2
+      FROM g GROUP BY 1)
+    SELECT user_id, n_gaps,
+           CAST(sum_g // n_gaps AS BIGINT) AS mean_gap_s,
+           CAST(floor(sqrt(greatest(
+                  CAST(sum_g2 AS DOUBLE) / n_gaps
+                  - (CAST(sum_g AS DOUBLE) / n_gaps)
+                    * (CAST(sum_g AS DOUBLE) / n_gaps), 0.0)) * 1000000 + 0.5)
+                AS BIGINT) AS std_gap_micro_s,
+           CAST(floor(
+             (sqrt(greatest(CAST(sum_g2 AS DOUBLE) / n_gaps
+                            - (CAST(sum_g AS DOUBLE) / n_gaps)
+                              * (CAST(sum_g AS DOUBLE) / n_gaps), 0.0))
+              - CAST(sum_g AS DOUBLE) / n_gaps)
+             / (sqrt(greatest(CAST(sum_g2 AS DOUBLE) / n_gaps
+                              - (CAST(sum_g AS DOUBLE) / n_gaps)
+                                * (CAST(sum_g AS DOUBLE) / n_gaps), 0.0))
+                + CAST(sum_g AS DOUBLE) / n_gaps) * 1000000 + 0.5) AS BIGINT)
+             AS burstiness_ppm
+    FROM m WHERE n_gaps >= 2 AND sum_g > 0
+    """
+
+
+@register("events_burstiness", oracle=_BURST_SQL, tags=("events", "timeseries"))
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness B = (σ−μ)/(σ+μ) per user (ppm).
+
+    Shapes: one exchange on user_id serves the lag window AND the
+    moment aggregate (same key); moments are exact bigints (gaps are
+    epoch-second integers; Σg² fits bigint through sf100 — 1e4-second
+    gaps squared × 1e9 rows ≈ 1e17 < 9.2e18), so the per-user double
+    formula is the only float code and runs once per user."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("s"),
+        "event_id",
+    )
+    wl = W.partitionBy("user_id").orderBy("s", "event_id")
+    g = (
+        ev.withColumn("prev_s", F.lag("s").over(wl))
+        .filter(F.col("prev_s").isNotNull())
+        .select("user_id", (F.col("s") - F.col("prev_s")).alias("gap"))
+    )
+    m = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gap").cast("bigint").alias("sum_g"),
+        F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("sum_g2"),
+    )
+    mu = "CAST(sum_g AS DOUBLE) / n_gaps"
+    var = f"greatest(CAST(sum_g2 AS DOUBLE) / n_gaps - ({mu}) * ({mu}), 0.0)"
+    return m.filter((F.col("n_gaps") >= 2) & (F.col("sum_g") > 0)).select(
+        "user_id",
+        "n_gaps",
+        F.expr("sum_g DIV n_gaps").cast("bigint").alias("mean_gap_s"),
+        F.expr(
+            f"CAST(floor(sqrt({var}) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("std_gap_micro_s"),
+        F.expr(
+            f"CAST(floor((sqrt({var}) - {mu}) / (sqrt({var}) + {mu})"
+            f" * 1000000 + 0.5) AS BIGINT)"
+        ).alias("burstiness_ppm"),
+    )
+
+
+# --- events_user_entropy ----------------------------------------------------
+#
+# Behavioral diversity per user: Shannon entropy over the user's
+# event_type mix (micro-nats, integer) plus normalized evenness —
+# the text_char_entropy ln() discipline applied to the behavioral
+# histogram (bot screens pair this with events_bot_flags: scripted
+# accounts sit at entropy ≈ 0 or ≈ ln K exactly).
+
+
+_UENT_SQL = """
+    WITH hist AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT user_id, CAST(sum(n) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM hist GROUP BY 1),
+    terms AS (
+      SELECT h.user_id, t.total, t.n_types,
+             h.n * CAST(floor(ln(CAST(h.n AS DOUBLE) / CAST(t.total AS DOUBLE))
+                              * 1000000 + 0.5) AS BIGINT) AS term_micro
+      FROM hist h JOIN tot t ON h.user_id = t.user_id)
+    SELECT user_id, CAST(max(total) AS BIGINT) AS n_events,
+           CAST(max(n_types) AS BIGINT) AS n_types,
+           CAST(-sum(term_micro) // max(total) AS BIGINT) AS entropy_micro_nats
+    FROM terms GROUP BY user_id
+    """
+
+
+@register("events_user_entropy", oracle=_UENT_SQL, tags=("events", "dq", "ml"))
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type entropy per user (micro-nats, integer).
+
+    Determinism: identical to text_char_entropy — ln(p) floor-
+    quantized per DISTINCT (user, type) histogram cell, bigint-
+    weighted and summed, integer-divided by the user total; no
+    cross-row float accumulation. Shapes: (user, type) partial counts
+    map-side combine before one user_id exchange; everything after is
+    histogram-sized (≤ |event_type| rows per user)."""
+    ev = table(spark, sf_dir, "events")
+    hist = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = hist.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    terms = hist.join(tot, "user_id").select(
+        "user_id",
+        "total",
+        "n_types",
+        (
+            F.col("n")
+            * F.floor(
+                F.log(F.col("n").cast("double") / F.col("total").cast("double"))
+                * 1000000
+                + 0.5
+            ).cast("bigint")
+        ).alias("term_micro"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.max("total").cast("bigint").alias("n_events"),
+        F.max("n_types").cast("bigint").alias("n_types"),
+        F.expr("-sum(term_micro) DIV max(total)").cast("bigint").alias(
+            "entropy_micro_nats"
+        ),
+    )
