@@ -936,3 +936,365 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_micro_nats"
         ),
     )
+
+
+# --- agg_bitmap_words -------------------------------------------------------
+#
+# EXACT distinct counting via plain bigint-word bitmap OR — the
+# engine-portable sibling of agg_bitmap_distinct (which pins Spark 4's
+# bitmap_* aggregate surface; here the bitmap IS a bigint column, so
+# the partials can persist in any parquet cube and re-aggregate in any
+# engine): bucket user ids into 32-bit words (bucket = id DIV 32, bit =
+# id % 32), bit_or the masks per (group, bucket), popcount-sum per
+# group. Distinct-without-a-distinct: partials combine map-side like
+# any sum (bit_or is associative/commutative/idempotent), so re-keyed
+# rollups NEVER re-scan the fact table — the property
+# count(DISTINCT) fundamentally lacks.
+
+
+_BMD_SQL = """
+    WITH m AS (
+      SELECT event_type, user_id // 32 AS bucket,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS mask,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           CAST(sum(bit_count(mask)) AS BIGINT) AS n_distinct_users
+    FROM m GROUP BY 1
+    """
+
+
+@register("agg_bitmap_words", oracle=_BMD_SQL, tags=("agg", "events"))
+def agg_bitmap_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event_type via bitmap OR (integer).
+
+    Shapes: stage 1 groups on (event_type, id DIV 32) with bit_or —
+    map-side combined, 32 ids collapse into one bigint; stage 2 sums
+    popcounts per event_type over a frame 32× smaller than the id
+    domain. At 100 TB this is the mergeable-rollup layout: bitmap
+    partials persist in a cube and re-aggregate along any dimension
+    without touching raw events (what agg_hll_sketch does lossily,
+    done exactly when the id domain is dense enough to afford it)."""
+    ev = table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type", F.expr("user_id DIV 32").alias("bucket")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+        ).alias("mask"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    return m.groupBy("event_type").agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum(F.bit_count("mask")).cast("bigint").alias("n_distinct_users"),
+    )
+
+
+# --- sim_random_projection --------------------------------------------------
+#
+# Johnson–Lindenstrauss sign projection: embed 64-d vectors into 8
+# dims via a FIXED ±1 matrix (seeded, embedded as literals in both
+# plans — no runtime randomness), scaled by 1/√8. The
+# dimensionality-reduction front end for sketch-space ANN (SimHash is
+# this matrix's sign bits; here the projected coordinates themselves
+# are the output). Dot products reuse the sequential-fold /
+# list_dot_product pair every cosine key already proved
+# engine-identical at 1e-6 quantization.
+
+import random as _random
+
+_RP_DIMS = 8
+_RP_IN = 64
+_rp_rng = _random.Random(20260815)
+_RP_SIGNS = [
+    [float(_rp_rng.choice((-1, 1))) for _ in range(_RP_IN)] for _ in range(_RP_DIMS)
+]
+_RP_SCALE = 0.3535533905932738  # 1/sqrt(8), fixed literal both engines
+
+
+def _rp_oracle() -> str:
+    cols = []
+    for k, row in enumerate(_RP_SIGNS):
+        lit = "[" + ", ".join(str(s) for s in row) + "]::DOUBLE[]"
+        cols.append(
+            f"floor(list_dot_product(embedding::DOUBLE[], {lit})"
+            f" * {_RP_SCALE} * 1e6 + 0.5) / 1e6 AS proj_{k}"
+        )
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+@register("sim_random_projection", oracle=_rp_oracle(), tags=("similarity", "ml"))
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL ±1 sign projection 64-d → 8-d (quantized doubles).
+
+    Shapes: pure per-row map — zero shuffles; the 8×64 matrix lives in
+    the plan as literals (closed over at codegen, broadcast-free). The
+    fold/list_dot_product determinism pair is the one
+    operators/similarity.py established. At 100 TB this is the
+    cheapest pre-LSH compaction: 8 doubles/row downstream instead of
+    64 floats."""
+    from etl_cnpjs_spark.operators.similarity import dot, vec_double
+
+    e = table(spark, sf_dir, "embeddings")
+    v = vec_double(F.col("embedding"))
+    out = [F.col("vec_id")]
+    for k, row in enumerate(_RP_SIGNS):
+        signs = F.array(*[F.lit(s) for s in row])
+        out.append(
+            (
+                F.floor(dot(v, signs) * _RP_SCALE * 1e6 + 0.5) / 1e6
+            ).alias(f"proj_{k}")
+        )
+    return e.select(*out)
+
+
+# --- text_code_detect -------------------------------------------------------
+#
+# Code-vs-prose screen: symbol density ({} ; = () <>), digit share,
+# and whitespace-run structure — the cheap curation gate that routes
+# documents to a code pipeline before any tokenizer runs. Counting by
+# length-difference (len(text) − len(replace(text, c, ''))) is exact,
+# locale-free, and identical in both engines.
+
+
+def _ccnt(c: str) -> str:
+    esc = c.replace("'", "''")
+    return f"(length(text) - length(replace(text, '{esc}', '')))"
+
+
+_CODE_SYMS = "{};=()<>"
+_CODE_SQL = f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST({' + '.join(_ccnt(c) for c in _CODE_SYMS)} AS BIGINT) AS n_sym,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+             AS n_digit,
+           CAST(({' + '.join(_ccnt(c) for c in _CODE_SYMS)}) * 1000000
+                // length(text) AS BIGINT) AS sym_ppm,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000000
+                // length(text) AS BIGINT) AS digit_ppm,
+           CAST(CASE WHEN ({' + '.join(_ccnt(c) for c in _CODE_SYMS)}) * 1000000
+                          // length(text) > 20000 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_code
+    FROM documents WHERE length(text) > 0
+    """
+
+
+@register("text_code_detect", oracle=_CODE_SQL, tags=("text", "north_star"))
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol/digit-density code screen per document (integer ppm).
+
+    Per-row expressions only (no explode, no shuffle); symbol counts
+    via length-difference, digit counts via one regexp strip. The
+    20 000 ppm (2%) symbol threshold is the conventional first-pass
+    cut; downstream pipelines calibrate it per corpus."""
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    sym = None
+    for c in _CODE_SYMS:
+        term = F.length("text") - F.length(F.regexp_replace("text", "\\" + c, ""))
+        sym = term if sym is None else sym + term
+    digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        sym.cast("bigint").alias("n_sym"),
+        digit.cast("bigint").alias("n_digit"),
+        (sym * 1000000 / F.length("text"))
+        .cast("bigint")
+        .alias("sym_ppm"),
+        (digit * 1000000 / F.length("text"))
+        .cast("bigint")
+        .alias("digit_ppm"),
+        F.when((sym * 1000000 / F.length("text")).cast("bigint") > 20000, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_code"),
+    )
+
+
+# --- text_novelty -----------------------------------------------------------
+#
+# First-occurrence novelty: for each document, the share of its
+# distinct shingles already seen in any EARLIER document (doc_id
+# order = ingestion order). The incremental-crawl curation signal —
+# "how much of this page is new text" — computed set-exactly from the
+# same 5-gram shingle frame the whole dedup family shares.
+
+
+def _novelty_oracle() -> str:
+    from etl_cnpjs_spark.plans.dedup import _SQL_SHINGLES
+
+    return (
+        _SQL_SHINGLES
+        + """
+      , e AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+              WHERE len(shingles) > 0),
+      firsts AS (SELECT s, min(doc_id) AS first_doc FROM e GROUP BY 1)
+      SELECT e.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN f.first_doc < e.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_seen,
+             CAST((count(*) - sum(CASE WHEN f.first_doc < e.doc_id
+                                       THEN 1 ELSE 0 END)) * 1000000
+                  // count(*) AS BIGINT) AS novelty_ppm
+      FROM e JOIN firsts f ON e.s = f.s
+      GROUP BY e.doc_id
+    """
+    )
+
+
+@register("text_novelty", oracle=_novelty_oracle(), tags=("text", "dedup"))
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of never-seen-before shingles per document (ppm).
+
+    Shapes: ONE shingle-keyed exchange serves both the global
+    min(doc_id) aggregate and the join back to postings (same key →
+    the sort/partitioning reuses); per-doc rollup is the standard
+    doc-keyed combine. LINEAR in postings — this is the non-quadratic
+    member of the shingle family (no self-join), so it scales past
+    where pair enumeration needs the df-cap."""
+    from etl_cnpjs_spark.plans.dedup import _doc_shingles
+
+    sh = _doc_shingles(spark, sf_dir)
+    e = sh.filter(F.size("sh") > 0).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    firsts = e.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    j = e.join(firsts, "s")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_seen"),
+        F.expr(
+            "(count(1) - sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END))"
+            " * 1000000 DIV count(1)"
+        )
+        .cast("bigint")
+        .alias("novelty_ppm"),
+    )
+
+
+# --- events_cooccurrence ----------------------------------------------------
+#
+# Event-type co-occurrence with lift: over distinct (user, type)
+# incidence, for each unordered type pair (a < b) the user overlap and
+# lift·1e6 = n_both·n_users·1e6 / (n_a·n_b) — the market-basket
+# association screen (which behaviors travel together) feeding
+# recommendation and bot-cohort analysis. All-integer.
+
+
+_COOC_SQL = """
+    WITH inc AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM inc),
+    per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM inc GROUP BY 1),
+    pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM inc a JOIN inc b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, p.n_both, pa.n AS n_a, pb.n AS n_b,
+           CAST(p.n_both * t.n_users * 1000000 // (pa.n * pb.n) AS BIGINT)
+             AS lift_ppm
+    FROM pair p
+    JOIN per pa ON p.type_a = pa.event_type
+    JOIN per pb ON p.type_b = pb.event_type
+    CROSS JOIN tot t
+    """
+
+
+@register("events_cooccurrence", oracle=_COOC_SQL, tags=("events", "ml"))
+def events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type pair co-occurrence and lift over users (integer).
+
+    Shapes: incidence dedup is one (user, type) exchange (map-side
+    combined); the pair self-join is keyed on user_id with the
+    incidence frame already |types|-bounded per user, so candidate
+    volume is ≤ K²/2 per user (K = #types, single digits here) —
+    the bounded-fanout self-join shape, NOT a fact×fact blowup. Type
+    marginals and the user total are tiny broadcast frames."""
+    ev = table(spark, sf_dir, "events")
+    inc = ev.select("user_id", "event_type").distinct()
+    tot = inc.agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    per = inc.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = inc.select("user_id", F.col("event_type").alias("type_a"))
+    b = inc.select("user_id", F.col("event_type").alias("type_b"))
+    pair = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    pa = per.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    pb = per.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    out = (
+        pair.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        F.expr("n_both * n_users * 1000000 DIV (n_a * n_b)")
+        .cast("bigint")
+        .alias("lift_ppm"),
+    )
+
+
+# --- events_calendar_profile ------------------------------------------------
+#
+# Day-of-week × hour activity grid per event_type with within-type
+# share — the ops heatmap behind staffing/traffic dashboards.
+# Calendar math is pure integer arithmetic on epoch seconds
+# (dow = (days + 4) % 7 with Thursday-epoch correction, hour =
+# seconds-in-day DIV 3600): timezone-free and engine-free, never the
+# engines' dayofweek() (whose 0/1-base and week start differ).
+
+
+_CAL_SQL = """
+    WITH e AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+    g AS (
+      SELECT event_type,
+             CAST(((s // 86400) + 4) % 7 AS BIGINT) AS dow,
+             CAST((s % 86400) // 3600 AS BIGINT) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2, 3),
+    t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM g GROUP BY 1)
+    SELECT g.event_type, g.dow, g.hour, g.n,
+           CAST(g.n * 1000000 // t.total AS BIGINT) AS share_ppm
+    FROM g JOIN t ON g.event_type = t.event_type
+    """
+
+
+@register("events_calendar_profile", oracle=_CAL_SQL, tags=("events", "timeseries"))
+def events_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dow × hour activity grid per event_type (integer; dow 0 =
+    Sunday via the epoch-Thursday offset).
+
+    Shapes: one map-side-combined groupBy onto a ≤ |types|·168-row
+    grid; totals derive from the grid (never a second fact scan) and
+    broadcast back. The calendar arithmetic is closed-form integer —
+    survives any engine/timezone config unchanged."""
+    ev = table(spark, sf_dir, "events")
+    s = F.unix_timestamp("ts").cast("bigint")
+    g = ev.select(
+        "event_type",
+        (((s / 86400).cast("bigint") + 4) % 7).cast("bigint").alias("dow"),
+        ((s % 86400) / 3600).cast("bigint").alias("hour"),
+    ).groupBy("event_type", "dow", "hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = g.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("total"))
+    return g.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "dow",
+        "hour",
+        "n",
+        F.expr("n * 1000000 DIV total").cast("bigint").alias("share_ppm"),
+    )
