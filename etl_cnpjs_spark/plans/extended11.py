@@ -1,7 +1,7 @@
-"""Round-6 session-3 batch 1: graph link-prediction/local-structure
+"""Round-6 session-3 batches: graph link-prediction/local-structure
 (clustering coefficient, Adamic–Adar), interval coalescing
-(gaps-and-islands), RFM segmentation, freshness DQ, and readability
-scoring.
+(gaps-and-islands), freshness DQ, readability scoring, EWMA folds,
+bitmap rollups, JL projection, and text curation screens.
 
 Reference trace: none of this surface exists in the reference
 (ETLCNPJFinalEmpresaEstabelecimentos.py); these extend the
@@ -282,100 +282,6 @@ def events_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("f").cast("bigint").alias("end_s"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         (F.max("f") - F.min("s")).cast("bigint").alias("span_s"),
-    )
-
-
-# --- events_rfm -------------------------------------------------------------
-#
-# RFM segmentation: per user, Recency (days since last event, vs the
-# corpus max date), Frequency (event count), Monetary (Σ value in
-# micro). Quintile scores via ntile(5) with user_id tiebreakers
-# (ntile's SQL-standard fill — larger buckets first — is identical in
-# Spark and DuckDB once the order is total), composed into the
-# classic 3-digit segment code.
-
-
-_RFM_SQL = """
-    WITH mx AS (SELECT max(ts) AS mts FROM events),
-    u AS (
-      SELECT user_id,
-             CAST(date_diff('day', max(e.ts), mx.mts) AS BIGINT) AS recency_days,
-             CAST(count(*) AS BIGINT) AS frequency,
-             CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
-               AS monetary_micro
-      FROM events e, mx GROUP BY user_id, mx.mts),
-    q AS (
-      SELECT user_id, recency_days, frequency, monetary_micro,
-             CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id) AS BIGINT)
-               AS r_q,
-             CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)
-               AS f_q,
-             CAST(ntile(5) OVER (ORDER BY monetary_micro DESC, user_id) AS BIGINT)
-               AS m_q
-      FROM u)
-    SELECT user_id, recency_days, frequency, monetary_micro, r_q, f_q, m_q,
-           CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code
-    FROM q
-    """
-
-
-@register("events_rfm", oracle=_RFM_SQL, tags=("events", "ml"))
-def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM quintile segmentation per user (all-integer: days, counts,
-    micro-money, 1–5 scores).
-
-    Shapes: one user-keyed aggregate (map-side combined; value goes
-    through micro-integer accumulation so the Σ is order-insensitive),
-    then three ntile windows over the user-grain frame — user-grain is
-    the SMALL frame (|users| ≪ |events|), so the unpartitioned windows
-    sort a dimension-sized input, not the fact table; at 1000-executor
-    scale the same scores come from a 2-pass percentile cut if the
-    user frame itself outgrows a sort, documented here as the scale
-    escape hatch. Corpus max(ts) is a 1-row broadcast cross join."""
-    ev = table(spark, sf_dir, "events")
-    mx = ev.agg(F.max("ts").alias("mts"))
-    u = (
-        ev.crossJoin(F.broadcast(mx))
-        .groupBy("user_id", "mts")
-        .agg(
-            F.max("ts").alias("last_ts"),
-            F.count(F.lit(1)).cast("bigint").alias("frequency"),
-            F.sum(F.floor(F.col("value") * 1000000 + 0.5).cast("bigint"))
-            .cast("bigint")
-            .alias("monetary_micro"),
-        )
-        .select(
-            "user_id",
-            F.datediff(F.to_date("mts"), F.to_date("last_ts"))
-            .cast("bigint")
-            .alias("recency_days"),
-            "frequency",
-            "monetary_micro",
-        )
-    )
-    q = u.select(
-        "*",
-        F.ntile(5).over(W.orderBy(F.asc("recency_days"), F.asc("user_id")))
-        .cast("bigint")
-        .alias("r_q"),
-        F.ntile(5).over(W.orderBy(F.desc("frequency"), F.asc("user_id")))
-        .cast("bigint")
-        .alias("f_q"),
-        F.ntile(5).over(W.orderBy(F.desc("monetary_micro"), F.asc("user_id")))
-        .cast("bigint")
-        .alias("m_q"),
-    )
-    return q.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "monetary_micro",
-        "r_q",
-        "f_q",
-        "m_q",
-        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
-        .cast("bigint")
-        .alias("rfm_code"),
     )
 
 
@@ -1173,128 +1079,4 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("novelty_ppm"),
-    )
-
-
-# --- events_cooccurrence ----------------------------------------------------
-#
-# Event-type co-occurrence with lift: over distinct (user, type)
-# incidence, for each unordered type pair (a < b) the user overlap and
-# lift·1e6 = n_both·n_users·1e6 / (n_a·n_b) — the market-basket
-# association screen (which behaviors travel together) feeding
-# recommendation and bot-cohort analysis. All-integer.
-
-
-_COOC_SQL = """
-    WITH inc AS (SELECT DISTINCT user_id, event_type FROM events),
-    tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM inc),
-    per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM inc GROUP BY 1),
-    pair AS (
-      SELECT a.event_type AS type_a, b.event_type AS type_b,
-             CAST(count(*) AS BIGINT) AS n_both
-      FROM inc a JOIN inc b
-        ON a.user_id = b.user_id AND a.event_type < b.event_type
-      GROUP BY 1, 2)
-    SELECT p.type_a, p.type_b, p.n_both, pa.n AS n_a, pb.n AS n_b,
-           CAST(p.n_both * t.n_users * 1000000 // (pa.n * pb.n) AS BIGINT)
-             AS lift_ppm
-    FROM pair p
-    JOIN per pa ON p.type_a = pa.event_type
-    JOIN per pb ON p.type_b = pb.event_type
-    CROSS JOIN tot t
-    """
-
-
-@register("events_cooccurrence", oracle=_COOC_SQL, tags=("events", "ml"))
-def events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-type pair co-occurrence and lift over users (integer).
-
-    Shapes: incidence dedup is one (user, type) exchange (map-side
-    combined); the pair self-join is keyed on user_id with the
-    incidence frame already |types|-bounded per user, so candidate
-    volume is ≤ K²/2 per user (K = #types, single digits here) —
-    the bounded-fanout self-join shape, NOT a fact×fact blowup. Type
-    marginals and the user total are tiny broadcast frames."""
-    ev = table(spark, sf_dir, "events")
-    inc = ev.select("user_id", "event_type").distinct()
-    tot = inc.agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
-    per = inc.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    a = inc.select("user_id", F.col("event_type").alias("type_a"))
-    b = inc.select("user_id", F.col("event_type").alias("type_b"))
-    pair = (
-        a.join(b, "user_id")
-        .filter(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
-    )
-    pa = per.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
-    pb = per.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
-    out = (
-        pair.join(F.broadcast(pa), "type_a")
-        .join(F.broadcast(pb), "type_b")
-        .crossJoin(F.broadcast(tot))
-    )
-    return out.select(
-        "type_a",
-        "type_b",
-        "n_both",
-        "n_a",
-        "n_b",
-        F.expr("n_both * n_users * 1000000 DIV (n_a * n_b)")
-        .cast("bigint")
-        .alias("lift_ppm"),
-    )
-
-
-# --- events_calendar_profile ------------------------------------------------
-#
-# Day-of-week × hour activity grid per event_type with within-type
-# share — the ops heatmap behind staffing/traffic dashboards.
-# Calendar math is pure integer arithmetic on epoch seconds
-# (dow = (days + 4) % 7 with Thursday-epoch correction, hour =
-# seconds-in-day DIV 3600): timezone-free and engine-free, never the
-# engines' dayofweek() (whose 0/1-base and week start differ).
-
-
-_CAL_SQL = """
-    WITH e AS (
-      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
-    g AS (
-      SELECT event_type,
-             CAST(((s // 86400) + 4) % 7 AS BIGINT) AS dow,
-             CAST((s % 86400) // 3600 AS BIGINT) AS hour,
-             CAST(count(*) AS BIGINT) AS n
-      FROM e GROUP BY 1, 2, 3),
-    t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM g GROUP BY 1)
-    SELECT g.event_type, g.dow, g.hour, g.n,
-           CAST(g.n * 1000000 // t.total AS BIGINT) AS share_ppm
-    FROM g JOIN t ON g.event_type = t.event_type
-    """
-
-
-@register("events_calendar_profile", oracle=_CAL_SQL, tags=("events", "timeseries"))
-def events_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dow × hour activity grid per event_type (integer; dow 0 =
-    Sunday via the epoch-Thursday offset).
-
-    Shapes: one map-side-combined groupBy onto a ≤ |types|·168-row
-    grid; totals derive from the grid (never a second fact scan) and
-    broadcast back. The calendar arithmetic is closed-form integer —
-    survives any engine/timezone config unchanged."""
-    ev = table(spark, sf_dir, "events")
-    s = F.unix_timestamp("ts").cast("bigint")
-    g = ev.select(
-        "event_type",
-        (((s / 86400).cast("bigint") + 4) % 7).cast("bigint").alias("dow"),
-        ((s % 86400) / 3600).cast("bigint").alias("hour"),
-    ).groupBy("event_type", "dow", "hour").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    t = g.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("total"))
-    return g.join(F.broadcast(t), "event_type").select(
-        "event_type",
-        "dow",
-        "hour",
-        "n",
-        F.expr("n * 1000000 DIV total").cast("bigint").alias("share_ppm"),
     )
