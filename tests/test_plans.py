@@ -792,3 +792,74 @@ def test_view_maintenance_touch_frame_broadcasts(spark, sf_dir):
     broadcast — the base table is never shuffled for the touch join."""
     plan = explain_str(QUERIES["agg_view_maintenance"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+# --- round-6 session-3 families ---------------------------------------------
+
+
+def test_interval_merge_single_user_exchange(spark, sf_dir):
+    """events_interval_merge: both window passes (running max(end),
+    island numbering) and the island groupBy share ONE user_id
+    exchange — same key, same ordering, one sort."""
+    plan = explain_str(QUERIES["events_interval_merge"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+    assert "SortMergeJoin" not in plan
+
+
+def test_ewma_fold_is_codegen_not_udf(spark, sf_dir):
+    """window_ewma: the EWMA fold is a higher-order aggregate()
+    expression (JVM codegen), never a Python UDF, and the whole plan
+    rides one event_type exchange."""
+    plan = explain_str(QUERIES["window_ewma"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+    assert "Python" not in plan, "fold must stay JVM-side"
+
+
+def test_bitmap_words_two_level_combine(spark, sf_dir):
+    """agg_bitmap_words: stage-1 bit_or must combine map-side
+    (partial_bit_or) before its exchange; stage 2 is a popcount sum
+    over the 32x-smaller word frame — exactly two exchanges."""
+    plan = explain_str(QUERIES["agg_bitmap_words"].fn(spark, sf_dir), "simple")
+    assert "partial_bit_or" in plan, "bitmap OR must combine map-side"
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:800]
+
+
+def test_random_projection_shuffle_free(spark, sf_dir):
+    """sim_random_projection: a pure per-row map — zero exchanges,
+    zero joins; the sign matrix lives in the expressions."""
+    plan = explain_str(QUERIES["sim_random_projection"].fn(spark, sf_dir), "simple")
+    assert "Exchange" not in plan, plan[:800]
+    assert "Join" not in plan
+
+
+def test_burstiness_single_user_exchange(spark, sf_dir):
+    """events_burstiness: the lag window and the gap-moment aggregate
+    share one user_id exchange."""
+    plan = explain_str(QUERIES["events_burstiness"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+
+
+def test_novelty_linear_no_pair_join(spark, sf_dir):
+    """text_novelty: the non-quadratic shingle key — first-occurrence
+    frame joins back via BROADCAST (node-count sized), and there is
+    no posting self-join anywhere (that's the pair keys' shape)."""
+    plan = explain_str(QUERIES["text_novelty"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:800]
+
+
+def test_adamic_adar_broadcast_weights_topk(spark, sf_dir):
+    """graph_adamic_adar: degree weights broadcast onto the 2-path
+    join; the final top-100 is TakeOrderedAndProject, never a global
+    sort materialization."""
+    plan = explain_str(QUERIES["graph_adamic_adar"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan, "top-k must not global-sort"
+
+
+def test_freshness_metadata_shaped_aggregate(spark, sf_dir):
+    """dq_freshness: one map-side-combined groupBy over event_type and
+    a broadcast watermark — no sort, no wide join."""
+    plan = explain_str(QUERIES["dq_freshness"].fn(spark, sf_dir), "simple")
+    assert "partial_max" in plan or "partial_count" in plan
+    assert "SortMergeJoin" not in plan
