@@ -1080,3 +1080,292 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("novelty_ppm"),
     )
+
+
+# --- agg_bootstrap_ci -------------------------------------------------------
+#
+# Poisson bootstrap CI for the per-type mean of `value` — THE
+# distributed bootstrap (Chamandy et al., "Estimating Uncertainty for
+# Massive Data Streams", Google): instead of resampling n rows with
+# replacement (impossible to coordinate across executors), each row
+# gets an independent Poisson(1) weight per replicate. Weights come
+# from the engine-portable multiplicative hash (sample_hash's idiom),
+# inverse-CDF'd through FIXED integer thresholds — zero floats until
+# the final interval, zero engine randomness, rerun-identical.
+
+_BOOT_REPS = 32
+_BOOT_KNUTH = 2654435761
+_BOOT_MOD = 2**31
+# P(Poisson(1) <= k) * 2^31, k = 0..4 (then clamp at 5)
+_BOOT_T = (789972268, 1579944537, 1974930671, 2106592716, 2139508227)
+
+
+def _boot_w(h: str) -> str:
+    """Integer Poisson(1) inverse CDF over h ∈ [0, 2^31)."""
+    return (
+        f"(CASE WHEN {h} < {_BOOT_T[0]} THEN 0"
+        f" WHEN {h} < {_BOOT_T[1]} THEN 1"
+        f" WHEN {h} < {_BOOT_T[2]} THEN 2"
+        f" WHEN {h} < {_BOOT_T[3]} THEN 3"
+        f" WHEN {h} < {_BOOT_T[4]} THEN 4"
+        f" ELSE 5 END)"
+    )
+
+
+def _boot_oracle() -> str:
+    h = f"((event_id * {_BOOT_KNUTH} + r.rep * 97) % {_BOOT_MOD})"
+    return f"""
+    WITH reps AS (SELECT unnest(generate_series(1, {_BOOT_REPS})) AS rep),
+    w AS (
+      SELECT e.event_type, r.rep,
+             {_boot_w(h)} AS w,
+             CAST(floor(e.value * 1000000 + 0.5) AS BIGINT) AS x_micro
+      FROM events e CROSS JOIN reps r),
+    rm AS (
+      SELECT event_type, rep,
+             CAST(sum(w * x_micro) // greatest(sum(w), 1) AS BIGINT)
+               AS rep_mean_micro
+      FROM w GROUP BY 1, 2),
+    rk AS (
+      SELECT event_type, rep_mean_micro,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY rep_mean_micro, rep) AS rk
+      FROM rm),
+    pt AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                  // count(*) AS BIGINT) AS mean_micro
+      FROM events GROUP BY 1)
+    SELECT pt.event_type, pt.n, pt.mean_micro,
+           CAST(max(CASE WHEN rk.rk = 2 THEN rk.rep_mean_micro END) AS BIGINT)
+             AS boot_lo_micro,
+           CAST(max(CASE WHEN rk.rk = {_BOOT_REPS - 1}
+                         THEN rk.rep_mean_micro END) AS BIGINT)
+             AS boot_hi_micro
+    FROM pt JOIN rk ON pt.event_type = rk.event_type
+    GROUP BY 1, 2, 3
+    """
+
+
+@register("agg_bootstrap_ci", oracle=_boot_oracle(), tags=("agg", "ml", "stats"))
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap interval (2nd / 31st of 32 replicate means ≈
+    93.75% CI) for each event_type's mean value — all-integer.
+
+    Shapes: the replicate fan-out is a scan-side explode (×32 narrow
+    rows carrying only (type, w, x_micro)); ONE exchange on
+    (event_type, rep) aggregates replicate sums map-side combined; the
+    rank pass runs over |types|·32 rows. At 100 TB the fan-out
+    multiplies scan CPU, not shuffle bytes — partial aggregation
+    collapses each task's 32 replicate partials before the wire,
+    which is the entire point of the Poisson formulation."""
+    ev = table(spark, sf_dir, "events")
+    h = f"((event_id * {_BOOT_KNUTH} + rep * 97) % {_BOOT_MOD})"
+    w = ev.select(
+        "event_type",
+        F.expr(f"explode(sequence(1, {_BOOT_REPS}))").alias("rep"),
+        "event_id",
+        F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("x_micro"),
+    ).select(
+        "event_type",
+        "rep",
+        F.expr(_boot_w(h)).alias("w"),
+        "x_micro",
+    )
+    rm = w.groupBy("event_type", "rep").agg(
+        F.expr("sum(w * x_micro) DIV greatest(sum(w), 1)")
+        .cast("bigint")
+        .alias("rep_mean_micro")
+    )
+    rk = rm.select(
+        "event_type",
+        "rep_mean_micro",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("rep_mean_micro", "rep"))
+        .alias("rk"),
+    )
+    pt = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            "sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) DIV count(1)"
+        )
+        .cast("bigint")
+        .alias("mean_micro"),
+    )
+    return (
+        pt.join(rk, "event_type")
+        .groupBy("event_type", "n", "mean_micro")
+        .agg(
+            F.max(F.when(F.col("rk") == 2, F.col("rep_mean_micro")))
+            .cast("bigint")
+            .alias("boot_lo_micro"),
+            F.max(
+                F.when(F.col("rk") == _BOOT_REPS - 1, F.col("rep_mean_micro"))
+            )
+            .cast("bigint")
+            .alias("boot_hi_micro"),
+        )
+    )
+
+
+# --- text_encoding_screen ---------------------------------------------------
+#
+# Byte-hygiene curation screen: ASCII share, control characters
+# (excluding \t \n \r), and U+FFFD replacement-char count — the
+# mojibake/truncated-decode detector that runs before any tokenizer.
+# Counting is length-difference over regexp strips, identical
+# semantics in Java regex and RE2.
+
+
+_ENC_SQL = """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+                AS BIGINT) AS n_ascii,
+           CAST(length(text)
+                - length(regexp_replace(text,
+                         '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'))
+                AS BIGINT) AS n_control,
+           CAST(length(text) - length(replace(text, chr(65533), ''))
+                AS BIGINT) AS n_replacement,
+           CAST(length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+                * 1000000 // length(text) AS BIGINT) AS ascii_ppm
+    FROM documents WHERE length(text) > 0
+    """
+
+
+@register("text_encoding_screen", oracle=_ENC_SQL, tags=("text", "dq", "north_star"))
+def text_encoding_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASCII share, stray control chars, and U+FFFD count per document
+    (integer).
+
+    Per-row expressions, no shuffle. The control-char class excludes
+    \\t \\n \\r (legitimate whitespace); U+FFFD is counted by literal
+    replace, not regex, so no engine's regex unicode mode is in
+    play."""
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ascii_cnt = F.length(F.regexp_replace("text", "[^\\x00-\\x7F]", ""))
+    ctrl = F.length("text") - F.length(
+        F.regexp_replace("text", "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+    )
+    repl = F.length("text") - F.length(
+        F.regexp_replace("text", "�", "")
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        ascii_cnt.cast("bigint").alias("n_ascii"),
+        ctrl.cast("bigint").alias("n_control"),
+        repl.cast("bigint").alias("n_replacement"),
+        (ascii_cnt * 1000000 / F.length("text"))
+        .cast("bigint")
+        .alias("ascii_ppm"),
+    )
+
+
+# --- embedding_pq -----------------------------------------------------------
+#
+# Product quantization (Jégou et al.): split each 64-d vector into 8
+# subvectors of 8 dims, assign each to the nearest of 4 codebook
+# entries per subspace, emit the 8 codes + total quantization error —
+# the compression layout inside IVF-PQ indexes (8 bytes/vector
+# instead of 256). Codebook = the subvectors of vec_id 0..3 (the
+# k-means++ seeding step, frozen — deterministic both engines; a
+# production index refines it with embedding_centroids iterations).
+# Distances use the dot-product identity ‖a−b‖² = a·a − 2a·b + b·b in
+# the SAME textual order both sides, micro-quantized BEFORE the
+# argmin so ties and comparisons are integer.
+
+_PQ_SUBS = 8
+_PQ_SUBDIM = 8
+_PQ_K = 4
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < {_PQ_K}),
+    sub AS (SELECT unnest(generate_series(0, {_PQ_SUBS - 1})) AS s),
+    d AS (
+      SELECT n.vec_id, sub.s, seeds.cid,
+             CAST(floor((
+               list_dot_product(n.v[sub.s * {_PQ_SUBDIM} + 1 :
+                                    (sub.s + 1) * {_PQ_SUBDIM}],
+                                n.v[sub.s * {_PQ_SUBDIM} + 1 :
+                                    (sub.s + 1) * {_PQ_SUBDIM}])
+               - 2 * list_dot_product(n.v[sub.s * {_PQ_SUBDIM} + 1 :
+                                          (sub.s + 1) * {_PQ_SUBDIM}],
+                                      seeds.cv[sub.s * {_PQ_SUBDIM} + 1 :
+                                               (sub.s + 1) * {_PQ_SUBDIM}])
+               + list_dot_product(seeds.cv[sub.s * {_PQ_SUBDIM} + 1 :
+                                           (sub.s + 1) * {_PQ_SUBDIM}],
+                                  seeds.cv[sub.s * {_PQ_SUBDIM} + 1 :
+                                           (sub.s + 1) * {_PQ_SUBDIM}])
+             ) * 1000000 + 0.5) AS BIGINT) AS dist_micro
+      FROM n CROSS JOIN sub CROSS JOIN seeds),
+    best AS (
+      SELECT vec_id, s, cid, dist_micro,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY dist_micro, cid) AS rk
+      FROM d)
+    SELECT vec_id,
+           {', '.join(f"CAST(max(CASE WHEN s = {k} THEN cid END) AS BIGINT) AS code_{k}" for k in range(_PQ_SUBS))},
+           CAST(sum(dist_micro) AS BIGINT) AS err_micro
+    FROM best WHERE rk = 1 GROUP BY vec_id
+    """
+
+
+@register("embedding_pq", oracle=_pq_oracle(), tags=("similarity", "ml"))
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (8 × 2-bit) + reconstruction error
+    per vector (integer micro).
+
+    Shapes: the codebook frame is {_PQ_K} rows and BROADCAST; the
+    (vector × 8 subspaces × 4 centroids) expansion is scan-side and
+    narrow (32 small rows per vector), collapsed by one vec_id-keyed
+    aggregate (the argmin folds into max-CASE over the rank window
+    partitioned on (vec_id, s) — same exchange). At 100 TB: PQ codes
+    shrink the ANN candidate scan 32×; assignment is embarrassingly
+    parallel, exactly this plan with a trained codebook."""
+    from etl_cnpjs_spark.operators.similarity import dot, vec_double
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", vec_double(F.col("embedding")).alias("v")
+    )
+    seeds = e.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    sub = F.expr(f"explode(sequence(0, {_PQ_SUBS - 1}))").alias("s")
+    exp = e.select("vec_id", "v", sub).crossJoin(F.broadcast(seeds))
+    va = F.expr(f"slice(v, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})")
+    vb = F.expr(f"slice(cv, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})")
+    dist = dot(va, va) - 2 * dot(va, vb) + dot(vb, vb)
+    d = exp.select(
+        "vec_id",
+        "s",
+        "cid",
+        F.floor(dist * 1000000 + 0.5).cast("bigint").alias("dist_micro"),
+    )
+    best = d.select(
+        "vec_id",
+        "s",
+        "cid",
+        "dist_micro",
+        F.row_number()
+        .over(W.partitionBy("vec_id", "s").orderBy("dist_micro", "cid"))
+        .alias("rk"),
+    )
+    aggs = [
+        F.max(F.when(F.col("s") == k, F.col("cid")))
+        .cast("bigint")
+        .alias(f"code_{k}")
+        for k in range(_PQ_SUBS)
+    ]
+    return (
+        best.filter(F.col("rk") == 1)
+        .groupBy("vec_id")
+        .agg(
+            *aggs,
+            F.sum("dist_micro").cast("bigint").alias("err_micro"),
+        )
+    )
