@@ -1369,3 +1369,214 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dist_micro").cast("bigint").alias("err_micro"),
         )
     )
+
+
+# --- scan_csv_multiline -----------------------------------------------------
+#
+# Quoted-embedded-newline CSV round trip — the nastiest mainstream CSV
+# shape (addresses, scraped text). The writer quotes fields holding
+# newlines; the reader must run multiLine=true, which makes a CSV file
+# NON-SPLITTABLE (the parser can't resync mid-file at an arbitrary
+# byte offset, same scale posture as gzip: parallelism = file count).
+
+import os as _os
+import tempfile as _tempfile
+
+_CSV_ML_SQL = """
+    SELECT doc_id,
+           regexp_replace(text, '\\s+', chr(10), 'g') AS text_ml,
+           CAST(length(regexp_replace(text, '\\s+', chr(10), 'g'))
+                - length(replace(regexp_replace(text, '\\s+', chr(10), 'g'),
+                                 chr(10), '')) + 1 AS BIGINT) AS n_lines
+    FROM documents WHERE doc_id % 97 = 0 AND length(trim(text)) > 0
+    """
+
+
+@register("scan_csv_multiline", oracle=_CSV_ML_SQL, tags=("scan", "sink"))
+def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents whose text embeds real newlines as quoted CSV,
+    read them back with multiLine=true, count the lines.
+
+    The written field IS multi-line (every whitespace run becomes
+    \\n), so this exercises quote-aware record framing end to end.
+    Scale story in the banner comment: multiLine disables splitting —
+    the posture is many medium files (one per partition here), and
+    the docstring is the contract that stops someone from pointing
+    this reader at one 100 GB file."""
+    from pyspark.sql import types as T
+
+    sl = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 97 == 0) & (F.length(F.trim("text")) > 0))
+        .select(
+            "doc_id",
+            F.regexp_replace("text", "\\s+", "\n").alias("text_ml"),
+        )
+    )
+    out = _os.path.join(_tempfile.mkdtemp(prefix="scan_csv_ml_"), "docs.csv")
+    sl.write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text_ml", T.StringType()),
+        ]
+    )
+    rd = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(out)
+    )
+    nl = F.length("text_ml") - F.length(F.regexp_replace("text_ml", "\n", ""))
+    return rd.select(
+        "doc_id", "text_ml", (nl + 1).cast("bigint").alias("n_lines")
+    )
+
+
+# --- graph_modularity -------------------------------------------------------
+#
+# Newman modularity of the near-dup clustering: per connected
+# component c, Q_c = m_c/m − (D_c/2m)² — the community-quality score
+# that tells a dedup pipeline whether its clusters are tight bands or
+# accidental hairballs. Components come from the SAME min-label
+# propagation dedup_cluster runs (memoized); with components as the
+# partition every edge is intra-community, so Q = Σ_c Q_c is the
+# ceiling any finer community split is judged against. All-integer:
+# both terms are bigint floor-divisions mirrored textually.
+
+
+def _modularity_oracle() -> str:
+    from etl_cnpjs_spark.plans.dedup import _SQL_CLUSTER
+
+    # _SQL_CLUSTER ends with the (doc_id, component) projection over all
+    # documents; rebuild the tail to aggregate per component instead.
+    head = _SQL_CLUSTER[: _SQL_CLUSTER.index("SELECT d2.doc_id")]
+    return (
+        head
+        + """
+  , deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d
+            FROM edges GROUP BY 1),
+  nodecomp AS (SELECT c.a AS v, c.component FROM comp c),
+  m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM pairs),
+  percomp AS (
+    SELECT nc.component,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(deg.d) AS BIGINT) AS deg_sum
+    FROM nodecomp nc JOIN deg ON nc.v = deg.v GROUP BY 1),
+  inedge AS (
+    SELECT nc.component, CAST(count(*) AS BIGINT) AS m_in
+    FROM pairs p JOIN nodecomp nc ON p.i = nc.v GROUP BY 1)
+  SELECT pc.component, pc.n_nodes, ie.m_in, pc.deg_sum,
+         CAST(ie.m_in * 1000000 // m.m_edges
+              - pc.deg_sum * pc.deg_sum * 1000000
+                // (4 * m.m_edges * m.m_edges) AS BIGINT) AS q_ppm
+  FROM percomp pc JOIN inedge ie ON pc.component = ie.component
+  CROSS JOIN m
+"""
+    )
+
+
+@register("graph_modularity", oracle=_modularity_oracle(), tags=("graph", "dedup"))
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component Newman modularity contribution (ppm, integer).
+
+    Shapes: reuses dedup_cluster's memoized component labels (min-
+    label propagation — no recompute) and the memoized pair frame;
+    degree and per-component rollups are node-count-sized aggregates;
+    m is a 1-row broadcast. Both Q terms are integer floor-divisions
+    (m_c·10⁶ DIV m and D_c²·10⁶ DIV 4m²), mirrored textually — no
+    float anywhere."""
+    from etl_cnpjs_spark.plans.dedup import _exact_pairs, dedup_cluster
+
+    pairs = _exact_pairs(spark, sf_dir).select("i", "j")
+    labels = dedup_cluster(spark, sf_dir)  # (doc_id, component)
+    edges = pairs.select(F.col("i").alias("v")).unionAll(
+        pairs.select(F.col("j").alias("v"))
+    )
+    deg = edges.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    nodecomp = labels.select(F.col("doc_id").alias("v"), "component").join(
+        deg, "v"
+    )
+    m = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("m_edges"))
+    percomp = nodecomp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("d").cast("bigint").alias("deg_sum"),
+    )
+    inedge = (
+        pairs.join(
+            nodecomp.select(F.col("v").alias("i"), "component"), "i"
+        )
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m_in"))
+    )
+    return (
+        percomp.join(inedge, "component")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "component",
+            "n_nodes",
+            "m_in",
+            "deg_sum",
+            F.expr(
+                "m_in * 1000000 DIV m_edges"
+                " - deg_sum * deg_sum * 1000000 DIV (4 * m_edges * m_edges)"
+            )
+            .cast("bigint")
+            .alias("q_ppm"),
+        )
+    )
+
+
+# --- text_bpe_pairs ---------------------------------------------------------
+#
+# BPE merge step 0: the corpus-wide adjacent-character pair counts a
+# byte-pair-encoding tokenizer trainer computes before its FIRST
+# merge (each further merge re-counts over the merged symbol stream).
+# Top-20 pairs by (count desc, pair) — the training-side counterpart
+# of text_tokens/text_hashing_tf's inference-side surface.
+
+_BPE_TOPK = 20
+
+
+_BPE_SQL = """
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0),
+    pr AS (
+      SELECT substr(w, CAST(i.g AS INT), 2) AS pair
+      FROM tok, (SELECT unnest(generate_series(1, 4000)) AS g) i
+      WHERE i.g <= length(w) - 1),
+    c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1)
+    SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 20
+    """
+
+
+@register("text_bpe_pairs", oracle=_BPE_SQL, tags=("text", "ml", "north_star"))
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character pairs over all token occurrences —
+    the first BPE merge-candidate table (integer counts).
+
+    Shapes: token explode → per-token position explode (bounded by
+    token length), then ONE map-side-combined pair count — the
+    alphabet² key domain means partials collapse almost entirely
+    before the wire; top-k is TakeOrderedAndProject. A full BPE
+    trainer iterates merge → re-count; each iteration is exactly this
+    plan over the merged stream (documented seam, not looped here)."""
+    from etl_cnpjs_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("w")).filter(
+        # 1-char tokens have no pair; also guards Spark's sequence(1, 0),
+        # which DESCENDS ([1, 0]) instead of being empty
+        F.length("w") >= 2
+    )
+    pr = tok.select(
+        F.expr("explode(sequence(1, length(w) - 1))").alias("g"),
+        "w",
+    ).select(F.expr("substr(w, g, 2)").alias("pair"))
+    c = pr.groupBy("pair").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return c.orderBy(F.desc("n"), "pair").limit(_BPE_TOPK)
