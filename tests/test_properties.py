@@ -766,3 +766,175 @@ def test_skyline_matches_bruteforce_dominance(spark):
         if not dominated:
             front.add((k, d, p))
     assert got == front
+
+
+# --- round-6 session-3 operators ---------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ivls=st.lists(
+        st.tuples(st.integers(0, 2000), st.integers(1, 3)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_interval_merge_islands_match_sequential(spark, ivls):
+    """events_interval_merge's window algebra vs a 6-line sequential
+    sweep: same islands (start, end, count) for one user on generated
+    interval starts."""
+    from pyspark.sql import Window as W
+
+    PAD = 10
+    rows = [(1, s, s + PAD, i) for i, (s, _) in enumerate(ivls)]
+    # sequential oracle
+    exp = []
+    for _, s, f, _i in sorted(rows, key=lambda r: (r[1], r[3])):
+        if exp and s <= exp[-1][1]:
+            exp[-1][1] = max(exp[-1][1], f)
+            exp[-1][2] += 1
+        else:
+            exp.append([s, f, 1])
+    expected = {(s, f, n) for s, f, n in exp}
+
+    df = spark.createDataFrame(rows, "user_id long, s long, f long, event_id long")
+    ws = W.partitionBy("user_id").orderBy("s", "event_id")
+    m = df.withColumn(
+        "prev_max_f", F.max("f").over(ws.rowsBetween(W.unboundedPreceding, -1))
+    ).withColumn(
+        "new_island",
+        F.when(F.col("prev_max_f").isNull() | (F.col("s") > F.col("prev_max_f")), 1)
+        .otherwise(0),
+    ).withColumn(
+        "island", F.sum("new_island").over(ws.rowsBetween(W.unboundedPreceding, 0))
+    )
+    got = {
+        (r["start_s"], r["end_s"], r["n"])
+        for r in m.groupBy("user_id", "island")
+        .agg(
+            F.min("s").alias("start_s"),
+            F.max("f").alias("end_s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(xs=st.lists(st.floats(-100, 100, allow_nan=False), min_size=1, max_size=40))
+def test_ewma_fold_matches_sequential(spark, xs):
+    """window_ewma's aggregate() fold vs a sequential Python EWMA over
+    the same trailing-20 frame (α = 0.5, seeded by frame head)."""
+    from pyspark.sql import Window as W
+
+    WIN, A = 20, 0.5
+    rows = [(i, float(x)) for i, x in enumerate(xs)]
+    exp = []
+    for i in range(len(xs)):
+        frame = [x for _, x in rows[max(0, i - WIN + 1) : i + 1]]
+        s = frame[0]
+        for x in frame[1:]:
+            s = s * (1 - A) + x * A
+        exp.append(round(s, 4))
+
+    df = spark.createDataFrame(rows, "i long, v double")
+    ws = W.orderBy("i").rowsBetween(-(WIN - 1), 0)
+    fold = (
+        "aggregate(slice(frame, 2, greatest(size(frame) - 1, 0)), "
+        "element_at(frame, 1), (acc, x) -> acc * 0.5D + x * 0.5D)"
+    )
+    got = [
+        round(r["e"], 4)
+        for r in df.select("i", F.collect_list("v").over(ws).alias("frame"))
+        .select("i", F.expr(fold).alias("e"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == exp
+
+
+def test_pq_seed_vectors_have_zero_error(spark, sf_dir):
+    """embedding_pq: the 4 codebook seed vectors must quantize to
+    themselves — code_k == own vec_id and err_micro == 0."""
+    from etl_cnpjs_spark.plans import QUERIES
+
+    rows = (
+        QUERIES["embedding_pq"].fn(spark, sf_dir).filter(F.col("vec_id") < 4).collect()
+    )
+    assert len(rows) == 4
+    for r in rows:
+        assert r["err_micro"] == 0, r
+        for k in range(8):
+            assert r[f"code_{k}"] == r["vec_id"], r
+
+
+def test_bootstrap_weights_mean_is_one(spark, sf_dir):
+    """The Poisson(1) inverse-CDF thresholds must produce mean weight
+    ≈ 1 over the real event_id domain (the property the bootstrap
+    leans on: E[w] = 1 keeps replicate totals unbiased)."""
+    from etl_cnpjs_spark.plans.extended11 import (
+        _BOOT_KNUTH,
+        _BOOT_MOD,
+        _boot_w,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = f"((event_id * {_BOOT_KNUTH} + 7 * 97) % {_BOOT_MOD})"
+    m = ev.select(F.expr(_boot_w(h)).alias("w")).agg(
+        F.avg("w").alias("mw"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert abs(m["mw"] - 1.0) < 0.05, m
+
+
+def test_clustering_coeff_bounds_and_triangle_consistency(spark, sf_dir):
+    """graph_clustering_coeff: lcc ∈ [0, 1e6]; Σ per-node triangle
+    credits = 3 × the global triangle count key."""
+    from etl_cnpjs_spark.plans import QUERIES
+
+    from collections import defaultdict
+
+    from etl_cnpjs_spark.plans.dedup import _exact_pairs
+
+    rows = QUERIES["graph_clustering_coeff"].fn(spark, sf_dir).collect()
+    assert all(0 <= r["lcc_ppm"] <= 1_000_000 for r in rows)
+    # brute-force per-node triangle count on the same (small) pair graph
+    pairs = {(r["i"], r["j"]) for r in _exact_pairs(spark, sf_dir).collect()}
+    adj = defaultdict(set)
+    for i, j in pairs:
+        adj[i].add(j)
+        adj[j].add(i)
+    # each triangle {x<y<z} is enumerated exactly once: via its (x, y)
+    # edge with closing vertex z (the j < k guard kills the other two)
+    tri2 = defaultdict(int)
+    for i, j in pairs:
+        for k in adj[i] & adj[j]:
+            if j < k:  # (i, j, k) enumerated once per closing pair
+                for v in (i, j, k):
+                    tri2[v] += 1
+    got = {r["node_id"]: r["tri_cnt"] for r in rows if r["tri_cnt"] > 0}
+    assert got == dict(tri2)
+
+
+def test_modularity_sums_to_valid_range(spark, sf_dir):
+    """Newman modularity over any partition lies in [-0.5, 1]; with
+    connected components every edge is internal so Σ m_in = m and
+    Q = 1 − Σ(D_c/2m)² ≥ 0 here."""
+    from etl_cnpjs_spark.plans import QUERIES
+
+    rows = QUERIES["graph_modularity"].fn(spark, sf_dir).collect()
+    if not rows:
+        return
+    q = sum(r["q_ppm"] for r in rows) / 1e6
+    assert -0.5 <= q <= 1.0, q
+    m = sum(r["m_in"] for r in rows)
+    assert all(r["m_in"] >= 1 for r in rows)
+    assert q >= -1e-6 or m == 0
