@@ -863,3 +863,36 @@ def test_freshness_metadata_shaped_aggregate(spark, sf_dir):
     plan = explain_str(QUERIES["dq_freshness"].fn(spark, sf_dir), "simple")
     assert "partial_max" in plan or "partial_count" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bootstrap_fanout_combines_map_side(spark, sf_dir):
+    """agg_bootstrap_ci: the ×32 replicate explode happens scan-side
+    (Generate) and replicate sums combine map-side (partial_sum)
+    before the one (type, rep) exchange; the point-estimate join is
+    broadcast, never sort-merge."""
+    plan = explain_str(QUERIES["agg_bootstrap_ci"].fn(spark, sf_dir), "simple")
+    assert "Generate" in plan
+    assert "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_codebook_broadcasts(spark, sf_dir):
+    """embedding_pq: the 4-row codebook joins via broadcast (nested
+    loop — it's a crossJoin), and the subspace expansion is scan-side
+    Generate; two exchanges total (argmin window + final rollup on
+    the same vec key)."""
+    plan = explain_str(QUERIES["embedding_pq"].fn(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Generate" in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:800]
+
+
+def test_bpe_pairs_takeordered_topk(spark, sf_dir):
+    """text_bpe_pairs: alphabet²-bounded pair counts combine map-side
+    on ONE exchange and the top-20 is TakeOrderedAndProject (no global
+    sort materialization)."""
+    plan = explain_str(QUERIES["text_bpe_pairs"].fn(spark, sf_dir), "simple")
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+    assert "TakeOrderedAndProject" in plan
