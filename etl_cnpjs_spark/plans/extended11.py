@@ -1580,3 +1580,253 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.expr("substr(w, g, 2)").alias("pair"))
     c = pr.groupBy("pair").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     return c.orderBy(F.desc("n"), "pair").limit(_BPE_TOPK)
+
+
+# --- sink_partition_overwrite -----------------------------------------------
+#
+# Dynamic partition overwrite — the incremental-reload contract every
+# partitioned warehouse leans on: rewriting ONE partition's data must
+# replace exactly that partition and leave every other partition's
+# files untouched. Spark's static overwrite mode would TRUNCATE the
+# whole table first (the classic data-loss footgun); this key pins
+# partitionOverwriteMode=dynamic end to end: full write → targeted
+# single-partition rewrite (prices doubled) → read-back.
+
+
+_SPO_SQL = """
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 2
+                         ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                    END) AS BIGINT) AS total_cents
+    FROM orders GROUP BY 1
+    """
+
+
+@register("sink_partition_overwrite", oracle=_SPO_SQL, tags=("sink", "layout"))
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders partitioned by status, dynamically overwrite ONLY
+    the 'F' partition with doubled prices, read back the final state.
+
+    The oracle is the expected MERGED table (F doubled, others
+    untouched) — if dynamic overwrite leaked into sibling partitions
+    (static-mode truncate) the counts would collapse and the hash
+    would catch it. Scale story: partition-grain replace is the unit
+    of idempotent backfill at 100 TB — rewrite one day, never the
+    table; pairs with sink_idempotent (task-level) and sink_manifest
+    (commit-level)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        "o_orderstatus",
+    )
+    out = _os.path.join(_tempfile.mkdtemp(prefix="spo_"), "orders_part")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    patched = o.filter(F.col("o_orderstatus") == "F").withColumn(
+        "cents", F.col("cents") * 2
+    )
+    (
+        patched.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    rd = spark.read.parquet(out)
+    return rd.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+
+
+# --- events_locf ------------------------------------------------------------
+#
+# Last-observation-carried-forward gap fill — the sensor/telemetry
+# imputation next to events_interpolate_linear (which needs BOTH
+# endpoints; LOCF is causal, the only choice in online features).
+# A deterministic mask (event_id % 5 = 0) simulates the missing
+# readings; values ride as micro-integers so the fill is exact.
+
+
+_LOCF_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CASE WHEN event_id % 5 = 0 THEN NULL
+                  ELSE CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+             END AS x_micro
+      FROM events)
+    SELECT user_id, event_id, s, x_micro,
+           last_value(x_micro IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_micro,
+           CAST(CASE WHEN x_micro IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS was_missing
+    FROM e
+    """
+
+
+@register("events_locf", oracle=_LOCF_SQL, tags=("events", "timeseries"))
+def events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF) of masked readings per user (micro
+    integers; leading gaps stay NULL).
+
+    Shapes: ONE user-keyed exchange + sort; the fill is last(...,
+    ignorenulls) over a running frame — O(1) state per row, the
+    streaming-friendly imputation (its Structured Streaming twin is a
+    value-state applyInPandasWithState, documented seam)."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("bigint").alias("s"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+            F.floor(F.col("value") * 1000000 + 0.5).cast("bigint")
+        ).alias("x_micro"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "s",
+        "x_micro",
+        F.last("x_micro", ignorenulls=True).over(w).alias("filled_micro"),
+        F.when(F.col("x_micro").isNull(), 1).otherwise(0).cast("bigint").alias(
+            "was_missing"
+        ),
+    )
+
+
+# --- agg_boolean_suite ------------------------------------------------------
+#
+# The boolean-aggregate function surface: count_if / bool_and /
+# bool_or (SQL:2023 ANY/EVERY) — the predicates-as-aggregates family
+# the fn_* scalar keys don't touch. Bools cast to bigint at the
+# boundary per house rule.
+
+
+_BOOLAGG_SQL = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count_if(value > 50) AS BIGINT) AS n_over_50,
+           CAST(CASE WHEN bool_and(value >= 0) THEN 1 ELSE 0 END AS BIGINT)
+             AS all_non_negative,
+           CAST(CASE WHEN bool_or(value > 99) THEN 1 ELSE 0 END AS BIGINT)
+             AS any_over_99,
+           CAST(CASE WHEN bool_and(user_id IS NOT NULL) THEN 1 ELSE 0 END
+                AS BIGINT) AS all_users_present
+    FROM events GROUP BY 1
+    """
+
+
+@register("agg_boolean_suite", oracle=_BOOLAGG_SQL, tags=("agg", "functions"))
+def agg_boolean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / bool_and / bool_or per event_type (integer-cast).
+
+    One map-side-combined aggregate; every function partial-combines
+    (AND/OR/IF-count are associative), so the exchange carries one
+    row per (task, type)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("count_if(value > 50)").cast("bigint").alias("n_over_50"),
+        F.expr("CASE WHEN bool_and(value >= 0) THEN 1 ELSE 0 END")
+        .cast("bigint")
+        .alias("all_non_negative"),
+        F.expr("CASE WHEN bool_or(value > 99) THEN 1 ELSE 0 END")
+        .cast("bigint")
+        .alias("any_over_99"),
+        F.expr("CASE WHEN bool_and(user_id IS NOT NULL) THEN 1 ELSE 0 END")
+        .cast("bigint")
+        .alias("all_users_present"),
+    )
+
+
+# --- events_transition_entropy ----------------------------------------------
+#
+# Behavioral predictability: for each FROM event type, the Shannon
+# entropy of its next-event distribution (micro-nats) — low entropy =
+# scripted/funnel behavior, high = exploratory. The summary metric on
+# top of events_markov_transitions' raw matrix, using the
+# text_char_entropy ln() quantization discipline.
+
+
+_TRANS_ENT_SQL = """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                            event_id) AS prev_type
+      FROM events),
+    t AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_to_types
+      FROM t GROUP BY 1),
+    terms AS (
+      SELECT t.from_type, tt.total, tt.n_to_types,
+             t.n * CAST(floor(ln(CAST(t.n AS DOUBLE) / CAST(tt.total AS DOUBLE))
+                              * 1000000 + 0.5) AS BIGINT) AS term_micro
+      FROM t JOIN tot tt ON t.from_type = tt.from_type)
+    SELECT from_type, CAST(max(total) AS BIGINT) AS n_transitions,
+           CAST(max(n_to_types) AS BIGINT) AS n_to_types,
+           CAST(-sum(term_micro) // max(total) AS BIGINT)
+             AS entropy_micro_nats
+    FROM terms GROUP BY from_type
+    """
+
+
+@register(
+    "events_transition_entropy", oracle=_TRANS_ENT_SQL, tags=("events", "ml")
+)
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-event entropy per from-state (micro-nats,
+    integer).
+
+    Shapes: the lag window shares events_markov_transitions' user
+    exchange; the transition matrix is |types|²-bounded, so everything
+    after the first aggregate is constant-sized; ln(p) floor-quantizes
+    per matrix CELL (the proven cross-engine discipline)."""
+    ev = table(spark, sf_dir, "events")
+    wl = W.partitionBy("user_id").orderBy(
+        F.unix_timestamp("ts").cast("bigint"), "event_id"
+    )
+    o = ev.select(
+        "event_type", F.lag("event_type").over(wl).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = o.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = t.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_to_types"),
+    )
+    terms = t.join(tot, "from_type").select(
+        "from_type",
+        "total",
+        "n_to_types",
+        (
+            F.col("n")
+            * F.floor(
+                F.log(F.col("n").cast("double") / F.col("total").cast("double"))
+                * 1000000
+                + 0.5
+            ).cast("bigint")
+        ).alias("term_micro"),
+    )
+    return terms.groupBy("from_type").agg(
+        F.max("total").cast("bigint").alias("n_transitions"),
+        F.max("n_to_types").cast("bigint").alias("n_to_types"),
+        F.expr("-sum(term_micro) DIV max(total)").cast("bigint").alias(
+            "entropy_micro_nats"
+        ),
+    )
