@@ -1830,3 +1830,116 @@ def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_micro_nats"
         ),
     )
+
+
+# --- join_division ----------------------------------------------------------
+#
+# Relational division (Codd's ÷): users who performed EVERY event
+# type — the "for all" join no SQL keyword spells. Implemented the
+# scale-correct way: distinct incidence + one count-compare against
+# the broadcast universe size (never |types| stacked semi-joins, and
+# never NOT EXISTS(NOT EXISTS) double negation, which planners
+# decorrelate poorly).
+
+
+_DIVISION_SQL = """
+    WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+    k AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+          FROM events),
+    c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_done FROM u GROUP BY 1)
+    SELECT c.user_id, c.n_done
+    FROM c, k WHERE c.n_done = k.n_types
+    """
+
+
+@register("join_division", oracle=_DIVISION_SQL, tags=("join", "relational"))
+def join_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who did ALL event types (relational division; integer).
+
+    Shapes: one (user, type) dedup exchange (map-side combined), one
+    user-grain count, and a 1-row broadcast for the divisor universe —
+    O(|incidence|) total, independent of |types|. The textbook
+    alternative (chained semi-joins per type) is |types| shuffles and
+    can't survive a dynamic universe."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.select("user_id", "event_type").distinct()
+    k = ev.agg(F.countDistinct("event_type").cast("bigint").alias("n_types"))
+    c = u.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_done")
+    )
+    return (
+        c.crossJoin(F.broadcast(k))
+        .filter(F.col("n_done") == F.col("n_types"))
+        .select("user_id", "n_done")
+    )
+
+
+# --- join_partition_pruned --------------------------------------------------
+#
+# Dynamic partition pruning (DPP) — the Spark 3+ optimization that
+# makes star joins on partitioned facts read ONLY the partitions the
+# dimension filter selects, discovered at RUNTIME from the broadcast
+# side. This key materializes a status-partitioned fact, joins it to
+# a 2-row filtered dim, and returns per-status rollups; the paired
+# plan test asserts `dynamicpruning` actually reached the fact scan
+# (the difference between scanning 2/3 and 3/3 of a 100 TB table).
+
+
+_DPP_SQL = """
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
+    GROUP BY 1
+    """
+
+_dpp_path_cache: dict = {}
+
+
+def _dpp_fact(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the status-partitioned fact once per (app, sf)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _dpp_path_cache.get(key)
+    if path is None:
+        path = _os.path.join(_tempfile.mkdtemp(prefix="dpp_"), "orders_part")
+        (
+            table(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                F.floor(F.col("o_totalprice") * 100 + 0.5)
+                .cast("bigint")
+                .alias("cents"),
+                "o_orderstatus",
+            )
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(path)
+        )
+        _dpp_path_cache[key] = path
+    return path
+
+
+@register("join_partition_pruned", oracle=_DPP_SQL, tags=("join", "layout"))
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join where the dim filter prunes fact PARTITIONS at
+    runtime (DPP), rolled up per status.
+
+    Shapes: the dim (2 rows) broadcasts; Spark reuses the broadcast
+    as a dynamicpruning subquery INSIDE the fact scan's
+    PartitionFilters, so unselected partitions are never listed, let
+    alone read. tests/test_plans.py pins the `dynamicpruning`
+    expression in the scan — the assertion that actually matters at
+    100 TB."""
+    fact = spark.read.parquet(_dpp_fact(spark, sf_dir))
+    dim = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderstatus")
+        .distinct()
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+    )
+    j = fact.join(F.broadcast(dim), "o_orderstatus")
+    return j.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )

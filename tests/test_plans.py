@@ -896,3 +896,22 @@ def test_bpe_pairs_takeordered_topk(spark, sf_dir):
     assert "partial_count" in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
     assert "TakeOrderedAndProject" in plan
+
+
+def test_division_single_incidence_exchange(spark, sf_dir):
+    """join_division: count-compare form — one incidence dedup, one
+    user rollup, broadcast divisor; never |types| chained semi-joins."""
+    plan = explain_str(QUERIES["join_division"].fn(spark, sf_dir), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan, "divisor must broadcast"
+    # incidence dedup + user rollup + the divisor's own distinct scan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:800]
+
+
+def test_dpp_reaches_fact_scan(spark, sf_dir):
+    """join_partition_pruned: the fact scan's PartitionFilters must
+    contain a dynamicpruningexpression — runtime partition pruning
+    from the broadcast dim, the 100 TB star-join contract."""
+    plan = explain_str(QUERIES["join_partition_pruned"].fn(spark, sf_dir))
+    assert "dynamicpruningexpression" in plan, "DPP must reach the scan"
+    assert "BroadcastHashJoin" in plan
