@@ -653,3 +653,51 @@ def bmp_channel_stats_map_in_pandas(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=BMP_CHANNEL_SCHEMA)
+
+
+BMP_TILE_SCHEMA = (
+    "doc_id long, tx int, ty int, n_pixels long,"
+    " sum_b long, sum_g long, sum_r long"
+)
+
+
+def bmp_tile_stats_map_in_pandas(df: DataFrame) -> DataFrame:
+    """(doc_id, width, height) → synthesize + parse the doc's BMP and
+    reduce each cell of a 2×2 tile grid to per-channel sums — the
+    patch-extraction plumbing under ViT-style preprocessing (image →
+    grid of patches → per-patch features). Tile assignment is pure
+    integer math (tx = 2x DIV w, ty = 2y DIV h), mirrored textually in
+    the oracle. Executor-side discipline as the other BMP faces: bytes
+    are born and die inside the task; 4 rows × 7 integers per image
+    cross to the JVM."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"]):
+                doc_id, w, h = int(doc_id), int(w), int(h)
+                pw, ph, _bpp, px = parse_bmp(synth_bmp(doc_id, w, h))
+                a = px.astype(np.int64)
+                txs = (np.arange(pw) * 2) // pw  # per-column tile x
+                tys = (np.arange(ph) * 2) // ph  # per-row tile y
+                for ty in (0, 1):
+                    for tx in (0, 1):
+                        sel = a[np.ix_(tys == ty, txs == tx)]
+                        rows.append(
+                            (
+                                doc_id, tx, ty,
+                                int(sel.shape[0] * sel.shape[1]),
+                                int(sel[:, :, 0].sum()),
+                                int(sel[:, :, 1].sum()),
+                                int(sel[:, :, 2].sum()),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "tx", "ty", "n_pixels", "sum_b", "sum_g", "sum_r",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=BMP_TILE_SCHEMA)

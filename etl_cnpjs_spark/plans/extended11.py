@@ -1943,3 +1943,152 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
+
+
+# --- mm_image_tiles ---------------------------------------------------------
+#
+# ViT patch plumbing: decode each synthetic BMP and reduce a 2×2 tile
+# grid to per-tile channel sums — image → grid-of-patches → per-patch
+# features, the preprocessing layout under every patch-based vision
+# model. Tile membership is integer math (tx = 2x DIV w), so the
+# oracle re-derives every tile analytically from the closed-form
+# pixel pattern (same posture as mm_image_channel_stats; cites the
+# real stdlib codec in operators/multimodal.py).
+
+
+_TILES_SQL = """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 9 AS INT) AS width,
+             CAST(8 + doc_id % 7 AS INT) AS height
+      FROM documents
+    ),
+    grid AS (
+      SELECT d.doc_id,
+             CAST((gx.x * 2) // d.width AS INT)  AS tx,
+             CAST((gy.y * 2) // d.height AS INT) AS ty,
+             (gx.x + 3 * gy.y + d.doc_id) % 256  AS b,
+             (2 * gx.x + gy.y + d.doc_id) % 256  AS g,
+             (gx.x + gy.y + 3 * d.doc_id) % 256  AS r
+      FROM dims d
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) gx
+      CROSS JOIN (SELECT unnest(generate_series(0, 13)) AS y) gy
+      WHERE gx.x < d.width AND gy.y < d.height
+    )
+    SELECT doc_id, tx, ty,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum(b) AS BIGINT) AS sum_b,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(r) AS BIGINT) AS sum_r
+    FROM grid GROUP BY 1, 2, 3
+    """
+
+
+@register(
+    "mm_image_tiles",
+    oracle=_TILES_SQL,
+    tags=("multimodal", "udf", "image", "north_star"),
+)
+def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile (2×2 grid) channel sums from decoded BMP pixels.
+
+    Scale shape: Arrow-batched mapInPandas; bytes never leave the
+    task — 4 rows × 7 ints per image cross to the JVM. A production
+    ViT pipeline swaps the stats reduction for a flattened patch
+    tensor with the SAME partitioning and batch shape (documented
+    seam — the tensor columns would be fixed-length arrays)."""
+    from etl_cnpjs_spark.operators.multimodal import (
+        bmp_tile_stats_map_in_pandas,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (8 + F.col("doc_id") % 9).cast("int").alias("width"),
+        (8 + F.col("doc_id") % 7).cast("int").alias("height"),
+    )
+    return bmp_tile_stats_map_in_pandas(d)
+
+
+# --- window_rolling_slope ---------------------------------------------------
+#
+# Trailing-window OLS slope per series — the momentum feature (is the
+# metric trending up RIGHT NOW) that complements window_ewma's level
+# smoothing and agg_linreg's global fit. x = row index within the
+# series (consecutive ints), y = micro-quantized value; every frame
+# moment (n, Σx, Σy, Σxy, Σx²) is an EXACT bigint window sum, and the
+# slope is one integer floor-division: slope_micro = (nΣxy − ΣxΣy)·10⁶
+# DIV (nΣx² − (Σx)²) — zero float anywhere.
+
+_SLOPE_WIN = 20
+
+
+_SLOPE_SQL = f"""
+    WITH o AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                         event_id) AS x
+      FROM events),
+    m AS (
+      SELECT event_type, event_id, x, y,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS sx,
+             sum(y) OVER w AS sy,
+             sum(x * y) OVER w AS sxy,
+             sum(x * x) OVER w AS sxx
+      FROM o
+      WINDOW w AS (PARTITION BY event_type ORDER BY x
+                   ROWS BETWEEN {_SLOPE_WIN - 1} PRECEDING AND CURRENT ROW))
+    SELECT event_type, event_id, CAST(x AS BIGINT) AS x, y,
+           CAST((n * sxy - sx * sy) * 1000000
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_micro
+    FROM m WHERE n >= 2
+    """
+
+
+@register("window_rolling_slope", oracle=_SLOPE_SQL, tags=("window", "timeseries"))
+def window_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-20 OLS slope per event_type (micro units/row,
+    integer).
+
+    Shapes: ONE event_type exchange and ONE sort serve the row-number
+    pass and all five moment windows (same partitioning AND ordering);
+    each moment is O(1) sliding-frame state. x is the in-series row
+    index, so Σx² stays ≤ n³ — no epoch² overflow (the reason x is
+    NOT raw epoch seconds; documented constraint)."""
+    ev = table(spark, sf_dir, "events")
+    wo = W.partitionBy("event_type").orderBy(
+        F.unix_timestamp("ts").cast("bigint"), "event_id"
+    )
+    o = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("y"),
+        F.row_number().over(wo).alias("x"),
+    )
+    wf = (
+        W.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(-(_SLOPE_WIN - 1), 0)
+    )
+    m = o.select(
+        "event_type",
+        "event_id",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(wf).alias("n"),
+        F.sum("x").over(wf).alias("sx"),
+        F.sum("y").over(wf).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(wf).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(wf).alias("sxx"),
+    )
+    return m.filter(F.col("n") >= 2).select(
+        "event_type",
+        "event_id",
+        F.col("x").cast("bigint").alias("x"),
+        "y",
+        F.expr("(n * sxy - sx * sy) * 1000000 DIV (n * sxx - sx * sx)")
+        .cast("bigint")
+        .alias("slope_micro"),
+    )
