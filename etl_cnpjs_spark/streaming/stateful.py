@@ -300,3 +300,71 @@ def cep_clean_conversion(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming LOCF (the events_locf batch key's stateful face) -------------
+#
+# Forward-fill over an unbounded stream: per-user state carries ONE
+# value — the last non-null micro reading — and every arriving event
+# emits its filled value in append mode. This is the online-feature
+# imputation events_locf documents as its streaming seam: causal by
+# construction (only past readings fill), O(1) state per key.
+#
+# Precondition (shared with the SCD2 face): per-key (s, event_id)
+# order holds ACROSS micro-batches — the order a partitioned log
+# provides. Within a batch the handler sorts its chunk.
+
+LOCF_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("filled_micro", LongType()),
+        StructField("was_missing", LongType()),
+    ]
+)
+
+# held = -2**63 sentinel is avoided: state is (has_value, last_micro)
+LOCF_STATE_SCHEMA = StructType(
+    [StructField("has", LongType()), StructField("last", LongType())]
+)
+
+
+def _update_locf(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    has, last = state.get if state.exists else (0, 0)
+    chunk = pd.concat(list(pdfs)).sort_values(["s", "event_id"])
+    out = []
+    for eid, x in zip(chunk["event_id"], chunk["x_micro"]):
+        missing = pd.isna(x)
+        if not missing:
+            has, last = 1, int(x)
+        out.append(
+            (
+                key[0],
+                int(eid),
+                int(last) if has else None,
+                1 if missing else 0,
+            )
+        )
+    state.update((has, last))
+    yield pd.DataFrame(
+        out, columns=["user_id", "event_id", "filled_micro", "was_missing"]
+    )
+
+
+def locf_fill(events: DataFrame) -> DataFrame:
+    """Streaming DataFrame(user_id, event_id, s, x_micro nullable) →
+    append-mode forward-filled rows. State = (has, last): 2 longs per
+    user, bounded; eviction for retired users would be a
+    ProcessingTimeTimeout (same note as running_user_totals)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_locf,
+        outputStructType=LOCF_OUTPUT_SCHEMA,
+        stateStructType=LOCF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+pickle_by_value(__name__)

@@ -852,3 +852,56 @@ def test_streaming_cdc_upsert_matches_batch_merge(spark, sf_dir, tmp_path):
     # the cross-batch property is load-bearing: some keys were updated in
     # BOTH batches and must show version 2
     assert any(s.startswith("v2-") for s in got.values())
+
+
+def test_stream_locf_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming LOCF (value state, applyInPandasWithState) over a
+    TWO-micro-batch ordered feed converges to the events_locf batch
+    key: per-event filled values identical, including leading-gap
+    NULLs — state must carry the last reading ACROSS the batch
+    boundary."""
+    from etl_cnpjs_spark.plans import QUERIES
+    from etl_cnpjs_spark.streaming.stateful import locf_fill
+
+    batch = {
+        (r.user_id, r.event_id): (r.filled_micro, r.was_missing)
+        for r in QUERIES["events_locf"].fn(spark, sf_dir).collect()
+    }
+
+    feed = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").cast("bigint").alias("s"),
+            F.when(F.col("event_id") % 5 == 0, F.lit(None))
+            .otherwise(F.floor(F.col("value") * 1000000 + 0.5).cast("bigint"))
+            .alias("x_micro"),
+        )
+    )
+    mid = feed.approxQuantile("s", [0.5], 0.0)[0]
+    import os as _o
+    import shutil
+
+    d = str(tmp_path / "locf_feed")
+    dst = str(tmp_path / "feed_flat")
+    _o.makedirs(dst)
+    # two files split by time: cross-batch per-key order holds; name
+    # prefixes force batch1 before batch2 under maxFilesPerTrigger=1
+    for part, flt in (("a_batch1", F.col("s") <= mid), ("b_batch2", F.col("s") > mid)):
+        pdir = f"{d}/{part}"
+        feed.filter(flt).coalesce(1).write.parquet(pdir)
+        pq = next(f for f in _o.listdir(pdir) if f.endswith(".parquet"))
+        shutil.copy(f"{pdir}/{pq}", f"{dst}/{part}.parquet")
+
+    src = (
+        spark.readStream.schema(spark.read.parquet(dst).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dst)
+    )
+    _run_to_memory(locf_fill(src), "t_locf", "append")
+    got = {
+        (r.user_id, r.event_id): (r.filled_micro, r.was_missing)
+        for r in spark.table("t_locf").collect()
+    }
+    assert got == batch
