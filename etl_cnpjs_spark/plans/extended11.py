@@ -2092,3 +2092,144 @@ def window_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("slope_micro"),
     )
+
+
+# --- udf_arrow_scalar -------------------------------------------------------
+#
+# The Arrow-optimized scalar Python UDF surface (Spark 3.5+/4
+# useArrow=True): same row-wise author experience as udf_cnpj_format's
+# classic pickled UDF, but batches cross the JVM↔Python boundary as
+# Arrow columns (the 10-100× serialization win SURVEY §7.2 commits
+# to). The function itself — digit sum + mod-97 check code — is
+# SQL-mirrorable, so the oracle stays full.
+
+
+_ARROW_UDF_SQL = """
+    WITH d AS (
+      SELECT o_orderkey,
+             (SELECT sum(CAST(substr(CAST(o.o_orderkey AS VARCHAR), g.g, 1)
+                              AS BIGINT))
+              FROM (SELECT unnest(generate_series(1, 20)) AS g) g
+              WHERE g.g <= length(CAST(o.o_orderkey AS VARCHAR))) AS digit_sum
+      FROM orders o)
+    SELECT o_orderkey,
+           CAST(digit_sum AS BIGINT) AS digit_sum,
+           'ORD-' || CAST(o_orderkey AS VARCHAR) || '-'
+                  || CAST(digit_sum % 97 AS VARCHAR) AS check_code
+    FROM d
+    """
+
+
+@register("udf_arrow_scalar", oracle=_ARROW_UDF_SQL, tags=("udf", "functions"))
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digit-sum check codes via an Arrow-batched scalar Python UDF.
+
+    Shapes: narrow per-row map — zero shuffles; the boundary cost is
+    one Arrow record batch per task instead of per-row pickling
+    (ArrowEvalPython node, pinned in tests/test_plans.py). The same
+    logic as a built-in expression would be faster still (the fn_*
+    keys' posture); this key exists to pin the MIGRATION PATH for
+    logic that genuinely needs Python."""
+    from pyspark.sql import types as T
+
+    @F.udf(returnType=T.StructType([
+        T.StructField("digit_sum", T.LongType()),
+        T.StructField("check_code", T.StringType()),
+    ]), useArrow=True)
+    def check_code(k: int):
+        s = sum(int(c) for c in str(k))
+        return (s, f"ORD-{k}-{s % 97}")
+
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", check_code(F.col("o_orderkey")).alias("cc")
+    ).select(
+        "o_orderkey",
+        F.col("cc.digit_sum").cast("bigint").alias("digit_sum"),
+        F.col("cc.check_code").alias("check_code"),
+    )
+
+
+# --- events_lateness_profile ------------------------------------------------
+#
+# Watermark-tuning artifact: per source (event_type — one ordered-ish
+# log each, the Kafka-partition analogy), how late do events arrive
+# relative to the furthest event time already seen on that source?
+# lateness = running max(event time) over ARRIVAL order (event_id) −
+# event time, bucketed into the thresholds a watermark would be set
+# at. THE batch-side report that answers "how much state does a
+# 10-minute watermark actually drop" before any stream runs.
+
+
+_LATENESS_SQL = """
+    WITH o AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             max(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hwm
+      FROM events),
+    l AS (
+      SELECT event_type, hwm - s AS late_s FROM o),
+    b AS (
+      SELECT event_type,
+             CASE WHEN late_s = 0 THEN 'on_time'
+                  WHEN late_s <= 60 THEN 'le_1m'
+                  WHEN late_s <= 600 THEN 'le_10m'
+                  WHEN late_s <= 3600 THEN 'le_1h'
+                  ELSE 'gt_1h' END AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM l GROUP BY 1, 2),
+    t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM b GROUP BY 1)
+    SELECT b.event_type, b.bucket, b.n,
+           CAST(b.n * 1000000 // t.total AS BIGINT) AS share_ppm
+    FROM b JOIN t ON b.event_type = t.event_type
+    """
+
+
+@register(
+    "events_lateness_profile", oracle=_LATENESS_SQL, tags=("events", "streaming")
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness distribution vs the per-source high-water
+    mark (integer buckets + ppm share).
+
+    Shapes: one event_type exchange serves the running-max window
+    (arrival order = event_id, the ingestion sequence) and the bucket
+    rollup; totals derive from the bucket frame and broadcast back.
+    Per-source partitioning is the honest scale unit — a GLOBAL
+    arrival sort would be the cross-partition total order no log
+    provides anyway (watermarks are per-partition-min in Spark
+    too)."""
+    ev = table(spark, sf_dir, "events")
+    wa = (
+        W.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    s = F.unix_timestamp("ts").cast("bigint")
+    o = ev.select("event_type", s.alias("s"), "event_id").select(
+        "event_type",
+        "s",
+        F.max("s").over(wa).alias("hwm"),
+    )
+    late = o.select("event_type", (F.col("hwm") - F.col("s")).alias("late_s"))
+    b = late.select(
+        "event_type",
+        F.when(F.col("late_s") == 0, "on_time")
+        .when(F.col("late_s") <= 60, "le_1m")
+        .when(F.col("late_s") <= 600, "le_10m")
+        .when(F.col("late_s") <= 3600, "le_1h")
+        .otherwise("gt_1h")
+        .alias("bucket"),
+    ).groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = b.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("total"))
+    return b.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "bucket",
+        "n",
+        F.expr("n * 1000000 DIV total").cast("bigint").alias("share_ppm"),
+    )

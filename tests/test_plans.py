@@ -915,3 +915,22 @@ def test_dpp_reaches_fact_scan(spark, sf_dir):
     plan = explain_str(QUERIES["join_partition_pruned"].fn(spark, sf_dir))
     assert "dynamicpruningexpression" in plan, "DPP must reach the scan"
     assert "BroadcastHashJoin" in plan
+
+
+def test_arrow_udf_is_arrow_eval(spark, sf_dir):
+    """udf_arrow_scalar must plan as ArrowEvalPython (Arrow-batched
+    boundary), never the pickled BatchEvalPython, and stay
+    shuffle-free."""
+    plan = explain_str(QUERIES["udf_arrow_scalar"].fn(spark, sf_dir), "simple")
+    assert "ArrowEvalPython" in plan, plan[:600]
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_lateness_profile_single_source_exchange(spark, sf_dir):
+    """events_lateness_profile: the running-max window and bucket
+    rollup share the event_type exchange; totals broadcast back."""
+    plan = explain_str(QUERIES["events_lateness_profile"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:800]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
