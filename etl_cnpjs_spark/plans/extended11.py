@@ -2233,3 +2233,146 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("n * 1000000 DIV total").cast("bigint").alias("share_ppm"),
     )
+
+
+# --- sink_csv_br_dialect ----------------------------------------------------
+#
+# Brazilian-Excel CSV dialect round trip: semicolon separator, decimal
+# COMMA money — the dialect the reference's downstream consumers
+# actually open (its export writes latin-1 + BOM for the same Excel;
+# etl.py:185-188 / SURVEY §2.1 O6/O18 cover encoding, this key covers
+# the separator/decimal axis). Money crosses as a formatted string
+# (the dialect's own representation), so the round trip is exact by
+# construction and the oracle mirrors the formatting textually.
+
+
+_BR_CSV_SQL = """
+    SELECT o_orderkey,
+           CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100
+                AS VARCHAR) || ','
+             || CASE WHEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          % 100 < 10 THEN '0' ELSE '' END
+             || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 100
+                     AS VARCHAR) AS total_br,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 83 = 0
+    """
+
+
+@register("sink_csv_br_dialect", oracle=_BR_CSV_SQL, tags=("sink", "cnpj"))
+def sink_csv_br_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a keyed slice as semicolon-separated CSV with
+    decimal-comma money, read it back under the same dialect options.
+
+    The money column is formatted cents→'R,CC' string BEFORE the sink
+    (integer arithmetic, engine-mirrored), because decimal-comma is a
+    PRESENTATION dialect: parsing it back as double would re-open the
+    float door the cent discipline closed. sep=';' exercises the
+    non-default separator path both directions."""
+    from pyspark.sql import types as T
+
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    sl = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 83 == 0)
+        .select(
+            "o_orderkey",
+            F.concat(
+                (cents / 100).cast("bigint").cast("string"),
+                F.lit(","),
+                F.when(cents % 100 < 10, "0").otherwise(""),
+                (cents % 100).cast("string"),
+            ).alias("total_br"),
+            "o_orderstatus",
+        )
+    )
+    out = _os.path.join(_tempfile.mkdtemp(prefix="br_csv_"), "slice.csv")
+    sl.write.mode("overwrite").option("header", True).option("sep", ";").csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("total_br", T.StringType()),
+            T.StructField("o_orderstatus", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", True).option("sep", ";").csv(
+        out
+    )
+
+
+# --- events_ab_srm ----------------------------------------------------------
+#
+# Sample-ratio mismatch — the A/B test's health check that runs BEFORE
+# any lift is read: chi-square goodness-of-fit of the observed
+# assignment split vs the designed 50/50. A failed SRM invalidates the
+# experiment regardless of p-values (the first thing every
+# experimentation platform gates on). Cohort = user_id % 2, the same
+# deterministic assignment events_ab_lift/ab_ttest use.
+
+
+_SRM_SQL = """
+    WITH a AS (
+      SELECT user_id % 2 AS cohort, CAST(count(DISTINCT user_id) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM a),
+    c AS (
+      SELECT a.cohort, a.n, t.total,
+             CAST(floor(
+               (CAST(a.n AS DOUBLE) - CAST(t.total AS DOUBLE) / 2)
+               * (CAST(a.n AS DOUBLE) - CAST(t.total AS DOUBLE) / 2)
+               / (CAST(t.total AS DOUBLE) / 2) * 1000000 + 0.5) AS BIGINT)
+               AS cell_micro
+      FROM a, t)
+    SELECT CAST(max(total) AS BIGINT) AS n_users,
+           CAST(max(CASE WHEN cohort = 0 THEN n END) AS BIGINT) AS n_control,
+           CAST(max(CASE WHEN cohort = 1 THEN n END) AS BIGINT) AS n_treat,
+           CAST(sum(cell_micro) AS BIGINT) AS chi2_micro,
+           CAST(CASE WHEN sum(cell_micro) > 3841459 THEN 1 ELSE 0 END AS BIGINT)
+             AS srm_flag
+    FROM c
+    """
+
+
+@register("events_ab_srm", oracle=_SRM_SQL, tags=("events", "ml", "dq"))
+def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch χ² vs the designed 50/50 split (micro
+    integers; flag at the 95% critical value 3.841459).
+
+    Shapes: one distinct-user aggregate per cohort (2 groups), a
+    2-row frame after that — everything post-scan is constant-sized.
+    Each χ² cell micro-quantizes ONE mirrored double expression over
+    exact integers (the chi2_independence discipline)."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.select((F.col("user_id") % 2).alias("cohort"), "user_id").groupBy(
+        "cohort"
+    ).agg(F.countDistinct("user_id").cast("bigint").alias("n"))
+    t = a.agg(F.sum("n").cast("bigint").alias("total"))
+    c = a.crossJoin(F.broadcast(t)).select(
+        "cohort",
+        "n",
+        "total",
+        F.expr(
+            "CAST(floor((CAST(n AS DOUBLE) - CAST(total AS DOUBLE) / 2)"
+            " * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) / 2)"
+            " / (CAST(total AS DOUBLE) / 2) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("cell_micro"),
+    )
+    return c.agg(
+        F.max("total").cast("bigint").alias("n_users"),
+        F.max(F.when(F.col("cohort") == 0, F.col("n")))
+        .cast("bigint")
+        .alias("n_control"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n")))
+        .cast("bigint")
+        .alias("n_treat"),
+        F.sum("cell_micro").cast("bigint").alias("chi2_micro"),
+    ).select(
+        "n_users",
+        "n_control",
+        "n_treat",
+        "chi2_micro",
+        F.when(F.col("chi2_micro") > 3841459, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("srm_flag"),
+    )
