@@ -2376,3 +2376,189 @@ def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("srm_flag"),
     )
+
+
+# --- graph_hits -------------------------------------------------------------
+#
+# HITS hubs & authorities (Kleinberg) on the directed orders-derived
+# graph (same synthetic edge generator as graph_triangle_count, kept
+# DIRECTED here): 3 unrolled mutual-reinforcement rounds with
+# MAX-normalization instead of L2 — dividing by the round's max score
+# keeps every score an integer ppm (score·10⁶ DIV max), so the whole
+# algorithm is bigint arithmetic and the oracle mirrors it textually
+# (the k-core unroll discipline: "HITS after R rounds" is the
+# registered semantics; convergence to fixpoint is the production
+# run's stopping rule, not the oracle's).
+
+_HITS_N = 500
+_HITS_ROUNDS = 3
+
+
+def _hits_sql() -> str:
+    sql = f"""
+    WITH raw AS (
+      SELECT o_orderkey % {_HITS_N} AS a,
+             ((o_orderkey // {_HITS_N}) * 13 + (o_orderkey % {_HITS_N}) * 7 + 1)
+               % {_HITS_N} AS b
+      FROM orders),
+    e AS (SELECT DISTINCT a AS u, b AS v FROM raw WHERE a <> b),
+    nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+    h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+    a0 AS (SELECT node, CAST(1000000 AS BIGINT) AS a FROM nodes)
+    """
+    prev_h, prev_a = "h0", "a0"
+    for r in range(1, _HITS_ROUNDS + 1):
+        sql += f"""
+    , ar{r} AS (
+      SELECT e.v AS node, CAST(sum(ph.h) AS BIGINT) AS s
+      FROM e JOIN {prev_h} ph ON e.u = ph.node GROUP BY 1),
+    arm{r} AS (SELECT max(s) AS mx FROM ar{r}),
+    a{r} AS (
+      SELECT n.node,
+             CAST(coalesce(ar.s, 0) * 1000000 // m.mx AS BIGINT) AS a
+      FROM nodes n LEFT JOIN ar{r} ar ON n.node = ar.node
+      CROSS JOIN arm{r} m),
+    hr{r} AS (
+      SELECT e.u AS node, CAST(sum(pa.a) AS BIGINT) AS s
+      FROM e JOIN a{r} pa ON e.v = pa.node GROUP BY 1),
+    hrm{r} AS (SELECT max(s) AS mx FROM hr{r}),
+    h{r} AS (
+      SELECT n.node,
+             CAST(coalesce(hr.s, 0) * 1000000 // m.mx AS BIGINT) AS h
+      FROM nodes n LEFT JOIN hr{r} hr ON n.node = hr.node
+      CROSS JOIN hrm{r} m)
+    """
+        prev_h, prev_a = f"h{r}", f"a{r}"
+    sql += f"""
+    SELECT n.node, h.h AS hub_ppm, a.a AS auth_ppm
+    FROM nodes n
+    JOIN {prev_h} h ON n.node = h.node
+    JOIN {prev_a} a ON n.node = a.node
+    WHERE h.h > 0 OR a.a > 0
+    """
+    return sql
+
+
+@register("graph_hits", oracle=_hits_sql(), tags=("graph",))
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub/authority scores after 3 HITS rounds (ppm integers).
+
+    Shapes per round: two edge-keyed aggregates (auth = Σ hub over
+    in-edges, hub = Σ auth over out-edges), each map-side combined,
+    with the node-sized score frame BROADCAST onto the edge join; the
+    round max is a 1-row broadcast. localCheckpoint between rounds
+    keeps lineage flat (the k-core discipline). All-integer
+    max-normalization is the determinism trick: L2 would put a sqrt
+    inside the iteration; max keeps ppm bigints end to end."""
+    o = table(spark, sf_dir, "orders")
+    raw = o.select(
+        (F.col("o_orderkey") % _HITS_N).alias("a"),
+        (
+            ((F.col("o_orderkey") / _HITS_N).cast("bigint") * 13
+             + (F.col("o_orderkey") % _HITS_N) * 7 + 1) % _HITS_N
+        ).alias("b"),
+    )
+    e = raw.filter(F.col("a") != F.col("b")).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = nodes.select("node", F.lit(1000000).cast("bigint").alias("h"))
+    a = nodes.select("node", F.lit(1000000).cast("bigint").alias("a"))
+    for _ in range(_HITS_ROUNDS):
+        ar = (
+            e.join(F.broadcast(h.select(F.col("node").alias("u"), "h")), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("h").cast("bigint").alias("s"))
+        )
+        mx_a = ar.agg(F.max("s").alias("mx"))
+        a = (
+            nodes.join(ar, "node", "left")
+            .crossJoin(F.broadcast(mx_a))
+            .select(
+                "node",
+                F.expr("coalesce(s, 0) * 1000000 DIV mx").cast("bigint").alias("a"),
+            )
+            .localCheckpoint()
+        )
+        hr = (
+            e.join(F.broadcast(a.select(F.col("node").alias("v"), "a")), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("a").cast("bigint").alias("s"))
+        )
+        mx_h = hr.agg(F.max("s").alias("mx"))
+        h = (
+            nodes.join(hr, "node", "left")
+            .crossJoin(F.broadcast(mx_h))
+            .select(
+                "node",
+                F.expr("coalesce(s, 0) * 1000000 DIV mx").cast("bigint").alias("h"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        nodes.join(h, "node")
+        .join(a, "node")
+        .filter((F.col("h") > 0) | (F.col("a") > 0))
+        .select("node", F.col("h").alias("hub_ppm"), F.col("a").alias("auth_ppm"))
+    )
+
+
+# --- corpus_dup_matrix ------------------------------------------------------
+#
+# Cross-source duplication matrix: for every (source_a ≤ source_b)
+# pair, how many near-dup pairs connect them — the "which feeds copy
+# from which" report a corpus curator reads before setting per-source
+# dedup priorities (intra-source dups suggest crawler re-visits;
+# cross-source dups suggest syndication). Reuses the memoized exact
+# pair frame + a 2-column dimension join.
+
+
+def _dup_matrix_oracle() -> str:
+    from etl_cnpjs_spark.plans.dedup import _SQL_PAIRS
+
+    return (
+        _SQL_PAIRS
+        + """
+      , lab AS (
+        SELECT p.i, p.j, di.source AS si, dj.source AS sj
+        FROM pairs p
+        JOIN documents di ON p.i = di.doc_id
+        JOIN documents dj ON p.j = dj.doc_id)
+      SELECT least(si, sj) AS source_a, greatest(si, sj) AS source_b,
+             CAST(count(*) AS BIGINT) AS n_dup_pairs,
+             CAST(sum(CASE WHEN si = sj THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_intra
+      FROM lab GROUP BY 1, 2
+    """
+    )
+
+
+@register("corpus_dup_matrix", oracle=_dup_matrix_oracle(), tags=("corpus", "dedup"))
+def corpus_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts per unordered source pair (integer).
+
+    Shapes: the doc→source dimension is corpus-metadata sized and
+    BROADCAST twice onto the pair frame (one per endpoint); the rollup
+    lands on a |sources|² grid. The pair frame is the memoized one
+    every graph/dedup key shares — zero recompute."""
+    from etl_cnpjs_spark.plans.dedup import _exact_pairs
+
+    pairs = _exact_pairs(spark, sf_dir).select("i", "j")
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    di = d.select(F.col("doc_id").alias("i"), F.col("source").alias("si"))
+    dj = d.select(F.col("doc_id").alias("j"), F.col("source").alias("sj"))
+    lab = pairs.join(F.broadcast(di), "i").join(F.broadcast(dj), "j")
+    return lab.groupBy(
+        F.least("si", "sj").alias("source_a"),
+        F.greatest("si", "sj").alias("source_b"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"),
+        F.sum(F.when(F.col("si") == F.col("sj"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_intra"),
+    )
