@@ -2562,3 +2562,110 @@ def corpus_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_intra"),
     )
+
+
+# --- agg_rate_smoothing -----------------------------------------------------
+#
+# Empirical-Bayes rate smoothing — the ranking-pipeline fix for small
+# denominators (a 1/1 "100% converter" must not outrank 95/100):
+# shrink each user's conversion rate toward the GLOBAL rate with a
+# fixed-strength Beta prior, smoothed = (k + C·p̄)/(n + C), C = 20.
+# The global prior is exact integers broadcast once; the per-user
+# formula is one mirrored double expression, ppm-quantized.
+
+_SMOOTH_C = 20
+_SMOOTH_THRESH = 50.0
+
+
+_SMOOTH_SQL = f"""
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value > {_SMOOTH_THRESH} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM events GROUP BY 1),
+    g AS (SELECT CAST(sum(n) AS BIGINT) AS gn, CAST(sum(k) AS BIGINT) AS gk
+          FROM u)
+    SELECT u.user_id, u.n, u.k,
+           CAST(u.k * 1000000 // u.n AS BIGINT) AS raw_ppm,
+           CAST(floor(
+             (CAST(u.k AS DOUBLE)
+              + {_SMOOTH_C} * (CAST(g.gk AS DOUBLE) / CAST(g.gn AS DOUBLE)))
+             / (CAST(u.n AS DOUBLE) + {_SMOOTH_C}) * 1000000 + 0.5) AS BIGINT)
+             AS smoothed_ppm
+    FROM u, g
+    """
+
+
+@register("agg_rate_smoothing", oracle=_SMOOTH_SQL, tags=("agg", "ml"))
+def agg_rate_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user conversion rate with Beta(C·p̄, C·(1−p̄)) shrinkage
+    (ppm integers).
+
+    Shapes: one user aggregate (exact integer k, n), a 1-row global
+    prior broadcast back, one mirrored double formula per user. The
+    shrinkage constant is part of the registered semantics; production
+    fits it by method of moments over the same (k, n) frame —
+    documented seam, same plan shape."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") > _SMOOTH_THRESH, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    g = u.agg(
+        F.sum("n").cast("bigint").alias("gn"),
+        F.sum("k").cast("bigint").alias("gk"),
+    )
+    return u.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        "n",
+        "k",
+        F.expr("k * 1000000 DIV n").cast("bigint").alias("raw_ppm"),
+        F.expr(
+            f"CAST(floor((CAST(k AS DOUBLE)"
+            f" + {_SMOOTH_C} * (CAST(gk AS DOUBLE) / CAST(gn AS DOUBLE)))"
+            f" / (CAST(n AS DOUBLE) + {_SMOOTH_C}) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("smoothed_ppm"),
+    )
+
+
+# --- fn_stable_id -----------------------------------------------------------
+#
+# Deterministic dense ID assignment — the replacement for
+# monotonically_increasing_id(), which is partition-layout-dependent
+# (different cluster, different ids) and therefore banned from any
+# reproducible pipeline. Stable ids = row_number over an explicit
+# total order; re-runs, re-partitions, and engine swaps all agree.
+# The classic use: assigning contiguous vocab/doc ids before an
+# array-indexed model stage.
+
+
+_STABLE_ID_SQL = """
+    SELECT CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT)
+             AS stable_id,
+           doc_id, source
+    FROM documents
+    """
+
+
+@register("fn_stable_id", oracle=_STABLE_ID_SQL, tags=("functions", "corpus"))
+def fn_stable_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous deterministic ids over (source, doc_id) order.
+
+    Shapes: one global sort — honest and documented: DENSE contiguous
+    ids fundamentally order the corpus (at 100 TB: two-pass
+    partition-offset assignment — per-partition counts, prefix-sum the
+    offsets driver-side, then zip within partitions — same result,
+    no global sort; the window form here IS the semantics both
+    implement). The anti-pattern this key replaces
+    (monotonically_increasing_id) is partition-dependent and
+    unreproducible by construction."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        F.row_number().over(W.orderBy("source", "doc_id")).cast("bigint").alias(
+            "stable_id"
+        ),
+        "doc_id",
+        "source",
+    )
