@@ -2669,3 +2669,138 @@ def fn_stable_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
     )
+
+
+# --- text_gazetteer_match ---------------------------------------------------
+#
+# Dictionary-based concept tagging (gazetteer NER-lite): a fixed
+# term→category dictionary matched by exact token equality — the
+# cheap entity tagger that runs before any model NER (product names,
+# tickers, geo gazetteers). The dictionary is a literal VALUES frame
+# in BOTH engines; matching is a broadcast join onto the shared
+# (doc, token) explode path.
+
+_GAZETTEER = [
+    ("join", "operator"), ("sort", "operator"), ("merge", "operator"),
+    ("scan", "operator"), ("filter", "operator"), ("window", "operator"),
+    ("agg", "operator"),
+    ("stream", "runtime"), ("batch", "runtime"), ("spark", "runtime"),
+    ("hash", "structure"), ("table", "structure"), ("column", "structure"),
+    ("row", "structure"), ("key", "structure"),
+]
+
+
+def _gaz_sql() -> str:
+    vals = ", ".join(f"('{t}', '{c}')" for t, c in _GAZETTEER)
+    return f"""
+    WITH gaz(term, category) AS (VALUES {vals}),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0)
+    SELECT t.doc_id, g.category,
+           CAST(count(*) AS BIGINT) AS n_mentions,
+           CAST(count(DISTINCT t.w) AS BIGINT) AS n_distinct_terms
+    FROM tok t JOIN gaz g ON t.w = g.term
+    GROUP BY 1, 2
+    """
+
+
+@register("text_gazetteer_match", oracle=_gaz_sql(), tags=("text", "north_star"))
+def text_gazetteer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, category) gazetteer mention counts (integer).
+
+    Shapes: the dictionary is a literal in-plan frame, BROADCAST onto
+    the token explode (the join prunes non-dictionary tokens before
+    any aggregation — filter-then-count); one (doc, category) rollup.
+    At 100 TB a million-term gazetteer still broadcasts (few MB);
+    past that it becomes a bucketed build side — documented seam."""
+    from etl_cnpjs_spark.functions.text import tokens
+
+    gaz = spark.createDataFrame(_GAZETTEER, "term string, category string")
+    d = table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    m = tok.join(F.broadcast(gaz), tok["w"] == gaz["term"])
+    return m.groupBy("doc_id", "category").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_mentions"),
+        F.countDistinct("w").cast("bigint").alias("n_distinct_terms"),
+    )
+
+
+# --- text_vocab_coverage ----------------------------------------------------
+#
+# Tokenizer-readiness metric: build the corpus's top-100 token
+# vocabulary, then score every document's coverage (tokens in vocab)
+# and OOV rate — the report that decides whether a fixed vocab /
+# tokenizer is adequate for a corpus slice before training starts.
+# Vocab selection is total-ordered ((count DESC, token)) so both
+# engines pick the identical 100.
+
+_VOCAB_K = 100
+
+
+_VOCAB_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0),
+    vc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1
+      ORDER BY n DESC, w LIMIT {_VOCAB_K}),
+    sc AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_in_vocab
+      FROM tok t LEFT JOIN vc v ON t.w = v.w
+      GROUP BY 1)
+    SELECT doc_id, n_tokens, n_in_vocab,
+           CAST(n_in_vocab * 1000000 // n_tokens AS BIGINT) AS coverage_ppm,
+           CAST((n_tokens - n_in_vocab) * 1000000 // n_tokens AS BIGINT)
+             AS oov_ppm
+    FROM sc
+    """
+
+
+@register("text_vocab_coverage", oracle=_VOCAB_SQL, tags=("text", "ml"))
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100-vocab coverage and OOV rate per document (ppm).
+
+    Shapes: ONE token exchange builds the vocab (map-side-combined
+    counts + TakeOrdered top-100); the 100-row vocab BROADCASTS back
+    onto the same token frame as a left join (membership flag, no
+    re-shuffle); doc rollup on the doc key. The two-pass
+    build-then-score is the honest shape — a single pass can't know
+    the top-K."""
+    from etl_cnpjs_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    vc = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(_VOCAB_K)
+        .select(F.col("w").alias("vw"))
+    )
+    sc = tok.join(F.broadcast(vc), tok["w"] == vc["vw"], "left").groupBy(
+        "doc_id"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("vw").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_in_vocab"),
+    )
+    return sc.select(
+        "doc_id",
+        "n_tokens",
+        "n_in_vocab",
+        F.expr("n_in_vocab * 1000000 DIV n_tokens")
+        .cast("bigint")
+        .alias("coverage_ppm"),
+        F.expr("(n_tokens - n_in_vocab) * 1000000 DIV n_tokens")
+        .cast("bigint")
+        .alias("oov_ppm"),
+    )
