@@ -2804,3 +2804,154 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("oov_ppm"),
     )
+
+
+# --- sink_versioned_manifest ------------------------------------------------
+#
+# Versioned manifest commits with TIME TRAVEL — the file-level story
+# cdc_snapshot_at tells at row level: commit v1 (slice A), commit v2
+# (slice A plus appended slice B; v1's manifest untouched), then read
+# BOTH versions through their manifests and roll up per version. A
+# reader pinned to v1 must see exactly the v1 table forever — the
+# reproducible-training-run property ("train set = manifest vN") that
+# makes lakehouse versioning a data-management feature rather than a
+# backup feature.
+
+
+_VMANIFEST_SQL = """
+    WITH a AS (
+      SELECT * FROM orders WHERE o_orderkey % 89 = 0),
+    b AS (
+      SELECT * FROM orders WHERE o_orderkey % 89 = 1)
+    SELECT CAST(1 AS BIGINT) AS version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM a
+    UNION ALL
+    SELECT CAST(2 AS BIGINT),
+           CAST((SELECT count(*) FROM a) + (SELECT count(*) FROM b) AS BIGINT),
+           CAST((SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 FROM a)
+                + (SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   FROM b) AS BIGINT)
+    """
+
+
+@register("sink_versioned_manifest", oracle=_VMANIFEST_SQL, tags=("sink", "cdc"))
+def sink_versioned_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two manifest commits (v2 appends files, reuses v1's), time-
+    travel reads of both, per-version rollup (integer cents).
+
+    Commit protocol: MANIFEST_v{N}.json written via os.replace (the
+    sink_manifest discipline) listing the FULL file set of that
+    version — append-only data files, versions share files by
+    reference (v2 lists v1's files + the new ones; nothing rewrites).
+    Scale story: commit cost = one rename regardless of volume;
+    version storage cost = only NEW files; GC = files referenced by
+    no retained manifest (documented, not modeled)."""
+    import glob
+    import json
+
+    base = _tempfile.mkdtemp(prefix="vmanifest_")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents.alias("cents")
+    )
+    d1 = _os.path.join(base, "d1")
+    o.filter(F.col("o_orderkey") % 89 == 0).write.parquet(d1)
+    v1_files = sorted(glob.glob(_os.path.join(d1, "*.parquet")))
+    tmp = _os.path.join(base, "_m.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"files": v1_files}, f)
+    _os.replace(tmp, _os.path.join(base, "MANIFEST_v1.json"))
+
+    d2 = _os.path.join(base, "d2")
+    o.filter(F.col("o_orderkey") % 89 == 1).write.parquet(d2)
+    v2_files = v1_files + sorted(glob.glob(_os.path.join(d2, "*.parquet")))
+    with open(tmp, "w") as f:
+        json.dump({"files": v2_files}, f)
+    _os.replace(tmp, _os.path.join(base, "MANIFEST_v2.json"))
+
+    outs = []
+    for ver in (1, 2):
+        with open(_os.path.join(base, f"MANIFEST_v{ver}.json")) as f:
+            committed = json.load(f)["files"]
+        rd = spark.read.parquet(*committed)
+        outs.append(
+            rd.agg(
+                F.lit(ver).cast("bigint").alias("version"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("total_cents"),
+            ).select("version", "n_rows", "total_cents")
+        )
+    return outs[0].unionAll(outs[1])
+
+
+# --- corpus_token_budget ----------------------------------------------------
+#
+# THE question every training run starts with: how many tokens do we
+# have, and where — token totals per (source, lang) with corpus share
+# and a deterministic rank. Complements corpus_source_mix (docs/chars
+# composition) with the unit that actually prices a run.
+
+
+_TOKEN_BUDGET_SQL = """
+    WITH tok AS (
+      SELECT source, lang,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt
+      FROM documents WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY 1, 2),
+    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM g)
+    SELECT g.source, g.lang, g.n_docs, g.n_tokens,
+           CAST(g.n_tokens * 1000000 // t.total AS BIGINT) AS share_ppm,
+           CAST(row_number() OVER (ORDER BY g.n_tokens DESC, g.source, g.lang)
+                AS BIGINT) AS budget_rank
+    FROM g, t
+    """
+
+
+@register("corpus_token_budget", oracle=_TOKEN_BUDGET_SQL, tags=("corpus", "north_star"))
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token totals per (source, lang) with ppm share and rank.
+
+    Shapes: token COUNTING is per-row (size(split), no explode — the
+    cheap form when only totals are needed); one map-side-combined
+    rollup to the |sources|·|langs| grid; total + rank run on that
+    tiny frame. The no-explode trick matters at 100 TB: counting
+    tokens must never materialize them."""
+    from etl_cnpjs_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tok = d.select(
+        "source", "lang", F.size(tokens(F.col("text"))).cast("bigint").alias("nt")
+    )
+    g = tok.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+    )
+    t = g.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 DIV total").cast("bigint").alias(
+                "share_ppm"
+            ),
+        )
+        .withColumn(
+            "budget_rank",
+            F.row_number()
+            .over(W.orderBy(F.desc("n_tokens"), "source", "lang"))
+            .cast("bigint"),
+        )
+    )
