@@ -2955,3 +2955,134 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint"),
         )
     )
+
+
+# --- agg_hill_tail_index ----------------------------------------------------
+#
+# Hill estimator of the heavy-tail exponent of user activity: over
+# the top-k order statistics of per-user event counts,
+# α̂ = k / Σ ln(x_i / x_(k+1)) — the standard tail-index measurement
+# (is the 90/10 skew a power law, and how heavy) that sizes skew
+# mitigation (salting thresholds, hot-key caps). ln() terms micro-
+# quantize per order statistic (the char-entropy discipline), the sum
+# is bigint, and the final α̂ is one integer division.
+
+_HILL_K = 50
+
+
+_HILL_SQL = f"""
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    r AS (
+      SELECT x, row_number() OVER (ORDER BY x DESC, user_id) AS rk
+      FROM u),
+    ref AS (SELECT x AS xk1 FROM r WHERE rk = {_HILL_K + 1}),
+    terms AS (
+      SELECT CAST(floor(ln(CAST(r.x AS DOUBLE) / CAST(ref.xk1 AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT) AS t_micro
+      FROM r, ref WHERE r.rk <= {_HILL_K})
+    SELECT CAST({_HILL_K} AS BIGINT) AS k,
+           CAST((SELECT xk1 FROM ref) AS BIGINT) AS x_k1,
+           CAST(sum(t_micro) AS BIGINT) AS sum_ln_micro,
+           CAST(CAST({_HILL_K} AS BIGINT) * 1000000 * 1000000
+                // sum(t_micro) AS BIGINT) AS alpha_micro
+    FROM terms
+    """
+
+
+@register("agg_hill_tail_index", oracle=_HILL_SQL, tags=("agg", "stats"))
+def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index α̂ over the top-50 user activity counts (micro
+    integer).
+
+    Shapes: one user aggregate, then a top-(k+1) rank over the
+    user-grain frame (TakeOrdered-sized: only k+1 rows survive);
+    ln(x/x_{{k+1}}) micro-quantizes per ORDER STATISTIC — k+1 libm
+    calls total. At 100 TB the user frame outgrowing a sort is the
+    same escape hatch events_rfm documents (2-pass threshold cut)."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    r = u.select(
+        "x",
+        F.row_number().over(W.orderBy(F.desc("x"), "user_id")).alias("rk"),
+    ).filter(F.col("rk") <= _HILL_K + 1)
+    ref = r.filter(F.col("rk") == _HILL_K + 1).select(
+        F.col("x").alias("xk1")
+    )
+    terms = (
+        r.filter(F.col("rk") <= _HILL_K)
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.floor(
+                F.log(F.col("x").cast("double") / F.col("xk1").cast("double"))
+                * 1000000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("t_micro"),
+            "xk1",
+        )
+    )
+    return terms.agg(
+        F.lit(_HILL_K).cast("bigint").alias("k"),
+        F.max("xk1").cast("bigint").alias("x_k1"),
+        F.sum("t_micro").cast("bigint").alias("sum_ln_micro"),
+        F.expr(f"{_HILL_K} * 1000000 * CAST(1000000 AS BIGINT) DIV sum(t_micro)")
+        .cast("bigint")
+        .alias("alpha_micro"),
+    )
+
+
+# --- fn_discretize_quantiles ------------------------------------------------
+#
+# Global-quantile discretization (the Bucketizer/QuantileDiscretizer
+# ML-prep op, exact form): compute the corpus's exact quartile cuts
+# (percentile_disc — an actual data value, engine-identical, no
+# interpolated floats), broadcast them, label every event Q1..Q4.
+# Boundary rule registered explicitly: value ≤ cut → lower bucket.
+
+
+_DISC_SQL = """
+    WITH c AS (
+      SELECT quantile_disc(value, 0.25) AS q1,
+             quantile_disc(value, 0.50) AS q2,
+             quantile_disc(value, 0.75) AS q3
+      FROM events)
+    SELECT e.event_id,
+           CAST(CASE WHEN e.value <= c.q1 THEN 1
+                     WHEN e.value <= c.q2 THEN 2
+                     WHEN e.value <= c.q3 THEN 3
+                     ELSE 4 END AS BIGINT) AS bucket,
+           CAST(floor(e.value * 1000000 + 0.5) AS BIGINT) AS value_micro
+    FROM events e, c
+    """
+
+
+@register("fn_discretize_quantiles", oracle=_DISC_SQL, tags=("functions", "ml"))
+def fn_discretize_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quartile bucket labels per event (integer).
+
+    Shapes: the cuts are ONE exact percentile aggregate (sort-based,
+    but over the value column only) broadcast as a 1-row frame; the
+    labeling pass is scan-side CASE — the two-pass build-then-apply
+    shape shared with text_vocab_coverage. percentile_disc (not
+    _cont/approx) because a SELECTED value is engine-identical by
+    definition; approx sketches are the production swap when the sort
+    is too dear (agg_approx_quantile's path, error-bounded there)."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias("q1"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY value)").alias("q2"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").alias("q3"),
+    )
+    return ev.crossJoin(F.broadcast(c)).select(
+        "event_id",
+        F.when(F.col("value") <= F.col("q1"), 1)
+        .when(F.col("value") <= F.col("q2"), 2)
+        .when(F.col("value") <= F.col("q3"), 3)
+        .otherwise(4)
+        .cast("bigint")
+        .alias("bucket"),
+        F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("value_micro"),
+    )
