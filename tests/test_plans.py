@@ -934,3 +934,47 @@ def test_lateness_profile_single_source_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:800]
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_token_budget_counts_without_explode(spark, sf_dir):
+    """corpus_token_budget: token counting must be size(split) per row
+    — NO Generate node (tokens are never materialized)."""
+    plan = explain_str(QUERIES["corpus_token_budget"].fn(spark, sf_dir), "simple")
+    assert "Generate" not in plan, "token counting must not explode"
+
+
+def test_vocab_coverage_broadcasts_vocab(spark, sf_dir):
+    """text_vocab_coverage: the 100-row vocab joins back via broadcast
+    — the big token frame is never re-shuffled for the membership
+    join."""
+    plan = explain_str(QUERIES["text_vocab_coverage"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gazetteer_broadcasts_dictionary(spark, sf_dir):
+    plan = explain_str(QUERIES["text_gazetteer_match"].fn(spark, sf_dir), "simple")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_dup_matrix_broadcasts_doc_dims(spark, sf_dir):
+    """corpus_dup_matrix: both endpoint dimension joins broadcast."""
+    plan = explain_str(QUERIES["corpus_dup_matrix"].fn(spark, sf_dir), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:600]
+
+
+def test_rate_smoothing_broadcasts_prior(spark, sf_dir):
+    """agg_rate_smoothing: the global prior is a 1-row broadcast; the
+    user frame is aggregated once."""
+    plan = explain_str(QUERIES["agg_rate_smoothing"].fn(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:600]
+
+
+def test_discretizer_labels_scan_side(spark, sf_dir):
+    """fn_discretize_quantiles: cuts broadcast; the labeling pass adds
+    no exchange of the fact table."""
+    plan = explain_str(QUERIES["fn_discretize_quantiles"].fn(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan[:600]
