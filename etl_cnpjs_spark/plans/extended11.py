@@ -3086,3 +3086,91 @@ def fn_discretize_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
         F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("value_micro"),
     )
+
+
+# --- events_ab_mannwhitney --------------------------------------------------
+#
+# Mann–Whitney U (Wilcoxon rank-sum) per event_type: the
+# NONPARAMETRIC A/B test that completes the experimentation kit
+# (events_ab_ttest assumes means matter; KS tests the whole shape;
+# rank-sum tests stochastic dominance and shrugs at outliers). Ranks
+# are exact integers: rank() gives each tie group its minimum rank,
+# the tie-group size completes the midrank, and everything stays
+# integer by carrying 2×midrank. z uses the tie-free variance
+# (registered semantics; value doubles make exact ties rare) with one
+# mirrored sqrt, micro-quantized.
+
+
+_MW_SQL = """
+    WITH v AS (
+      SELECT event_type, user_id % 2 AS cohort, value FROM events),
+    r AS (
+      SELECT event_type, cohort,
+             rank() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+             count(*) OVER (PARTITION BY event_type, value) AS tc
+      FROM v),
+    s AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN cohort = 0 THEN 2 * rk + tc - 1 ELSE 0 END)
+                  AS BIGINT) AS s2_a,
+             CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM r GROUP BY 1)
+    SELECT event_type, n_a, n_b,
+           CAST(s2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           CAST(floor(
+             (CAST(s2_a - n_a * (n_a + 1) AS DOUBLE) - CAST(n_a * n_b AS DOUBLE))
+             / (2.0 * sqrt(CAST(n_a AS DOUBLE) * n_b * (n_a + n_b + 1) / 12.0))
+             * 1000000 + 0.5) AS BIGINT) AS z_micro
+    FROM s
+    """
+
+
+@register("events_ab_mannwhitney", oracle=_MW_SQL, tags=("events", "ml", "stats"))
+def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sum U and z per event_type (integer U via the 2×midrank
+    carry; z micro-quantized).
+
+    Shapes: ONE event_type exchange serves the rank window, the
+    tie-count window (same partitioning, prefix key), and the final
+    rollup; the per-type z is one mirrored double expression over
+    exact integers. No global sort — the test statistic partitions by
+    the experiment unit like every ab_* key."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", (F.col("user_id") % 2).alias("cohort"), "value"
+    )
+    r = v.select(
+        "event_type",
+        "cohort",
+        F.rank().over(W.partitionBy("event_type").orderBy("value")).alias("rk"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("event_type", "value"))
+        .alias("tc"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("cohort") == 0, 2 * F.col("rk") + F.col("tc") - 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s2_a"),
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    return s.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.expr("s2_a - n_a * (n_a + 1)").cast("bigint").alias("u2_a"),
+        F.expr(
+            "CAST(floor((CAST(s2_a - n_a * (n_a + 1) AS DOUBLE)"
+            " - CAST(n_a * n_b AS DOUBLE))"
+            " / (2.0 * sqrt(CAST(n_a AS DOUBLE) * n_b * (n_a + n_b + 1) / 12.0))"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("z_micro"),
+    )
