@@ -3174,3 +3174,91 @@ def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 + 0.5) AS BIGINT)"
         ).alias("z_micro"),
     )
+
+
+# --- agg_spearman -----------------------------------------------------------
+#
+# Spearman rank correlation between user activity (event count) and
+# user spend (Σ value micro) — Pearson on MIDRANKS, the
+# outlier-robust association measure agg_corr_matrix's Pearson can't
+# give on heavy-tailed usage data. Midranks carry as 2× integers
+# (the Mann–Whitney trick), every moment is an exact bigint sum, and
+# ρ is ONE mirrored double expression at the end.
+
+
+_SPEARMAN_SQL = """
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS spend
+      FROM events GROUP BY 1),
+    r AS (
+      SELECT
+        2 * rank() OVER (ORDER BY freq) + count(*) OVER (PARTITION BY freq) - 1
+          AS rf2,
+        2 * rank() OVER (ORDER BY spend) + count(*) OVER (PARTITION BY spend) - 1
+          AS rs2
+      FROM u),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rf2) AS BIGINT) AS sf, CAST(sum(rs2) AS BIGINT) AS ss,
+             CAST(sum(rf2 * rs2) AS BIGINT) AS sfs,
+             CAST(sum(rf2 * rf2) AS BIGINT) AS sff,
+             CAST(sum(rs2 * rs2) AS BIGINT) AS sss
+      FROM r)
+    SELECT n,
+           CAST(floor(
+             (CAST(n AS DOUBLE) * sfs - CAST(sf AS DOUBLE) * ss)
+             / (sqrt(CAST(n AS DOUBLE) * sff - CAST(sf AS DOUBLE) * sf)
+                * sqrt(CAST(n AS DOUBLE) * sss - CAST(ss AS DOUBLE) * ss))
+             * 1000000 + 0.5) AS BIGINT) AS spearman_micro
+    FROM m
+    """
+
+
+@register("agg_spearman", oracle=_SPEARMAN_SQL, tags=("agg", "stats", "ml"))
+def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman ρ between user frequency and spend (micro integer).
+
+    Shapes: one user aggregate, two rank windows over the USER-grain
+    frame (small — the events_rfm posture, same documented 2-pass
+    escape at scale), exact integer moments, one mirrored double
+    finish. Midranks (not plain ranks) keep tied users exact — plain
+    rank() would bias ρ wherever counts tie, which user frequencies
+    always do."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(F.floor(F.col("value") * 1000000 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("spend"),
+    )
+    r = u.select(
+        (
+            2 * F.rank().over(W.orderBy("freq"))
+            + F.count(F.lit(1)).over(W.partitionBy("freq"))
+            - 1
+        ).alias("rf2"),
+        (
+            2 * F.rank().over(W.orderBy("spend"))
+            + F.count(F.lit(1)).over(W.partitionBy("spend"))
+            - 1
+        ).alias("rs2"),
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rf2").cast("bigint").alias("sf"),
+        F.sum("rs2").cast("bigint").alias("ss"),
+        F.sum(F.col("rf2") * F.col("rs2")).cast("bigint").alias("sfs"),
+        F.sum(F.col("rf2") * F.col("rf2")).cast("bigint").alias("sff"),
+        F.sum(F.col("rs2") * F.col("rs2")).cast("bigint").alias("sss"),
+    )
+    return m.select(
+        "n",
+        F.expr(
+            "CAST(floor((CAST(n AS DOUBLE) * sfs - CAST(sf AS DOUBLE) * ss)"
+            " / (sqrt(CAST(n AS DOUBLE) * sff - CAST(sf AS DOUBLE) * sf)"
+            " * sqrt(CAST(n AS DOUBLE) * sss - CAST(ss AS DOUBLE) * ss))"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("spearman_micro"),
+    )
