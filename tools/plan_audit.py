@@ -48,6 +48,21 @@ BNLJ_OK = {
     "events_ab_lift",  # 2-row variant table self-join (A↔B lift lookup)
     "agg_decay_sum",  # broadcast 1-row anchor-date frame onto the scan
     "sample_negative",  # broadcast 1-row item-count modulus onto the user list
+    "agg_hhi",  # broadcast 1-row market-total frame onto |groups| rows
+    "events_ab_ttest",  # 2-row per-variant moment frame self-pair (A↔B)
+    "sample_balanced",  # broadcast 1-row min-class-size frame onto class rates
+    "sim_maxsim",  # broadcast 5-row query token bag onto the scored frame
+    "sim_topk_filtered",  # broadcast 1-row query vector (scalar shape)
+    "events_dau_mau",  # broadcast day-grid frame (≤ |days| rows) onto actives
+    "text_js_divergence",  # broadcast 1-row corpus-total frame onto the vocab
+    "dq_freshness",  # broadcast 1-row watermark frame onto |types| rows
+    "embedding_pq",  # broadcast 4-row codebook crossJoin (assignment shape)
+    "graph_modularity",  # broadcast 1-row edge-total m onto |components| rows
+    "events_ab_srm",  # broadcast 1-row user-total frame onto 2 cohort rows
+    "agg_rate_smoothing",  # broadcast 1-row global-prior frame onto users
+    "corpus_token_budget",  # broadcast 1-row token-total onto the grid
+    "agg_hill_tail_index",  # broadcast 1-row x_{k+1} order statistic onto top-k
+    "fn_discretize_quantiles",  # broadcast 1-row quartile-cuts frame onto scan
 }
 
 # The one deliberate row-at-a-time Python path: the UDTF demonstration.
@@ -86,6 +101,19 @@ EXCHANGES_OK = {
     # window; tiers 2-3 run on anti-joined stragglers (0-2 rows
     # measured), so their exchanges carry almost nothing at runtime.
     "join_spatial_knn": 7,
+    # R unrolled frontier-expansion rounds, each one bounded frontier
+    # exchange + visited-set anti join; static count scales with R (the
+    # registered semantics), runtime frontiers are small and shrinking.
+    "graph_bfs_bounded": 33,
+    # pairs subtree feeds the oriented 2-path (both sides), the closing
+    # semi-join, the 3-way corner union rollup, and the degree rollup;
+    # identical subtrees reuse at runtime (AQE), same family as
+    # graph_triangle_count's adjudication.
+    "graph_clustering_coeff": 14,
+    # component labels + pair frame feed per-component node/edge rollups
+    # and the broadcast m join; the label/pair builds are memoized and
+    # prewarmed, the rest is node-count-sized.
+    "graph_modularity": 9,
 }
 
 
