@@ -3262,3 +3262,213 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 + 0.5) AS BIGINT)"
         ).alias("spearman_micro"),
     )
+
+
+# --- window_twap ------------------------------------------------------------
+#
+# Time-weighted average (TWAP): per user, Σ value·Δt / Σ Δt where Δt
+# is each reading's holding time until the next event — the correct
+# average for irregularly-sampled telemetry (a plain AVG over-weights
+# bursts; the finance/metering standard). All-integer: Δt is epoch
+# seconds, value rides as micro, the ratio is one bigint DIV.
+
+
+_TWAP_SQL = """
+    WITH o AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS x_micro,
+             lead(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS next_s
+      FROM events),
+    h AS (
+      SELECT user_id, x_micro, next_s - s AS dt
+      FROM o WHERE next_s IS NOT NULL AND next_s > s)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_holds,
+           CAST(sum(dt) AS BIGINT) AS span_s,
+           CAST(sum(x_micro * dt) // sum(dt) AS BIGINT) AS twap_micro
+    FROM h GROUP BY 1
+    """
+
+
+@register("window_twap", oracle=_TWAP_SQL, tags=("window", "timeseries"))
+def window_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (micro integer).
+
+    Shapes: ONE user exchange serves the lead window and the weighted
+    rollup; Σ x_micro·dt stays in int64 through sf100 (2·10⁸ micro ×
+    10⁴ s × 10³ holds ≈ 2·10¹⁵). Zero-length holds (same-second
+    events) drop out by the dt > 0 guard — registered semantics, and
+    the reason the denominator can't be 0."""
+    ev = table(spark, sf_dir, "events")
+    wl = W.partitionBy("user_id").orderBy("s", "event_id")
+    o = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("s"),
+        F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("x_micro"),
+        "event_id",
+    ).withColumn("next_s", F.lead("s").over(wl))
+    h = o.filter(
+        F.col("next_s").isNotNull() & (F.col("next_s") > F.col("s"))
+    ).select("user_id", "x_micro", (F.col("next_s") - F.col("s")).alias("dt"))
+    return h.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_holds"),
+        F.sum("dt").cast("bigint").alias("span_s"),
+        F.expr("sum(x_micro * dt) DIV sum(dt)").cast("bigint").alias(
+            "twap_micro"
+        ),
+    )
+
+
+# --- fn_try_cast ------------------------------------------------------------
+#
+# Permissive casting surface: try_cast returns NULL instead of
+# raising under ANSI mode — the ingestion posture for dirty columns
+# (fn_try_arith covers arithmetic overflow; this covers parse
+# failure). Malformed inputs are derived deterministically from
+# customer names so the oracle re-derives them.
+
+
+_TRY_CAST_SQL = """
+    WITH d AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0
+                  THEN CAST(c_custkey AS VARCHAR)
+                  ELSE 'Customer#' || CAST(c_custkey AS VARCHAR) END AS raw_num,
+             CASE WHEN c_custkey % 2 = 0
+                  THEN '2024-0' || CAST(1 + c_custkey % 9 AS VARCHAR) || '-15'
+                  ELSE 'not-a-date' END AS raw_date
+      FROM customer)
+    SELECT c_custkey,
+           TRY_CAST(raw_num AS BIGINT) AS num_parsed,
+           CAST(TRY_CAST(raw_num AS BIGINT) IS NULL AS BIGINT)
+             AS num_failed,
+           CAST(CAST(TRY_CAST(raw_date AS DATE) AS VARCHAR) AS VARCHAR)
+             AS date_parsed,
+           CAST(TRY_CAST(raw_date AS DATE) IS NULL AS BIGINT) AS date_failed
+    FROM d
+    """
+
+
+@register("fn_try_cast", oracle=_TRY_CAST_SQL, tags=("functions", "dq"))
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_cast over deterministically-dirtied strings: NULL on parse
+    failure, never an ANSI exception (dates re-stringified — the
+    date-vs-Timestamp driver-boundary rule in NOTES.md).
+
+    Per-row expressions, no shuffle; the failure FLAGS (cast bool →
+    bigint) make the parse outcome part of the hashed contract, so an
+    engine that silently coerced garbage would fail the oracle."""
+    c = table(spark, sf_dir, "customer")
+    d = c.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.col("c_custkey").cast("string")
+        )
+        .otherwise(F.concat(F.lit("Customer#"), F.col("c_custkey").cast("string")))
+        .alias("raw_num"),
+        F.when(
+            F.col("c_custkey") % 2 == 0,
+            F.concat(
+                F.lit("2024-0"),
+                (1 + F.col("c_custkey") % 9).cast("string"),
+                F.lit("-15"),
+            ),
+        )
+        .otherwise(F.lit("not-a-date"))
+        .alias("raw_date"),
+    )
+    return d.select(
+        "c_custkey",
+        F.expr("try_cast(raw_num AS BIGINT)").alias("num_parsed"),
+        F.expr("CAST(try_cast(raw_num AS BIGINT) IS NULL AS BIGINT)").alias(
+            "num_failed"
+        ),
+        F.expr("CAST(try_cast(raw_date AS DATE) AS STRING)").alias(
+            "date_parsed"
+        ),
+        F.expr("CAST(try_cast(raw_date AS DATE) IS NULL AS BIGINT)").alias(
+            "date_failed"
+        ),
+    )
+
+
+# --- cdc_compact_log --------------------------------------------------------
+#
+# CDC log compaction (the Kafka compacted-topic contract): collapse a
+# multi-version change feed to ONE latest record per key, KEEPING
+# delete tombstones (cdc_apply's applied-state face drops them; a
+# compacted LOG must retain them so late joiners still see the
+# delete). Reports superseded-row counts — the space the compaction
+# reclaimed. Same deterministic feed as cdc_apply.
+
+
+_COMPACT_SQL = """
+    WITH feed AS (
+      SELECT o_orderkey AS key, 1 AS version,
+             CASE WHEN o_orderkey % 100 = 0 THEN 'D' ELSE 'U' END AS op,
+             'v1-' || lower(o_orderstatus) AS new_status
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', 'v2-' || lower(o_orderstatus)
+      FROM orders WHERE o_orderkey % 20 = 0 AND o_orderkey % 100 <> 0
+    ), r AS (
+      SELECT key, version, op, new_status,
+             row_number() OVER (PARTITION BY key ORDER BY version DESC) AS rn,
+             count(*) OVER (PARTITION BY key) AS n_versions
+      FROM feed)
+    SELECT key, CAST(version AS BIGINT) AS version, op, new_status,
+           CAST(n_versions - 1 AS BIGINT) AS n_superseded,
+           CAST(CASE WHEN op = 'D' THEN 1 ELSE 0 END AS BIGINT) AS is_tombstone
+    FROM r WHERE rn = 1
+    """
+
+
+@register("cdc_compact_log", oracle=_COMPACT_SQL, tags=("cdc",))
+def cdc_compact_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compacted CDC log: latest record per key WITH tombstones
+    (integer flags and supersede counts).
+
+    Shapes: one feed-keyed exchange serves the rank window, the
+    version count, and implicitly the output partitioning — the
+    compaction IS dedup_keep_latest plus tombstone retention, which
+    is exactly why compacted topics replace base-table bootstraps at
+    100 TB: new consumers read |keys| rows, not |changes|."""
+    o = table(spark, sf_dir, "orders")
+    f1 = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(1).alias("version"),
+        F.when(F.col("o_orderkey") % 100 == 0, "D").otherwise("U").alias("op"),
+        F.concat(F.lit("v1-"), F.lower("o_orderstatus")).alias("new_status"),
+    )
+    f2 = o.filter(
+        (F.col("o_orderkey") % 20 == 0) & (F.col("o_orderkey") % 100 != 0)
+    ).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(2).alias("version"),
+        F.lit("U").alias("op"),
+        F.concat(F.lit("v2-"), F.lower("o_orderstatus")).alias("new_status"),
+    )
+    feed = f1.unionAll(f2)
+    wk = W.partitionBy("key")
+    r = feed.select(
+        "key",
+        "version",
+        "op",
+        "new_status",
+        F.row_number().over(wk.orderBy(F.desc("version"))).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("n_versions"),
+    )
+    return r.filter(F.col("rn") == 1).select(
+        "key",
+        F.col("version").cast("bigint").alias("version"),
+        "op",
+        "new_status",
+        (F.col("n_versions") - 1).cast("bigint").alias("n_superseded"),
+        F.when(F.col("op") == "D", 1).otherwise(0).cast("bigint").alias(
+            "is_tombstone"
+        ),
+    )
