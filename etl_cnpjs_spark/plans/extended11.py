@@ -3472,3 +3472,176 @@ def cdc_compact_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_tombstone"
         ),
     )
+
+
+# --- events_burn_rate -------------------------------------------------------
+#
+# Multi-window error burn rate (the Google SRE alerting pattern):
+# per event_type and hour, the trailing-1h error rate over the
+# trailing-6h error rate — a burn-rate spike flags "eating the error
+# budget NOW" while the long window suppresses flapping. Rates are
+# integer ppm from exact counts; the ratio is one bigint DIV with a
+# zero-guard.
+
+_BURN_ERR = 95.0  # value > threshold = "error" (same convention as sla key)
+
+
+_BURNRATE_SQL = f"""
+    WITH h AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_s,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value > {_BURN_ERR} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errs
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, hour_s, n, errs,
+             sum(n) OVER w1 AS n_1h, sum(errs) OVER w1 AS e_1h,
+             sum(n) OVER w6 AS n_6h, sum(errs) OVER w6 AS e_6h
+      FROM h
+      WINDOW w1 AS (PARTITION BY event_type ORDER BY hour_s
+                    ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
+             w6 AS (PARTITION BY event_type ORDER BY hour_s
+                    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+    SELECT event_type, hour_s,
+           CAST(e_1h * 1000000 // n_1h AS BIGINT) AS rate_1h_ppm,
+           CAST(e_6h * 1000000 // n_6h AS BIGINT) AS rate_6h_ppm,
+           CAST(CASE WHEN e_6h = 0 THEN 0
+                     ELSE (e_1h * 1000000 // n_1h) * 1000
+                          // greatest(e_6h * 1000000 // n_6h, 1) END
+                AS BIGINT) AS burn_rate_milli,
+           CAST(CASE WHEN e_6h > 0
+                          AND (e_1h * 1000000 // n_1h) * 1000
+                              // greatest(e_6h * 1000000 // n_6h, 1) > 2000
+                     THEN 1 ELSE 0 END AS BIGINT) AS alert
+    FROM w
+    """
+
+
+@register("events_burn_rate", oracle=_BURNRATE_SQL, tags=("events", "dq", "streaming"))
+def events_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1h/6h error burn rate per (event_type, hour), alert at
+    2× (integer milli-ratio).
+
+    Shapes: ONE exchange builds the hourly grid (map-side combined,
+    |types|·|hours| rows); both trailing windows run on that tiny
+    aggregated frame with the same partitioning and ordering — the
+    window-over-preaggregate discipline (never window the raw facts
+    when the grain is hourly). Streaming face = two tumbling aggs +
+    a stream-stream self-join, noted as the seam."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        ((F.unix_timestamp("ts").cast("bigint") / 3600).cast("bigint") * 3600)
+        .alias("hour_s"),
+        F.when(F.col("value") > _BURN_ERR, 1).otherwise(0).alias("is_err"),
+    ).groupBy("event_type", "hour_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("is_err").cast("bigint").alias("errs"),
+    )
+    wo = W.partitionBy("event_type").orderBy("hour_s")
+    w1 = wo.rowsBetween(0, 0)
+    w6 = wo.rowsBetween(-5, 0)
+    w = h.select(
+        "event_type",
+        "hour_s",
+        F.sum("n").over(w1).alias("n_1h"),
+        F.sum("errs").over(w1).alias("e_1h"),
+        F.sum("n").over(w6).alias("n_6h"),
+        F.sum("errs").over(w6).alias("e_6h"),
+    )
+    r1 = "e_1h * 1000000 DIV n_1h"
+    r6 = "e_6h * 1000000 DIV n_6h"
+    burn = f"({r1}) * 1000 DIV greatest({r6}, 1)"
+    return w.select(
+        "event_type",
+        "hour_s",
+        F.expr(r1).cast("bigint").alias("rate_1h_ppm"),
+        F.expr(r6).cast("bigint").alias("rate_6h_ppm"),
+        F.expr(f"CASE WHEN e_6h = 0 THEN 0 ELSE {burn} END")
+        .cast("bigint")
+        .alias("burn_rate_milli"),
+        F.expr(
+            f"CASE WHEN e_6h > 0 AND {burn} > 2000 THEN 1 ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("alert"),
+    )
+
+
+# --- dq_table_diff ----------------------------------------------------------
+#
+# Table diff (the data-diff / reconciliation tool): compare two
+# snapshots of a table and classify every key as ADDED / REMOVED /
+# CHANGED / UNCHANGED with per-class counts — the check that runs
+# after every backfill or migration ("did the rewrite change anything
+# it shouldn't have"). v2 is derived deterministically from orders:
+# %13 keys dropped, %7 keys repriced, a re-keyed %11 slice added.
+
+
+_TDIFF_SQL = """
+    WITH v1 AS (
+      SELECT o_orderkey AS key,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    v2 AS (
+      SELECT o_orderkey AS key,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 1
+                  ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END
+               AS cents
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      FROM orders WHERE o_orderkey % 11 = 0),
+    j AS (
+      SELECT coalesce(a.key, b.key) AS key, a.cents AS c1, b.cents AS c2
+      FROM v1 a FULL OUTER JOIN v2 b ON a.key = b.key)
+    SELECT CASE WHEN c1 IS NULL THEN 'added'
+                WHEN c2 IS NULL THEN 'removed'
+                WHEN c1 <> c2 THEN 'changed'
+                ELSE 'unchanged' END AS class,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(coalesce(sum(c2 - c1), 0) AS BIGINT) AS cents_delta
+    FROM j GROUP BY 1
+    """
+
+
+@register("dq_table_diff", oracle=_TDIFF_SQL, tags=("dq", "cdc"))
+def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff report: added/removed/changed/unchanged counts
+    and the net value delta (integer cents).
+
+    Shapes: ONE full-outer join on the key (both sides shuffle once —
+    at 100 TB this is the one unavoidable co-partition; bucketed
+    snapshots make it exchange-free, join_bucketed's layout), then a
+    4-row classification rollup. Column-level diffs extend the CASE,
+    not the join. The value delta doubles as the reconciliation
+    total (Σ changed must explain the ledger move)."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    v1 = o.select(F.col("o_orderkey").alias("key"), cents.alias("c1"))
+    v2a = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.when(F.col("o_orderkey") % 7 == 0, cents + 1).otherwise(cents).alias(
+            "c2"
+        ),
+    )
+    v2b = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("key"), cents.alias("c2")
+    )
+    v2 = v2a.unionAll(v2b)
+    j = v1.join(v2, "key", "full_outer")
+    cls = (
+        F.when(F.col("c1").isNull(), "added")
+        .when(F.col("c2").isNull(), "removed")
+        .when(F.col("c1") != F.col("c2"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(cls.alias("class"), "c1", "c2").groupBy("class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.coalesce(F.sum(F.col("c2") - F.col("c1")), F.lit(0))
+        .cast("bigint")
+        .alias("cents_delta"),
+    )
