@@ -3645,3 +3645,172 @@ def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents_delta"),
     )
+
+
+# --- sample_temporal_split --------------------------------------------------
+#
+# Leakage-safe temporal train/test split — the ONLY valid split for
+# forecasting / sequential models (sample_hash's random split leaks
+# the future into training). Cutoff = the exact 80th-percentile event
+# time (percentile_disc: a real data value, engine-identical);
+# reports per-split sizes, spans, and the leakage invariant
+# (max(train ts) ≤ cutoff < min(test ts)) as hashed columns.
+
+
+_TSPLIT_SQL = """
+    WITH c AS (
+      SELECT quantile_disc(CAST(floor(epoch(ts)) AS BIGINT), 0.8) AS cut
+      FROM events),
+    lab AS (
+      SELECT CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) <= c.cut
+                  THEN 'train' ELSE 'test' END AS split,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s, c.cut
+      FROM events, c)
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(s) AS BIGINT) AS min_s,
+           CAST(max(s) AS BIGINT) AS max_s,
+           CAST(max(cut) AS BIGINT) AS cutoff_s,
+           CAST(CASE WHEN split = 'train' THEN CASE WHEN max(s) <= max(cut)
+                                                    THEN 1 ELSE 0 END
+                     ELSE CASE WHEN min(s) > max(cut) THEN 1 ELSE 0 END
+                END AS BIGINT) AS leakage_free
+    FROM lab GROUP BY split
+    """
+
+
+@register("sample_temporal_split", oracle=_TSPLIT_SQL, tags=("sample", "ml"))
+def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-cutoff 80/20 split report with the leakage invariant as a
+    hashed column (integer).
+
+    Shapes: the cutoff is one exact percentile aggregate broadcast as
+    a 1-row frame; labeling is scan-side CASE (the
+    fn_discretize_quantiles two-pass shape). The leakage_free flags
+    being IN the oracle contract means a broken split can't pass
+    silently."""
+    ev = table(spark, sf_dir, "events")
+    s = F.unix_timestamp("ts").cast("bigint")
+    c = ev.agg(
+        F.expr(
+            "percentile_disc(0.8) WITHIN GROUP "
+            "(ORDER BY CAST(unix_timestamp(ts) AS BIGINT))"
+        ).alias("cut")
+    )
+    lab = ev.crossJoin(F.broadcast(c)).select(
+        F.when(s <= F.col("cut"), "train").otherwise("test").alias("split"),
+        s.alias("s"),
+        "cut",
+    )
+    g = lab.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("s").cast("bigint").alias("min_s"),
+        F.max("s").cast("bigint").alias("max_s"),
+        F.max("cut").cast("bigint").alias("cutoff_s"),
+    )
+    return g.select(
+        "split",
+        "n_events",
+        "min_s",
+        "max_s",
+        "cutoff_s",
+        F.when(
+            F.col("split") == "train",
+            F.when(F.col("max_s") <= F.col("cutoff_s"), 1).otherwise(0),
+        )
+        .otherwise(F.when(F.col("min_s") > F.col("cutoff_s"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("leakage_free"),
+    )
+
+
+# --- agg_cramers_v ----------------------------------------------------------
+#
+# Cramér's V — the EFFECT SIZE for the event_type × cohort table
+# (events_chi2_independence answers "is there dependence"; V answers
+# "does it matter": χ²-significant ≠ large on big n, the classic
+# big-data stats trap). V = sqrt(χ² / (n·min(r−1, c−1))); χ² cells
+# micro-quantize from exact integers (the chi2 discipline), the
+# final sqrt is one mirrored double.
+
+
+_CRAMER_SQL = """
+    WITH b AS (
+      SELECT event_type, user_id % 2 AS cohort FROM events),
+    cell AS (
+      SELECT event_type, cohort, CAST(count(*) AS BIGINT) AS o
+      FROM b GROUP BY 1, 2),
+    m AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+             CAST(count(DISTINCT cohort) AS BIGINT) AS c
+      FROM cell),
+    rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS ro FROM cell GROUP BY 1),
+    ct AS (SELECT cohort, CAST(sum(o) AS BIGINT) AS co FROM cell GROUP BY 1),
+    terms AS (
+      SELECT CAST(floor(
+               (CAST(cell.o AS DOUBLE)
+                - CAST(rt.ro AS DOUBLE) * ct.co / m.n)
+               * (CAST(cell.o AS DOUBLE)
+                  - CAST(rt.ro AS DOUBLE) * ct.co / m.n)
+               / (CAST(rt.ro AS DOUBLE) * ct.co / m.n) * 1000000 + 0.5)
+               AS BIGINT) AS chi_micro,
+             m.n, m.r, m.c
+      FROM cell JOIN rt ON cell.event_type = rt.event_type
+      JOIN ct ON cell.cohort = ct.cohort CROSS JOIN m)
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(chi_micro) AS BIGINT) AS chi2_micro,
+           CAST(floor(sqrt(CAST(sum(chi_micro) AS DOUBLE) / 1000000.0
+                           / (CAST(max(n) AS DOUBLE)
+                              * least(max(r) - 1, max(c) - 1)))
+                      * 1000000 + 0.5) AS BIGINT) AS cramers_v_micro
+    FROM terms
+    """
+
+
+@register("agg_cramers_v", oracle=_CRAMER_SQL, tags=("agg", "stats"))
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for event_type × cohort (micro integer).
+
+    Shapes: one contingency aggregate (map-side combined, |types|·2
+    cells), marginals derived from the cell frame (never a second
+    fact scan), broadcast everywhere; per-cell χ² contributions
+    micro-quantize before the bigint sum; one mirrored sqrt at the
+    end."""
+    ev = table(spark, sf_dir, "events")
+    cell = ev.select(
+        "event_type", (F.col("user_id") % 2).alias("cohort")
+    ).groupBy("event_type", "cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    m = cell.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("r"),
+        F.countDistinct("cohort").cast("bigint").alias("c"),
+    )
+    rt = cell.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("ro"))
+    ct = cell.groupBy("cohort").agg(F.sum("o").cast("bigint").alias("co"))
+    e = "CAST(ro AS DOUBLE) * co / n"
+    terms = (
+        cell.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "cohort")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.expr(
+                f"CAST(floor((CAST(o AS DOUBLE) - {e}) * (CAST(o AS DOUBLE) - {e})"
+                f" / ({e}) * 1000000 + 0.5) AS BIGINT)"
+            ).alias("chi_micro"),
+            "n",
+            "r",
+            "c",
+        )
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("chi_micro").cast("bigint").alias("chi2_micro"),
+        F.expr(
+            "CAST(floor(sqrt(CAST(sum(chi_micro) AS DOUBLE) / 1000000.0"
+            " / (CAST(max(n) AS DOUBLE) * least(max(r) - 1, max(c) - 1)))"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("cramers_v_micro"),
+    )
