@@ -3814,3 +3814,201 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 + 0.5) AS BIGINT)"
         ).alias("cramers_v_micro"),
     )
+
+
+# --- sink_python_ds ---------------------------------------------------------
+#
+# Custom PYTHON DataSource WRITER (Spark 4 pyspark.sql.datasource) —
+# the write-side twin of source_python_ds: each executor's
+# write(iterator) streams its partition to a JSON-lines part file,
+# returns a WriterCommitMessage, and the driver's commit() publishes
+# a manifest of exactly the acknowledged parts (the two-phase commit
+# every custom sink needs; abort() leaves the manifest absent). Read
+# back under a declared schema through the manifest.
+
+
+_PYDS_SINK_SQL = """
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 97 = 0
+    """
+
+
+@register("sink_python_ds", oracle=_PYDS_SINK_SQL, tags=("sink", "python_datasource"))
+def sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a keyed slice through a Python DataSource writer
+    (executor-side JSONL parts + driver commit manifest), read it
+    back (integer cents).
+
+    Scale shape: write(iterator) never materializes the partition
+    (row-streamed), parts land in place, commit is one manifest write
+    — the sink_manifest protocol expressed through the official
+    extension API instead of hand-rolled glue. Task retries are safe:
+    uncommitted duplicate parts are invisible to the manifest read
+    (same decoy property sink_manifest pins)."""
+    import glob
+    import json as _json
+    import uuid
+
+    from pyspark.sql import types as T
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    out_dir = _tempfile.mkdtemp(prefix="pyds_sink_")
+
+    class _PartMsg(WriterCommitMessage):
+        def __init__(self, path):
+            self.path = path
+
+    class _JsonlWriter(DataSourceWriter):
+        def __init__(self, base):
+            self.base = base
+
+        def write(self, iterator):
+            path = _os.path.join(self.base, f"part-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(path, "w") as f:
+                for row in iterator:
+                    f.write(
+                        _json.dumps(
+                            {"o_orderkey": row[0], "cents": row[1]}
+                        )
+                        + "\n"
+                    )
+                    n += 1
+            return _PartMsg(path)
+
+        def commit(self, messages):
+            manifest = {"files": sorted(m.path for m in messages)}
+            tmp = _os.path.join(self.base, "_m.tmp")
+            with open(tmp, "w") as f:
+                _json.dump(manifest, f)
+            _os.replace(tmp, _os.path.join(self.base, "MANIFEST.json"))
+
+        def abort(self, messages):
+            pass  # uncommitted parts are invisible to the manifest read
+
+    class JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonl_manifest_sink"
+
+        def writer(self, schema, overwrite):
+            return _JsonlWriter(self.options["path"])
+
+    spark.dataSource.register(JsonlSink)
+    sl = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias(
+                "cents"
+            ),
+        )
+    )
+    sl.write.format("jsonl_manifest_sink").option("path", out_dir).mode(
+        "append"
+    ).save()
+    with open(_os.path.join(out_dir, "MANIFEST.json")) as f:
+        files = _json.load(f)["files"]
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+    return spark.read.schema(schema).json(files)
+
+
+# --- events_anova_f ---------------------------------------------------------
+#
+# One-way ANOVA F across event types (k > 2 groups — the gap between
+# events_ab_ttest's two-sample test and "which of my five variants
+# differ at all"). Accumulation is exact integer centi-units (Σx,
+# Σx² as bigints — the int64 budget holds through the tested SFs and
+# is documented); each group's between-term s_g²/n_g is computed in
+# ONE mirrored double expression and milli-quantized BEFORE the
+# cross-group bigint sum (the ln()-discipline applied to squares),
+# so no cross-row float accumulation exists anywhere.
+
+
+_ANOVA_SQL = """
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s_g,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS q_g
+      FROM events GROUP BY 1),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS BIGINT) AS s,
+             CAST(sum(q_g) AS BIGINT) AS q,
+             CAST(sum(CAST(floor(CAST(s_g AS DOUBLE) * s_g / n_g * 1000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS sum_term_milli
+      FROM g)
+    SELECT k, n,
+           CAST(sum_term_milli
+                - CAST(floor(CAST(s AS DOUBLE) * s / n * 1000 + 0.5) AS BIGINT)
+                AS BIGINT) AS ssb_milli,
+           CAST(q * 1000 - sum_term_milli AS BIGINT) AS ssw_milli,
+           CAST(floor(
+             (CAST(sum_term_milli
+                   - CAST(floor(CAST(s AS DOUBLE) * s / n * 1000 + 0.5)
+                          AS BIGINT) AS DOUBLE) / (k - 1))
+             / (CAST(q * 1000 - sum_term_milli AS DOUBLE) / (n - k))
+             * 1000000 + 0.5) AS BIGINT) AS f_micro
+    FROM t
+    """
+
+
+@register("events_anova_f", oracle=_ANOVA_SQL, tags=("events", "stats", "ml"))
+def events_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F over event types (milli sums, micro F).
+
+    Shapes: one map-side-combined group aggregate (k rows), one k-row
+    rollup — nothing after the scan exceeds |types| rows. Int64
+    budget: Σx² in centi² ≤ 10⁸ per row × 10⁹ rows = 10¹⁷ (sf100
+    envelope); past that the q_g column widens to decimal, same
+    plan."""
+    ev = table(spark, sf_dir, "events")
+    xc = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    g = ev.select("event_type", xc.alias("xc")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("xc").cast("bigint").alias("s_g"),
+        F.sum(F.col("xc") * F.col("xc")).cast("bigint").alias("q_g"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("q_g").cast("bigint").alias("q"),
+        F.sum(
+            F.expr(
+                "CAST(floor(CAST(s_g AS DOUBLE) * s_g / n_g * 1000 + 0.5)"
+                " AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("sum_term_milli"),
+    )
+    gt = "CAST(floor(CAST(s AS DOUBLE) * s / n * 1000 + 0.5) AS BIGINT)"
+    ssb = f"sum_term_milli - {gt}"
+    ssw = "q * 1000 - sum_term_milli"
+    return t.select(
+        "k",
+        "n",
+        F.expr(ssb).cast("bigint").alias("ssb_milli"),
+        F.expr(ssw).cast("bigint").alias("ssw_milli"),
+        F.expr(
+            f"CAST(floor((CAST({ssb} AS DOUBLE) / (k - 1))"
+            f" / (CAST({ssw} AS DOUBLE) / (n - k)) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("f_micro"),
+    )
