@@ -4012,3 +4012,152 @@ def events_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / (CAST({ssw} AS DOUBLE) / (n - k)) * 1000000 + 0.5) AS BIGINT)"
         ).alias("f_micro"),
     )
+
+
+# --- dq_k_anonymity ---------------------------------------------------------
+#
+# k-anonymity audit over quasi-identifiers: for the (nation, market
+# segment) QI tuple, the equivalence-class size distribution and the
+# share of customers in classes below k = 5 — the privacy screen
+# a governed dataset runs before release (small classes re-identify).
+# Pure integer counts.
+
+_KANON_K = 5
+
+
+_KANON_SQL = f"""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_size
+      FROM customer GROUP BY 1, 2),
+    t AS (
+      SELECT CAST(sum(class_size) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(min(class_size) AS BIGINT) AS min_class,
+             CAST(sum(CASE WHEN class_size < {_KANON_K}
+                           THEN class_size ELSE 0 END) AS BIGINT) AS n_at_risk
+      FROM qi)
+    SELECT n_rows, n_classes, min_class, n_at_risk,
+           CAST(n_at_risk * 1000000 // n_rows AS BIGINT) AS at_risk_ppm,
+           CAST(CASE WHEN min_class >= {_KANON_K} THEN 1 ELSE 0 END AS BIGINT)
+             AS is_k_anonymous
+    FROM t
+    """
+
+
+@register("dq_k_anonymity", oracle=_KANON_SQL, tags=("dq",))
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity report for the (nation, segment) QI tuple
+    (k = 5; integer).
+
+    Shapes: one map-side-combined QI aggregate (|nations|·|segments|
+    classes), one 1-row rollup. Generalization ladders (coarsen the
+    QI until k holds) re-run THIS plan per rung — the audit is the
+    inner loop, which is why it must stay one exchange."""
+    c = table(spark, sf_dir, "customer")
+    qi = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size")
+    )
+    t = qi.agg(
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("class_size").cast("bigint").alias("min_class"),
+        F.sum(
+            F.when(F.col("class_size") < _KANON_K, F.col("class_size")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_at_risk"),
+    )
+    return t.select(
+        "n_rows",
+        "n_classes",
+        "min_class",
+        "n_at_risk",
+        F.expr("n_at_risk * 1000000 DIV n_rows").cast("bigint").alias(
+            "at_risk_ppm"
+        ),
+        F.when(F.col("min_class") >= _KANON_K, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_k_anonymous"),
+    )
+
+
+# --- events_ab_power --------------------------------------------------------
+#
+# A/B power analysis: per event_type, the required per-arm sample
+# size to detect a 2% relative lift at α = 0.05 / power = 0.8
+# (n = 2(z_α/2+z_β)²σ²/δ²) and whether the CURRENT arms already
+# clear it — the "how long must this test run" planning number.
+# Variance comes from exact integer moments; the closed form is one
+# mirrored double expression, quantized. z constants are literals.
+
+_POWER_Z = 2.8016  # z_{0.025} + z_{0.2} = 1.959964 + 0.841621, fixed literal
+_POWER_REL = 0.02
+
+
+_POWER_SQL = f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s_c,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS q_c
+      FROM events GROUP BY 1)
+    SELECT event_type, n,
+           CAST(floor(
+             2.0 * {_POWER_Z} * {_POWER_Z}
+             * (CAST(q_c AS DOUBLE) / n
+                - (CAST(s_c AS DOUBLE) / n) * (CAST(s_c AS DOUBLE) / n))
+             / (({_POWER_REL} * CAST(s_c AS DOUBLE) / n)
+                * ({_POWER_REL} * CAST(s_c AS DOUBLE) / n)) + 0.5) AS BIGINT)
+             AS n_required_per_arm,
+           CAST(CASE WHEN CAST(n AS DOUBLE) / 2 >= floor(
+             2.0 * {_POWER_Z} * {_POWER_Z}
+             * (CAST(q_c AS DOUBLE) / n
+                - (CAST(s_c AS DOUBLE) / n) * (CAST(s_c AS DOUBLE) / n))
+             / (({_POWER_REL} * CAST(s_c AS DOUBLE) / n)
+                * ({_POWER_REL} * CAST(s_c AS DOUBLE) / n)) + 0.5)
+                THEN 1 ELSE 0 END AS BIGINT) AS adequately_powered
+    FROM m
+    """
+
+
+@register("events_ab_power", oracle=_POWER_SQL, tags=("events", "ml", "stats"))
+def events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Required per-arm n for a 2% lift at 80% power per event_type
+    (integer) and the current-adequacy flag.
+
+    Shapes: one map-side-combined moment aggregate; the closed form
+    runs once per type from exact centi-integer moments. The
+    experimentation kit is now plan → run → gate: THIS key sizes the
+    test, events_ab_srm gates its health, ab_ttest / ab_mannwhitney /
+    agg_ratio_ci read it out."""
+    ev = table(spark, sf_dir, "events")
+    xc = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    m = ev.select("event_type", xc.alias("xc")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xc").cast("bigint").alias("s_c"),
+        F.sum(F.col("xc") * F.col("xc")).cast("bigint").alias("q_c"),
+    )
+    var = (
+        "(CAST(q_c AS DOUBLE) / n"
+        " - (CAST(s_c AS DOUBLE) / n) * (CAST(s_c AS DOUBLE) / n))"
+    )
+    delta = f"({_POWER_REL} * CAST(s_c AS DOUBLE) / n)"
+    req = (
+        f"floor(2.0 * {_POWER_Z} * {_POWER_Z} * {var}"
+        f" / ({delta} * {delta}) + 0.5)"
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.expr(f"CAST({req} AS BIGINT)").alias("n_required_per_arm"),
+        F.expr(
+            f"CAST(CASE WHEN CAST(n AS DOUBLE) / 2 >= {req}"
+            f" THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("adequately_powered"),
+    )
