@@ -63,6 +63,8 @@ BNLJ_OK = {
     "corpus_token_budget",  # broadcast 1-row token-total onto the grid
     "agg_hill_tail_index",  # broadcast 1-row x_{k+1} order statistic onto top-k
     "fn_discretize_quantiles",  # broadcast 1-row quartile-cuts frame onto scan
+    "sample_temporal_split",  # broadcast 1-row percentile-cutoff frame onto scan
+    "agg_cramers_v",  # broadcast 1-row (n, r, c) totals frame onto the cells
 }
 
 # The one deliberate row-at-a-time Python path: the UDTF demonstration.
@@ -114,6 +116,9 @@ EXCHANGES_OK = {
     # and the broadcast m join; the label/pair builds are memoized and
     # prewarmed, the rest is node-count-sized.
     "graph_modularity": 9,
+    # contingency cells + two marginal rollups + the totals rollup and
+    # final 1-row aggregate — every exchange carries ≤ |types|·2 rows.
+    "agg_cramers_v": 7,
 }
 
 
