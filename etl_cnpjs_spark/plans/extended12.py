@@ -326,3 +326,347 @@ def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("did_micro"),
     )
+
+
+# --- agg_cuped ---------------------------------------------------------------
+#
+# CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et al.
+# 2013): variance-reduce the post-period metric with the user's
+# pre-period covariate. Per user: x = pre-period floored micro-mean,
+# y = post-period floored micro-mean (users active in BOTH halves).
+# theta = cov(x, y) / var(x) pooled across variants; the adjusted
+# per-variant mean is mean(y) - theta * (mean(x) - xbar_global).
+# All sufficient statistics accumulate exactly in DECIMAL(38,0); the
+# finish is one fixed double expression over identical integers on
+# both engines (the graph_assortativity discipline), quantized 1e-6.
+
+_CUPED_SQL = """
+    WITH b AS (
+      SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS BIGINT)
+               AS mid_us
+      FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS variant,
+             CAST(CAST(sum(CASE WHEN epoch_us(ts) <= b.mid_us
+                                THEN CAST(floor(value * 1000000 + 0.5)
+                                          AS BIGINT) END) AS BIGINT)
+                  // count(CASE WHEN epoch_us(ts) <= b.mid_us
+                               THEN 1 END) AS BIGINT) AS x,
+             CAST(CAST(sum(CASE WHEN epoch_us(ts) > b.mid_us
+                                THEN CAST(floor(value * 1000000 + 0.5)
+                                          AS BIGINT) END) AS BIGINT)
+                  // count(CASE WHEN epoch_us(ts) > b.mid_us
+                               THEN 1 END) AS BIGINT) AS y
+      FROM events, b
+      GROUP BY 1, 2
+      HAVING count(CASE WHEN epoch_us(ts) <= b.mid_us THEN 1 END) > 0
+         AND count(CASE WHEN epoch_us(ts) > b.mid_us THEN 1 END) > 0
+    ),
+    g AS (
+      SELECT CAST(count(*) AS DECIMAL(38,0))        AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(38,0))
+                      * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(CAST(x AS DECIMAL(38,0))
+                      * CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(38,0))
+                      * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+      FROM u
+    ),
+    v AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT)                      AS n_users,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS vsx,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS vsy
+      FROM u GROUP BY 1
+    )
+    SELECT v.variant, v.n_users,
+           CAST(CAST(v.vsy AS BIGINT) // v.n_users AS BIGINT)
+             AS mean_y_micro,
+           floor((CAST(v.vsy AS DOUBLE) / CAST(v.n_users AS DOUBLE)
+                  - (CAST(g.n AS DOUBLE) * CAST(g.sxy AS DOUBLE)
+                     - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE))
+                    / (CAST(g.n AS DOUBLE) * CAST(g.sxx AS DOUBLE)
+                       - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE))
+                    * (CAST(v.vsx AS DOUBLE) / CAST(v.n_users AS DOUBLE)
+                       - CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS mean_adj_micro,
+           floor((CAST(g.n AS DOUBLE) * CAST(g.sxy AS DOUBLE)
+                  - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE))
+                 / (CAST(g.n AS DOUBLE) * CAST(g.sxx AS DOUBLE)
+                    - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS theta_q,
+           floor((CAST(g.n AS DOUBLE) * CAST(g.sxy AS DOUBLE)
+                  - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE))
+                 * (CAST(g.n AS DOUBLE) * CAST(g.sxy AS DOUBLE)
+                    - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE))
+                 / ((CAST(g.n AS DOUBLE) * CAST(g.sxx AS DOUBLE)
+                     - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE))
+                    * (CAST(g.n AS DOUBLE) * CAST(g.syy AS DOUBLE)
+                       - CAST(g.sy AS DOUBLE) * CAST(g.sy AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS rho2_q
+    FROM v, g
+"""
+
+
+@register("agg_cuped", oracle=_CUPED_SQL, tags=("agg", "ml", "stats"))
+def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment means per variant, with pooled theta
+    and rho-squared (the variance-reduction fraction) repeated on both
+    rows.
+
+    Shapes: midpoint is a broadcast 1-row aggregate; the user-grain
+    x/y frame is ONE user-keyed exchange (conditional aggregation —
+    pre and post fold in the same pass, no self-join); the pooled
+    sufficient statistics are a 1-row reduce over that frame (six
+    DECIMAL(38,0) sums — exact at any n), broadcast back onto the
+    2-row variant rollup. Two real exchanges total, both user-keyed.
+
+    Portability: x, y are floored bigint micro-means, so every double
+    in the finish is cast from an exact integer; the theta / adjusted-
+    mean / rho-squared expressions are textually identical on both
+    engines and quantized at 1e-6 (graph_assortativity discipline).
+    """
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    b = ev.agg(
+        F.min(us).alias("mn"), F.max(us).alias("mx")
+    ).select(F.expr("CAST((mn + mx) DIV 2 AS BIGINT)").alias("mid_us"))
+    vm = F.floor(F.col("value") * 1000000 + 0.5).cast("bigint")
+    e = ev.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        (F.col("user_id") % 2).cast("bigint").alias("variant"),
+        F.when(us <= F.col("mid_us"), vm).alias("pre_v"),
+        F.when(us > F.col("mid_us"), vm).alias("post_v"),
+    )
+    u = (
+        e.groupBy("user_id", "variant")
+        .agg(
+            F.expr(
+                "CAST(CAST(sum(pre_v) AS BIGINT) DIV count(pre_v) AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                "CAST(CAST(sum(post_v) AS BIGINT) DIV count(post_v)"
+                " AS BIGINT)"
+            ).alias("y"),
+            F.count("pre_v").alias("_np"),
+            F.count("post_v").alias("_nq"),
+        )
+        .filter((F.col("_np") > 0) & (F.col("_nq") > 0))
+        .select("user_id", "variant", "x", "y")
+    )
+    dec = "DECIMAL(38,0)"
+    g = u.agg(
+        F.expr(f"CAST(count(1) AS {dec})").alias("n"),
+        F.expr(f"CAST(sum(CAST(x AS {dec})) AS {dec})").alias("sx"),
+        F.expr(f"CAST(sum(CAST(y AS {dec})) AS {dec})").alias("sy"),
+        F.expr(
+            f"CAST(sum(CAST(x AS {dec}) * CAST(y AS {dec})) AS {dec})"
+        ).alias("sxy"),
+        F.expr(
+            f"CAST(sum(CAST(x AS {dec}) * CAST(x AS {dec})) AS {dec})"
+        ).alias("sxx"),
+        F.expr(
+            f"CAST(sum(CAST(y AS {dec}) * CAST(y AS {dec})) AS {dec})"
+        ).alias("syy"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.expr(f"CAST(sum(CAST(x AS {dec})) AS {dec})").alias("vsx"),
+        F.expr(f"CAST(sum(CAST(y AS {dec})) AS {dec})").alias("vsy"),
+    )
+    cov = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    varx = (
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    vary = (
+        "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    return v.crossJoin(F.broadcast(g)).select(
+        "variant",
+        "n_users",
+        F.expr("CAST(CAST(vsy AS BIGINT) DIV n_users AS BIGINT)").alias(
+            "mean_y_micro"
+        ),
+        F.expr(
+            "floor((CAST(vsy AS DOUBLE) / CAST(n_users AS DOUBLE)"
+            f" - {cov} / {varx}"
+            " * (CAST(vsx AS DOUBLE) / CAST(n_users AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
+            " * 1e6 + 0.5) / 1e6"
+        ).alias("mean_adj_micro"),
+        F.expr(f"floor({cov} / {varx} * 1e6 + 0.5) / 1e6").alias("theta_q"),
+        F.expr(
+            f"floor({cov} * {cov} / ({varx} * {vary}) * 1e6 + 0.5) / 1e6"
+        ).alias("rho2_q"),
+    )
+
+
+# --- agg_mann_kendall --------------------------------------------------------
+#
+# Mann–Kendall trend test per event_type over the DAILY count series:
+# S = sum over day pairs i<j of sign(c_j - c_i), with Kendall's tau as
+# S / (n(n-1)/2) in ppm. The nonparametric "is this metric drifting"
+# monitor — no distributional assumption, integer throughout.
+
+_MK_SQL = """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN b.c > a.c THEN 1
+                         WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s,
+           CAST(sum(CASE WHEN b.c > a.c THEN 1
+                         WHEN b.c < a.c THEN -1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS tau_ppm
+    FROM d a JOIN d b
+      ON a.event_type = b.event_type AND a.day < b.day
+    GROUP BY a.event_type
+"""
+
+
+@register("agg_mann_kendall", oracle=_MK_SQL, tags=("agg", "stats", "events"))
+def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall S statistic and Kendall tau (ppm) per event_type
+    over daily counts.
+
+    Shapes: the daily rollup is one map-side-combined groupBy; the
+    pair enumeration self-joins the DAILY frame (rows bounded by
+    |types| x |calendar days| — sf-independent once the calendar
+    saturates, so the quadratic term is bounded by days², never by
+    event volume; at 100 TB the series length is still the calendar).
+    Both join sides come from the same tiny aggregate, so AQE
+    broadcasts one side. Integer sign sums; tau via bigint DIV."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = d.select("event_type", F.col("day").alias("di"), F.col("c").alias("ci"))
+    bb = d.select(
+        "event_type", F.col("day").alias("dj"), F.col("c").alias("cj")
+    )
+    j = a.join(bb, "event_type").filter(F.col("di") < F.col("dj"))
+    sgn = (
+        F.when(F.col("cj") > F.col("ci"), 1)
+        .when(F.col("cj") < F.col("ci"), -1)
+        .otherwise(0)
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(sgn).cast("bigint").alias("s"),
+        F.expr(
+            "CAST(sum(CASE WHEN cj > ci THEN 1 WHEN cj < ci THEN -1"
+            " ELSE 0 END) * 1000000 DIV count(1) AS BIGINT)"
+        ).alias("tau_ppm"),
+    )
+
+
+# --- graph_random_walk -------------------------------------------------------
+#
+# Deterministic 3-step "random" walks from every node of the near-dup
+# graph — the DeepWalk/node2vec sampling primitive, made exactly
+# oracle-checkable by replacing the RNG with a hash argmin: at step t
+# from node u, the walk moves to the neighbor v minimizing
+# md5('t|u|v') (ties impossible: the tie-break key appends v). Every
+# engine computes the identical walk, rerun-identical — the same
+# trick that made the Poisson bootstrap and hash sampling exact keys.
+
+_RW_STEPS = 3
+
+
+def _rw_oracle() -> str:
+    from etl_cnpjs_spark.plans.dedup import _SQL_PAIRS
+
+    steps = []
+    prev_cols = "n.node AS node"
+    prev = "nodes n"
+    for t in range(1, _RW_STEPS + 1):
+        src = f"s{t - 1}" if t > 1 else "s0"
+        steps.append(
+            f"""
+  s{t} AS (
+    SELECT {src}.*,
+           min_by(e.b,
+                  md5(concat(CAST({t} AS VARCHAR), '|',
+                             CAST({src}.{'node' if t == 1 else f'step{t - 1}'}
+                                  AS VARCHAR), '|',
+                             CAST(e.b AS VARCHAR)))
+                  || lpad(CAST(e.b AS VARCHAR), 20, '0')) AS step{t}
+    FROM s{t - 1} {src}
+    JOIN edges e ON e.a = {src}.{'node' if t == 1 else f'step{t - 1}'}
+    GROUP BY ALL
+  )"""
+        )
+    return (
+        _SQL_PAIRS
+        + """
+  , edges AS (SELECT i AS a, j AS b FROM pairs
+              UNION ALL
+              SELECT j AS a, i AS b FROM pairs),
+  s0 AS (SELECT DISTINCT a AS node FROM edges)
+"""
+        + ","
+        + ",".join(steps)
+        + f"""
+  SELECT node, step1, step2, step3 FROM s{_RW_STEPS}
+"""
+    )
+
+
+@register(
+    "graph_random_walk", oracle=_rw_oracle(), tags=("graph", "ml", "dedup")
+)
+def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic 3-step walk from every node of the exact-
+    Jaccard graph: (node, step1, step2, step3).
+
+    Shapes: each step is one equi-join of the walk frontier against
+    the symmetrized edge list on the current-position key, followed by
+    a min_by groupBy on the SAME key the join shuffled on — AQE reuses
+    the exchange. Three unrolled rounds (fixed depth = the
+    DeepWalk window, not data-dependent — the pagerank/k-core
+    discipline that keeps iterative algorithms oracle-checkable).
+    Every node in the symmetrized edge list has >= 1 neighbor, so the
+    frontier never shrinks and no null-coalesce is needed. At corpus
+    scale the frontier is |nodes| rows x 4 ints; the edge join is the
+    bounded cost, and walk fan-out is 1 (argmin), not branching."""
+    from etl_cnpjs_spark.plans.dedup import _exact_pairs
+
+    pairs = _exact_pairs(spark, sf_dir).select("i", "j")
+    edges = pairs.select(
+        F.col("i").alias("a"), F.col("j").alias("b")
+    ).unionAll(pairs.select(F.col("j").alias("a"), F.col("i").alias("b")))
+    cur = edges.select(F.col("a").alias("node")).distinct()
+    carried = ["node"]
+    for t in range(1, _RW_STEPS + 1):
+        pos = carried[-1]
+        key = F.concat(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(t)),
+                    F.col(pos).cast("string"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            F.lpad(F.col("b").cast("string"), 20, "0"),
+        )
+        cur = (
+            cur.join(edges, cur[pos] == edges["a"])
+            .groupBy(*carried)
+            .agg(F.min_by("b", key).alias(f"step{t}"))
+        )
+        carried.append(f"step{t}")
+    return cur.select("node", "step1", "step2", "step3")
