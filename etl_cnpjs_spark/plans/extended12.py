@@ -670,3 +670,99 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         carried.append(f"step{t}")
     return cur.select("node", "step1", "step2", "step3")
+
+
+# --- source_python_stream ----------------------------------------------------
+#
+# Streaming PYTHON DataSource (Spark 4 SimpleDataSourceStreamReader) —
+# the streaming twin of source_python_ds: a custom Python source that
+# feeds Structured Streaming micro-batches with offset tracking, the
+# seam where a real crawl/queue consumer (HTTP pagination, Kafka-less
+# REST feeds) enters the engine WITHOUT a JVM connector. The source
+# generates a finite deterministic table (1024 ids in 4 offset chunks)
+# so the fully-drained stream is oracle-checkable as a plain SELECT.
+
+_PYSTREAM_N = 1024
+_PYSTREAM_CHUNK = 256
+
+
+@register(
+    "source_python_stream",
+    oracle=f"""
+    SELECT CAST(i AS BIGINT)            AS id,
+           CAST(i * 7 % 97 AS BIGINT)   AS v,
+           CAST(i // {_PYSTREAM_CHUNK} AS INT) AS chunk
+    FROM range(0, {_PYSTREAM_N}) t(i)
+    """,
+    tags=("source", "python_datasource", "streaming"),
+)
+def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING source drained to a memory sink.
+
+    The reader tracks offsets as {"i": n}; each read() serves one
+    256-id chunk and advances, then reports no-progress at n=1024 so
+    processAllAvailable() terminates. Exactly-once comes from the
+    offset contract (readBetweenOffsets replays a committed range on
+    recovery — the API's recovery path). The registry runs the full
+    stream to completion and returns the drained table; the oracle
+    re-derives it as a range scan.
+
+    Scale posture: partitions-per-microbatch is the simple reader's
+    single-partition contract (it's the bootstrap API); the partitioned
+    production form is the batch source_python_ds shape plus offsets.
+    """
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class _ChunkStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            i = start["i"]
+            if i >= _PYSTREAM_N:
+                return iter([]), {"i": i}
+            rows = [
+                (j, j * 7 % 97, j // _PYSTREAM_CHUNK)
+                for j in range(i, min(i + _PYSTREAM_CHUNK, _PYSTREAM_N))
+            ]
+            return iter(rows), {"i": i + len(rows)}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                (j, j * 7 % 97, j // _PYSTREAM_CHUNK)
+                for j in range(start["i"], end["i"])
+            )
+
+    class ChunkStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "chunkstream"
+
+        def schema(self) -> str:
+            return "id bigint, v bigint, chunk int"
+
+        def simpleStreamReader(self, schema):
+            return _ChunkStreamReader()
+
+    spark.dataSource.register(ChunkStreamSource)
+    qname = f"pystream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("chunkstream")
+        .load()
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(qname)

@@ -905,3 +905,66 @@ def test_stream_locf_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.table("t_locf").collect()
     }
     assert got == batch
+
+
+def test_stream_static_lsh_probe_matches_batch_incremental(spark, sf_dir, tmp_path):
+    """Stream-static join face of dedup_incremental: incoming documents
+    arrive as a STREAM, band-key in-flight (deterministic expressions —
+    minhash needs no state), probe the STATIC pre-banded corpus posting
+    table, dedup candidates, and verify exact Jaccard against the static
+    shingle frame. The drained result must equal the batch
+    dedup_incremental key exactly — the crawl-pipeline "screen new docs
+    against the corpus before they enter training data" shape, proven
+    under readStream. (Three stream-static inner joins + streaming
+    dropDuplicates in one append-mode query.)"""
+    from etl_cnpjs_spark.operators.dedup import minhash_band_keys
+    from etl_cnpjs_spark.plans import QUERIES
+    from etl_cnpjs_spark.plans.dedup import _INCR_SPLIT, _doc_shingles
+    from etl_cnpjs_spark.plans.dedup import JACCARD_THRESHOLD
+
+    batch_expected = {
+        (r.new_id, r.corpus_id)
+        for r in QUERIES["dedup_incremental"].fn(spark, sf_dir).collect()
+    }
+
+    # static side: corpus postings + shingle arrays (what a production
+    # pipeline maintains as a bucketed table — dedup_minhash_persist)
+    signed = _doc_shingles(spark, sf_dir).select(
+        "doc_id", "sh", minhash_band_keys(F.col("sh"), bands=8, rows=2).alias("bk")
+    )
+    corpus = signed.filter(F.col("doc_id") < _INCR_SPLIT).localCheckpoint()
+    corpus_posts = corpus.select(
+        F.col("doc_id").alias("corpus_id"), F.posexplode("bk").alias("band", "key")
+    )
+    corpus_sh = corpus.select(F.col("doc_id").alias("corpus_id"), F.col("sh").alias("sha"))
+
+    # stream side: the incoming batch docs replayed through readStream
+    feed = str(tmp_path / "incoming_docs")
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") >= _INCR_SPLIT)
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(feed)
+    src = spark.readStream.schema("doc_id long, text string").parquet(feed)
+
+    toks = F.split(F.trim("text"), r"\s+")
+    from etl_cnpjs_spark.functions.text import shingles
+
+    stream_signed = src.select(
+        F.col("doc_id").alias("new_id"), shingles(toks).alias("shb")
+    ).filter(F.size("shb") > 0)
+    stream_posts = stream_signed.select(
+        "new_id", "shb", F.posexplode(minhash_band_keys(F.col("shb"), bands=8, rows=2)).alias("band", "key")
+    )
+    cands = (
+        stream_posts.join(corpus_posts, ["band", "key"])
+        .select("new_id", "corpus_id", "shb")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size("sha") + F.size("shb") - inter
+    out = (
+        cands.join(corpus_sh, "corpus_id")
+        .select("new_id", "corpus_id", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    _run_to_memory(out, "t_lsh_probe", "append")
+    got = {(r.new_id, r.corpus_id) for r in spark.table("t_lsh_probe").collect()}
+    assert got == batch_expected
