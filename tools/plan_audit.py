@@ -57,6 +57,8 @@ BNLJ_OK = {
     "text_js_divergence",  # broadcast 1-row corpus-total frame onto the vocab
     "dq_freshness",  # broadcast 1-row watermark frame onto |types| rows
     "embedding_pq",  # broadcast 4-row codebook crossJoin (assignment shape)
+    "events_did",  # broadcast 1-row corpus-midpoint frame onto the scan
+    "agg_cuped",  # broadcast 1-row midpoint + 1-row pooled-stats frames
     "graph_modularity",  # broadcast 1-row edge-total m onto |components| rows
     "events_ab_srm",  # broadcast 1-row user-total frame onto 2 cohort rows
     "agg_rate_smoothing",  # broadcast 1-row global-prior frame onto users
@@ -76,6 +78,10 @@ ROW_PY_OK = {"udtf_bigrams"}
 # refactor that grows the count past the reviewed number still flags
 # (the same pinning discipline as tests/test_plans.py).
 EXCHANGES_OK = {
+    # 3 unrolled walk rounds x (frontier-key join + same-key min_by
+    # groupBy — AQE reuses the join exchange for the aggregate at
+    # runtime) = 6 static exchanges, fixed by _RW_STEPS, not by data.
+    "graph_random_walk": 6,
     # df window on shingle + both self-join sides (AQE ReusedExchange at
     # runtime, pinned for the stopshingle twin) + doc-grain verify joins.
     "dedup_containment_capped": 8,
