@@ -978,3 +978,48 @@ def test_discretizer_labels_scan_side(spark, sf_dir):
     plan = explain_str(QUERIES["fn_discretize_quantiles"].fn(spark, sf_dir), "simple")
     assert "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning" not in plan, plan[:600]
+
+
+def test_exact_substr_no_pair_join(spark, sf_dir):
+    """text_exact_substr_spans: duplicated-gram detection is a count
+    WINDOW over the gram key (no groupBy+rejoin, no pair self-join) —
+    the plan must contain zero joins of any kind, and exactly the two
+    natural-key exchanges (gram, doc)."""
+    plan = explain_str(QUERIES["text_exact_substr_spans"].fn(spark, sf_dir), "simple")
+    assert "Join" not in plan, plan[:800]
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:800]
+
+
+def test_target_encode_single_category_exchange(spark, sf_dir):
+    """agg_target_encode: both window aggregates ride ONE category
+    exchange; the LOO arithmetic is scan-side (no join, no re-agg)."""
+    plan = explain_str(QUERIES["agg_target_encode"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+    assert "Join" not in plan, plan[:800]
+
+
+def test_did_midpoint_broadcasts(spark, sf_dir):
+    """events_did: the corpus midpoint is a broadcast 1-row frame (the
+    scalar shape), never a driver collect; cells fold in one grouped
+    aggregate."""
+    plan = explain_str(QUERIES["events_did"].fn(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cuped_user_grain_single_pass(spark, sf_dir):
+    """agg_cuped: pre and post fold in ONE conditional aggregate over
+    the user grain — no pre/post self-join of the fact table."""
+    plan = explain_str(QUERIES["agg_cuped"].fn(spark, sf_dir), "simple")
+    assert "SortMergeJoin" not in plan, plan[:800]
+    # one user-keyed exchange + tiny rollup exchanges only
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:800]
+
+
+def test_mann_kendall_pairs_on_daily_frame(spark, sf_dir):
+    """agg_mann_kendall: the quadratic pair join runs on the DAILY
+    aggregate (bounded by calendar), with the raw scan aggregated
+    before any join; one side broadcasts."""
+    plan = explain_str(QUERIES["agg_mann_kendall"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan, plan[:800]
