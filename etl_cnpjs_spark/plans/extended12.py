@@ -766,3 +766,80 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination()
     return spark.table(qname)
+
+
+# --- sql_pipe_syntax ---------------------------------------------------------
+#
+# Spark 4 SQL pipe syntax (|>): the same logical plan as the classic
+# form, written as a linear pipeline — the SQL surface Spark 4 added
+# for readability of long transform chains. The key proves the parser
+# surface exists and plans identically; the oracle is the classic SQL.
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 100000
+    GROUP BY c_mktsegment
+    """,
+    tags=("sql", "relational"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment revenue via SQL pipe syntax. The |> chain parses to the
+    SAME Catalyst plan as the classic join+aggregate (filter pushed to
+    the scan, AQE free to broadcast the dimension side) — pipe syntax
+    is sugar over the identical logical operators, so every plan-shape
+    guarantee elsewhere in the registry carries over unchanged."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__pipe_orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__pipe_customer"
+    )
+    return spark.sql(
+        """
+        FROM __pipe_orders
+        |> WHERE o_totalprice > 100000
+        |> JOIN __pipe_customer ON o_custkey = c_custkey
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS sum_cents
+           GROUP BY c_mktsegment
+        |> SELECT c_mktsegment, n_orders, sum_cents
+        """
+    )
+
+
+# --- agg_listagg -------------------------------------------------------------
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("agg", "functions"),
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg WITHIN GROUP (Spark 4's ordered string aggregation)
+    — nations per region, comma-joined in collation order. The WITHIN
+    GROUP order makes the output deterministic (an unordered listagg
+    is partition-order-dependent and would never hash-match); DuckDB's
+    twin is string_agg(expr, sep ORDER BY expr). Broadcast-sized here;
+    at scale ordered listagg is a sort-based aggregate per group —
+    bounded output requires bounding the group (the agg_collect
+    caveat, same family)."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    return j.groupBy("r_name").agg(
+        F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+            "nations"
+        )
+    )
