@@ -843,3 +843,164 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nations"
         )
     )
+
+
+# --- udf_cogrouped_map -------------------------------------------------------
+#
+# Cogrouped-map pandas UDF (groupBy().cogroup().applyInPandas) — the
+# last member of the pandas-UDF API matrix (scalar/Arrow, grouped-agg,
+# grouped-map, mapInPandas, UDTF all have keys). Canonical use: per-key
+# alignment logic that pandas expresses in one call but SQL needs a
+# window program for — here, last-click-before-purchase attribution via
+# pandas.merge_asof per user. The ORACLE is the equivalent max_by
+# window SQL, so the cogrouped path is held to the engine-exact answer.
+
+
+@register(
+    "udf_cogrouped_map",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id,
+           p.purchase_id,
+           CAST(max_by(c.click_id,
+                       CAST(c.cus AS HUGEINT) * 9223372036854775808
+                       + c.click_id) AS BIGINT) AS click_id,
+           CAST(p.pus - max(c.cus) AS BIGINT) AS gap_us
+    FROM p JOIN c
+      ON p.user_id = c.user_id AND c.cus <= p.pus
+    GROUP BY p.user_id, p.purchase_id, p.pus
+    """,
+    tags=("udf", "events", "ml"),
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-click-before-purchase per user via cogrouped applyInPandas
+    (pandas merge_asof backward inside each user cogroup).
+
+    Shapes: both sides shuffle ONCE on user_id (the cogroup exchange);
+    inside each group the asof match is the sorted-merge pandas does in
+    C. Arrow moves only (user_id, event_id, us) ints. The oracle is the
+    max_by window equivalent, so the pandas path must reproduce the
+    engine-exact pairing, including the equal-timestamp rule (ties take
+    the click with the larger event_id — encoded in merge_asof's
+    last-in-sort-order semantics and mirrored in the oracle's composite
+    max_by key, widened to HUGEINT so the (cus, click_id) pair packs
+    without overflow).
+
+    Unmatched purchases (no click at or before) are DROPPED on both
+    sides (merge_asof NaN rows filtered) — the inner-join contract.
+    """
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), us.alias("cus")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), us.alias("pus")
+    )
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left = clicks, right = purchases for ONE user cogroup
+        if right.empty or left.empty:
+            return pd.DataFrame(
+                columns=["user_id", "purchase_id", "click_id", "gap_us"]
+            )
+        lc = left.sort_values(["cus", "click_id"], kind="mergesort")
+        rp = right.sort_values(["pus", "purchase_id"], kind="mergesort")
+        m = pd.merge_asof(
+            rp, lc.drop(columns=["user_id"]), left_on="pus", right_on="cus"
+        )
+        m = m.dropna(subset=["click_id"])
+        if m.empty:
+            return pd.DataFrame(
+                columns=["user_id", "purchase_id", "click_id", "gap_us"]
+            )
+        m["gap_us"] = (m["pus"] - m["cus"]).astype("int64")
+        m["click_id"] = m["click_id"].astype("int64")
+        return m[["user_id", "purchase_id", "click_id", "gap_us"]]
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purch.groupBy("user_id"))
+        .applyInPandas(
+            asof,
+            "user_id long, purchase_id long, click_id long, gap_us long",
+        )
+    )
+
+
+# --- dq_score_calibration ----------------------------------------------------
+#
+# Calibration table for a corpus-filter score: decile-bin the quality
+# score and report the observed positive rate per bin — the reliability
+# diagram a pipeline reads BEFORE choosing the keep/drop threshold a
+# classifier-based filter will apply at scale. Score here is the
+# fixed-point stopword-density x length quality signal; "positive" is
+# the lang='en' majority-class proxy (any labeled subset slots in).
+
+
+@register(
+    "dq_score_calibration",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               * 1000
+             + CAST(n_chars % 1000 AS BIGINT) AS score
+      FROM documents
+    ),
+    b AS (
+      SELECT pos, score,
+             ntile(10) OVER (ORDER BY score, doc_id) AS bin
+      FROM f
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT)                       AS n,
+           CAST(sum(pos) AS BIGINT)                       AS positives,
+           CAST(sum(pos) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm,
+           CAST(min(score) AS BIGINT)                     AS score_lo,
+           CAST(max(score) AS BIGINT)                     AS score_hi
+    FROM b GROUP BY bin
+    """,
+    tags=("dq", "ml", "text", "north_star"),
+)
+def dq_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins: decile of score -> observed positive
+    rate (ppm), with bin score ranges.
+
+    Shapes: features are scan-side; the decile assignment is ONE
+    global-order ntile (the exact-quantile form — at 100 TB swap for
+    approx_percentile cuts broadcast onto the scan, the documented
+    fn_discretize_quantiles trade); the rollup is a 10-row aggregate.
+    The (score, doc_id) composite makes the ntile order total, so bin
+    boundaries are deterministic and the whole table hash-matches."""
+    d = table(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        (
+            F.size(F.split(F.trim("text"), r"\s+")).cast("bigint") * 1000
+            + (F.col("n_chars") % 1000).cast("bigint")
+        ).alias("score"),
+    )
+    b = f.withColumn(
+        "bin", F.ntile(10).over(W.orderBy("score", "doc_id"))
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("positives"),
+        F.expr("CAST(sum(pos) * 1000000 DIV count(1) AS BIGINT)").alias(
+            "pos_rate_ppm"
+        ),
+        F.min("score").cast("bigint").alias("score_lo"),
+        F.max("score").cast("bigint").alias("score_hi"),
+    )
