@@ -1004,3 +1004,87 @@ def dq_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").cast("bigint").alias("score_lo"),
         F.max("score").cast("bigint").alias("score_hi"),
     )
+
+
+# --- corpus_substr_clean -----------------------------------------------------
+#
+# The APPLY step of ExactSubstr dedup: cut the duplicated spans that
+# text_exact_substr_spans found and emit the cleaned corpus — the
+# end-to-end form of Lee et al.'s dedup (find spans -> remove spans ->
+# train on what remains). Tokens inside ANY duplicated span are
+# dropped; the survivors re-join in order. Docs with no spans pass
+# through verbatim (token-joined, so whitespace is canonical on both
+# engines).
+
+@register(
+    "corpus_substr_clean",
+    oracle=f"""
+    WITH spans AS (
+      SELECT * FROM ({_SUBSTR_SQL}) z
+    ),
+    d2 AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks))) AS pos
+      FROM d2
+    ),
+    cut AS (
+      SELECT doc_id,
+             unnest(generate_series(start_tok, end_tok)) AS pos
+      FROM spans
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.toks[t.pos] AS tok
+      FROM tok t ANTI JOIN cut c
+        ON t.doc_id = c.doc_id AND t.pos = c.pos
+    )
+    SELECT doc_id,
+           string_agg(tok, ' ' ORDER BY pos)    AS clean_text,
+           CAST(count(*) AS BIGINT)             AS n_tokens_kept
+    FROM kept
+    GROUP BY doc_id
+    """,
+    tags=("corpus", "text", "dedup", "north_star"),
+)
+def corpus_substr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned corpus after ExactSubstr span removal: (doc_id,
+    clean_text, n_tokens_kept). Docs whose every token sits in a
+    duplicated span disappear (nothing kept) — the full-duplicate
+    case degenerates to exact dedup, as the paper notes.
+
+    Shapes: spans come from the text_exact_substr_spans program (two
+    natural-key exchanges); the cut positions explode from span ranges
+    (output bounded by duplicated-token volume, NOT corpus size); the
+    removal is one left-ANTI join on (doc_id, pos) and reassembly is
+    an ordered string_agg riding the same doc-keyed exchange. No pair
+    enumeration anywhere — end to end, the pipeline is linear in
+    corpus tokens plus duplicated-token volume."""
+    k = _SUBSTR_K
+    spans = text_exact_substr_spans(spark, sf_dir).select(
+        "doc_id", "start_tok", "end_tok"
+    )
+    cut = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("start_tok"), F.col("end_tok"))
+        ).alias("pos"),
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
+    kept = tok.join(cut, ["doc_id", "pos"], "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "tok"))
+            ).getField("tok"),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_kept"),
+    )
