@@ -111,10 +111,17 @@ def text_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied because dropping hot grams would split true spans —
     instead hot grams stay cheap by never being joined, only counted.
     """
-    k = _SUBSTR_K
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
-    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_substr_spans(docs, k=_SUBSTR_K)
+
+
+def exact_substr_spans(docs: DataFrame, k: int, min_grams: int = 2) -> DataFrame:
+    """ExactSubstr span operator over any (doc_id, text) frame — the
+    reusable form text_exact_substr_spans registers and the property
+    test drives on generated corpora. Returns (doc_id, start_tok,
+    end_tok, n_tokens) for maximal runs of >= min_grams duplicated
+    k-grams (1-based token positions, inclusive ends)."""
+    d = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
     # positional (NON-distinct) k-grams, slices+zip_with form
     ngrams = F.slice(
         F.col("toks"), 1, F.greatest(F.size("toks") - (k - 1), F.lit(0))
@@ -127,7 +134,7 @@ def text_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ngrams = F.zip_with(ngrams, part, lambda a, b: F.concat_ws(" ", a, b))
     g = (
-        docs.filter(F.size("toks") >= k)
+        d.filter(F.size("toks") >= k)
         .select("doc_id", F.posexplode(ngrams).alias("pos0", "gram"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
     )
@@ -149,7 +156,7 @@ def text_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("pos") - F.min("pos") + k).cast("bigint").alias("n_tokens"),
             F.count(F.lit(1)).alias("_n"),
         )
-        .filter(F.col("_n") >= 2)
+        .filter(F.col("_n") >= min_grams)
         .select("doc_id", "start_tok", "end_tok", "n_tokens")
     )
 

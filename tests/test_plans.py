@@ -1023,3 +1023,27 @@ def test_mann_kendall_pairs_on_daily_frame(spark, sf_dir):
     plan = explain_str(QUERIES["agg_mann_kendall"].fn(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan, plan[:800]
     assert "SortMergeJoin" not in plan, plan[:800]
+
+
+def test_pipe_syntax_pushes_filter_to_scan(spark, sf_dir):
+    """sql_pipe_syntax: the |> WHERE reaches the parquet scan as a
+    pushed filter — pipe syntax is sugar over the same optimized plan."""
+    plan = explain_str(QUERIES["sql_pipe_syntax"].fn(spark, sf_dir))
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split(
+        "PushedFilters"
+    )[1][:200], plan[:1200]
+
+
+def test_cogrouped_map_single_cogroup_exchange(spark, sf_dir):
+    """udf_cogrouped_map: the pandas cogroup appears as
+    FlatMapCoGroupsInPandas with one user-keyed exchange per side."""
+    plan = explain_str(QUERIES["udf_cogrouped_map"].fn(spark, sf_dir), "simple")
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:800]
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:800]
+
+
+def test_substr_clean_anti_join_no_pairs(spark, sf_dir):
+    """corpus_substr_clean: removal is a left-anti join on (doc, pos);
+    no SortMergeJoin-of-documents pair shape anywhere."""
+    plan = explain_str(QUERIES["corpus_substr_clean"].fn(spark, sf_dir), "simple")
+    assert "LeftAnti" in plan, plan[:800]

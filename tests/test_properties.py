@@ -938,3 +938,55 @@ def test_modularity_sums_to_valid_range(spark, sf_dir):
     m = sum(r["m_in"] for r in rows)
     assert all(r["m_in"] >= 1 for r in rows)
     assert q >= -1e-6 or m == 0
+
+
+def _py_substr_spans(docs: list[str], k: int, min_grams: int = 2):
+    """Brute-force ExactSubstr spans: global k-gram counts, per-doc
+    duplicated positions, consecutive-run merge."""
+    from collections import Counter
+
+    grams: list[list[str]] = []
+    for text in docs:
+        toks = text.split()
+        grams.append(
+            [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        )
+    counts = Counter(g for gs in grams for g in gs)
+    expected = set()
+    for doc_id, gs in enumerate(grams):
+        dup_pos = [i + 1 for i, g in enumerate(gs) if counts[g] >= 2]
+        run: list[int] = []
+        for p in dup_pos + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                if len(run) >= min_grams:
+                    expected.add(
+                        (doc_id, run[0], run[-1] + k - 1,
+                         run[-1] + k - run[0])
+                    )
+                run = []
+            if p is not None:
+                run.append(p)
+    return expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_corpus)
+def test_exact_substr_spans_match_bruteforce(spark, docs):
+    """ExactSubstr spans (count window + gaps-and-islands) equal the
+    sequential suffix-criterion implementation on arbitrary corpora,
+    including all-duplicate, no-duplicate, and short-doc shapes."""
+    from etl_cnpjs_spark.plans.extended12 import exact_substr_spans
+
+    k = 2
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok, r.n_tokens)
+        for r in exact_substr_spans(df, k=k).collect()
+    }
+    assert got == _py_substr_spans(docs, k)
