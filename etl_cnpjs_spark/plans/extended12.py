@@ -693,6 +693,51 @@ _PYSTREAM_N = 1024
 _PYSTREAM_CHUNK = 256
 
 
+def _pystream_rows(lo: int, hi: int):
+    return ((j, j * 7 % 97, j // _PYSTREAM_CHUNK) for j in range(lo, hi))
+
+
+def make_chunk_stream_source():
+    """Build the chunkstream DataSource class (module-level so the
+    checkpoint-restart test can register the identical source). The
+    feed length is an OPTION (n, default _PYSTREAM_N) so a restart test
+    can extend the feed between runs and prove offset recovery."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class _ChunkStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, n: int):
+            self.n = n
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            i = start["i"]
+            if i >= self.n:
+                return iter([]), {"i": i}
+            hi = min(i + _PYSTREAM_CHUNK, self.n)
+            return iter(list(_pystream_rows(i, hi))), {"i": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(_pystream_rows(start["i"], end["i"]))
+
+    class ChunkStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "chunkstream"
+
+        def schema(self) -> str:
+            return "id bigint, v bigint, chunk int"
+
+        def simpleStreamReader(self, schema):
+            return _ChunkStreamReader(int(self.options.get("n", _PYSTREAM_N)))
+
+    return ChunkStreamSource
+
+
 @register(
     "source_python_stream",
     oracle=f"""
@@ -720,43 +765,7 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import uuid
 
-    from pyspark.sql.datasource import (
-        DataSource,
-        SimpleDataSourceStreamReader,
-    )
-
-    class _ChunkStreamReader(SimpleDataSourceStreamReader):
-        def initialOffset(self):
-            return {"i": 0}
-
-        def read(self, start):
-            i = start["i"]
-            if i >= _PYSTREAM_N:
-                return iter([]), {"i": i}
-            rows = [
-                (j, j * 7 % 97, j // _PYSTREAM_CHUNK)
-                for j in range(i, min(i + _PYSTREAM_CHUNK, _PYSTREAM_N))
-            ]
-            return iter(rows), {"i": i + len(rows)}
-
-        def readBetweenOffsets(self, start, end):
-            return iter(
-                (j, j * 7 % 97, j // _PYSTREAM_CHUNK)
-                for j in range(start["i"], end["i"])
-            )
-
-    class ChunkStreamSource(DataSource):
-        @classmethod
-        def name(cls) -> str:
-            return "chunkstream"
-
-        def schema(self) -> str:
-            return "id bigint, v bigint, chunk int"
-
-        def simpleStreamReader(self, schema):
-            return _ChunkStreamReader()
-
-    spark.dataSource.register(ChunkStreamSource)
+    spark.dataSource.register(make_chunk_stream_source())
     qname = f"pystream_{uuid.uuid4().hex[:8]}"
     q = (
         spark.readStream.format("chunkstream")
@@ -888,17 +897,24 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-click-before-purchase per user via cogrouped applyInPandas
-    (pandas merge_asof backward inside each user cogroup).
+    (pandas merge_asof inside each cogroup, by='user_id').
 
-    Shapes: both sides shuffle ONCE on user_id (the cogroup exchange);
-    inside each group the asof match is the sorted-merge pandas does in
-    C. Arrow moves only (user_id, event_id, us) ints. The oracle is the
-    max_by window equivalent, so the pandas path must reproduce the
-    engine-exact pairing, including the equal-timestamp rule (ties take
-    the click with the larger event_id — encoded in merge_asof's
-    last-in-sort-order semantics and mirrored in the oracle's composite
-    max_by key, widened to HUGEINT so the (cus, click_id) pair packs
-    without overflow).
+    Shapes: both sides shuffle ONCE (the cogroup exchange) — but the
+    cogroup key is the COARSE bucket pmod(user_id, 64), not user_id:
+    cogrouped applyInPandas pays a fixed Python-invocation +
+    Arrow-batch cost PER GROUP, so thousands of tiny per-user groups
+    spend the whole budget on overhead (measured 8.2 s warm at sf0.1
+    with per-user groups vs 0.6 s bucketed — 13×). merge_asof's `by=`
+    argument restores exact per-user semantics inside each bucket in
+    one C pass. This bucket-then-by pattern is the general fix for
+    high-cardinality cogroups at any scale; bucket count scales with
+    cluster cores, not users. The oracle is the max_by window
+    equivalent, so the pandas path must reproduce the engine-exact
+    pairing, including the equal-timestamp rule (ties take the click
+    with the larger event_id — encoded in the global (cus, click_id)
+    sort + merge_asof's last-in-sort-order semantics and mirrored in
+    the oracle's composite max_by key, widened to HUGEINT so the pair
+    packs without overflow).
 
     Unmatched purchases (no click at or before) are DROPPED on both
     sides (merge_asof NaN rows filtered) — the inner-join contract.
@@ -907,15 +923,25 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     us = F.unix_micros("ts")
+    bkt = F.pmod("user_id", F.lit(64)).alias("bkt")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("event_id").alias("click_id"), us.alias("cus")
+        bkt, "user_id", F.col("event_id").alias("click_id"), us.alias("cus")
     )
+    # NOTE the right side renames user_id -> puser: both cogroup sides
+    # derive from the SAME events frame (a self-cogroup), and Spark's
+    # analyzer dedups the conflicting attribute ids — under a pruning
+    # action (count()) the right side's duplicate-named user_id column
+    # is dropped from the Arrow batch entirely. Distinct names per side
+    # sidestep the dedup; merge_asof's left_by/right_by pair them back.
     purch = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("event_id").alias("purchase_id"), us.alias("pus")
+        bkt,
+        F.col("user_id").alias("puser"),
+        F.col("event_id").alias("purchase_id"),
+        us.alias("pus"),
     )
 
     def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # left = clicks, right = purchases for ONE user cogroup
+        # left = clicks, right = purchases for ONE user bucket
         if right.empty or left.empty:
             return pd.DataFrame(
                 columns=["user_id", "purchase_id", "click_id", "gap_us"]
@@ -923,7 +949,12 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         lc = left.sort_values(["cus", "click_id"], kind="mergesort")
         rp = right.sort_values(["pus", "purchase_id"], kind="mergesort")
         m = pd.merge_asof(
-            rp, lc.drop(columns=["user_id"]), left_on="pus", right_on="cus"
+            rp,
+            lc.drop(columns=["bkt"]),
+            left_on="pus",
+            right_on="cus",
+            left_by="puser",
+            right_by="user_id",
         )
         m = m.dropna(subset=["click_id"])
         if m.empty:
@@ -932,11 +963,12 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         m["gap_us"] = (m["pus"] - m["cus"]).astype("int64")
         m["click_id"] = m["click_id"].astype("int64")
+        m["user_id"] = m["puser"].astype("int64")
         return m[["user_id", "purchase_id", "click_id", "gap_us"]]
 
     return (
-        clicks.groupBy("user_id")
-        .cogroup(purch.groupBy("user_id"))
+        clicks.groupBy("bkt")
+        .cogroup(purch.groupBy("bkt"))
         .applyInPandas(
             asof,
             "user_id long, purchase_id long, click_id long, gap_us long",

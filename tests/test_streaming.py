@@ -968,3 +968,51 @@ def test_stream_static_lsh_probe_matches_batch_incremental(spark, sf_dir, tmp_pa
     _run_to_memory(out, "t_lsh_probe", "append")
     got = {(r.new_id, r.corpus_id) for r in spark.table("t_lsh_probe").collect()}
     assert got == batch_expected
+
+
+def test_python_stream_source_restart_from_checkpoint(spark, tmp_path):
+    """Offset recovery of the Python streaming source: run the
+    chunkstream feed at n=512 to completion through a checkpointed
+    foreachBatch parquet sink, STOP, then restart the SAME checkpoint
+    with the feed extended to n=1024. The restarted query must resume
+    from the committed offset — the final table is exactly one copy of
+    every row 0..1023 (no replays, no gaps), which exercises the
+    SimpleDataSourceStreamReader offset/readBetweenOffsets contract the
+    recovery path is built on."""
+    from etl_cnpjs_spark.plans.extended12 import (
+        _PYSTREAM_CHUNK,
+        make_chunk_stream_source,
+    )
+
+    spark.dataSource.register(make_chunk_stream_source())
+    out = tmp_path / "pystream_out"
+    ckpt = str(tmp_path / "pystream_ckpt")
+    out.mkdir()
+
+    def run(n: int):
+        def sink(batch_df, batch_id: int):
+            batch_df.write.mode("append").parquet(str(out / "data"))
+
+        q = (
+            spark.readStream.format("chunkstream")
+            .option("n", n)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    run(512)
+    first = spark.read.parquet(str(out / "data")).count()
+    assert first == 512
+    run(1024)
+    got = spark.read.parquet(str(out / "data"))
+    assert got.count() == 1024  # nothing replayed, nothing lost
+    rows = {(r.id, r.v, r.chunk) for r in got.collect()}
+    assert rows == {(j, j * 7 % 97, j // _PYSTREAM_CHUNK) for j in range(1024)}
