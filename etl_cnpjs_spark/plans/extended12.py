@@ -1127,3 +1127,71 @@ def corpus_substr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("bigint").alias("n_tokens_kept"),
     )
+
+
+# --- scan_parquet_nested -----------------------------------------------------
+#
+# Nested-struct parquet: schema pruning + predicate pushdown must reach
+# INSIDE the struct. A staged parquet holds orders re-shaped as
+# (o_orderkey, info struct<priority, clerk_bucket, cents>); the key
+# filters on a nested leaf and projects two leaves — the physical scan
+# must read ONLY those leaves (ReadSchema shows the pruned struct) and
+# push the nested comparison down. The oracle re-derives from flat
+# orders, so staging adds no semantics.
+
+_nested_cache: dict[tuple[str, str], str] = {}
+
+
+def _stage_nested_parquet(spark: SparkSession, sf_dir: str) -> str:
+    from etl_cnpjs_spark.plans.extended3 import _session_tmpdir
+    import os
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _nested_cache.get(key)
+    if cached is not None:
+        return cached
+    out = os.path.join(_session_tmpdir("nested_stage_"), "orders_nested.parquet")
+    o = table(spark, sf_dir, "orders")
+    o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderpriority").alias("priority"),
+            (F.col("o_custkey") % 16).cast("int").alias("clerk_bucket"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+        ).alias("info"),
+    ).write.mode("overwrite").parquet(out)
+    _nested_cache[key] = out
+    return out
+
+
+@register(
+    "scan_parquet_nested",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority                                  AS priority,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)  AS cents
+    FROM orders
+    WHERE o_custkey % 16 = 3
+    """,
+    tags=("scan", "source"),
+)
+def scan_parquet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter on a nested struct leaf + project two other leaves over
+    staged nested parquet.
+
+    Plan contract (pinned in test_plans): ReadSchema carries only the
+    pruned struct (info.priority, info.clerk_bucket, info.cents — and
+    after Catalyst's nested-column pruning the untouched leaves never
+    leave the scan), and the clerk_bucket comparison appears in
+    PushedFilters as a nested-field predicate. At 100 TB nested
+    pruning is the difference between reading a 3-leaf slice and
+    deserializing the whole struct column."""
+    path = _stage_nested_parquet(spark, sf_dir)
+    df = spark.read.parquet(path)
+    return df.filter(F.col("info.clerk_bucket") == 3).select(
+        "o_orderkey",
+        F.col("info.priority").alias("priority"),
+        F.col("info.cents").alias("cents"),
+    )
