@@ -1047,3 +1047,13 @@ def test_substr_clean_anti_join_no_pairs(spark, sf_dir):
     no SortMergeJoin-of-documents pair shape anywhere."""
     plan = explain_str(QUERIES["corpus_substr_clean"].fn(spark, sf_dir), "simple")
     assert "LeftAnti" in plan, plan[:800]
+
+
+def test_nested_parquet_prunes_and_pushes(spark, sf_dir):
+    """scan_parquet_nested: the physical scan must read only the
+    pruned nested leaves and push the nested-field comparison down."""
+    plan = explain_str(QUERIES["scan_parquet_nested"].fn(spark, sf_dir))
+    rs = plan.split("ReadSchema:")[1][:300]
+    assert "clerk_bucket" in rs and "priority" in rs and "cents" in rs, rs
+    pf = plan.split("PushedFilters:")[1][:200]
+    assert "clerk_bucket" in pf, pf
