@@ -1195,3 +1195,122 @@ def scan_parquet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("info.priority").alias("priority"),
         F.col("info.cents").alias("cents"),
     )
+
+
+# --- udf_map_in_arrow --------------------------------------------------------
+#
+# mapInArrow: the Arrow-native map surface — batches arrive as
+# pyarrow.RecordBatch and never convert to pandas, the lowest-overhead
+# Python escape hatch (no index materialization, no object boxing).
+# Canonical use: numeric batch kernels over vector columns. Here: L2
+# norm (micro-quantized) per embedding via numpy over the Arrow
+# buffers; oracle = the list_sum SQL over the same squares.
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT vec_id,
+           CAST(floor(
+             sqrt(CAST(list_sum(list_transform(embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                  AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS norm_micro
+    FROM embeddings
+    """,
+    tags=("udf", "similarity", "ml"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm through mapInArrow (RecordBatch in,
+    RecordBatch out — zero pandas).
+
+    Shapes: embarrassingly parallel, ZERO exchanges — the Arrow batch
+    iterator runs inside the scan stage. numpy reads the list column's
+    flattened values buffer and reduces per offset window; sqrt is
+    IEEE-correctly-rounded (the one libm fn that is, NOTES round-5) so
+    the 1e-6 quantization is engine-exact. At 100 TB this is the
+    pattern for custom numeric kernels: per-batch vectorized compute,
+    ints out, no shuffle."""
+    import pyarrow as pa
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def norms(batches):
+        for batch in batches:
+            vec_id = batch.column("vec_id")
+            col = batch.column("embedding")
+            # flatten list<float> -> (values, offsets); one vectorized
+            # square + per-window reduce, no per-row Python
+            lst = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+            offsets = np.asarray(lst.offsets)
+            vals = np.asarray(lst.values, dtype=np.float64)
+            sq = np.add.reduceat(vals * vals, offsets[:-1])
+            sq = np.where(offsets[1:] > offsets[:-1], sq, 0.0)
+            norm = np.floor(np.sqrt(sq) * 1e6 + 0.5).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [vec_id, pa.array(norm, type=pa.int64())],
+                names=["vec_id", "norm_micro"],
+            )
+
+    return emb.mapInArrow(norms, "vec_id long, norm_micro long")
+
+
+# --- reshape_transpose -------------------------------------------------------
+#
+# DataFrame.transpose (Spark 4.0): rows become columns keyed by the
+# first column's values. Transposing is driver-materializing by nature
+# (column COUNT = row count of the input), so the contract is the same
+# as agg_pivot's: only ever transpose a bounded aggregate. Here the
+# 3-row per-returnflag totals frame flips into one row per measure.
+
+
+@register(
+    "reshape_transpose",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(count(*) AS BIGINT)                        AS n_rows
+      FROM lineitem GROUP BY 1
+    )
+    SELECT 'qty' AS measure,
+           CAST(max(CASE WHEN l_returnflag = 'A' THEN qty END) AS BIGINT) AS A,
+           CAST(max(CASE WHEN l_returnflag = 'N' THEN qty END) AS BIGINT) AS N,
+           CAST(max(CASE WHEN l_returnflag = 'R' THEN qty END) AS BIGINT) AS R
+    FROM t
+    UNION ALL
+    SELECT 'n_rows',
+           CAST(max(CASE WHEN l_returnflag = 'A' THEN n_rows END) AS BIGINT),
+           CAST(max(CASE WHEN l_returnflag = 'N' THEN n_rows END) AS BIGINT),
+           CAST(max(CASE WHEN l_returnflag = 'R' THEN n_rows END) AS BIGINT)
+    FROM t
+    """,
+    tags=("reshape", "agg"),
+)
+def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag totals transposed: measures as rows, flags as
+    columns (the report orientation flip). df.transpose() derives the
+    new column names from the index column's VALUES — bounded here by
+    the 3-value flag domain; the oracle mirrors them as literal
+    conditional aggregates. Transpose of anything unbounded is the
+    same anti-pattern as unbounded pivot (documented, refused by
+    design at the aggregate grain)."""
+    li = table(spark, sf_dir, "lineitem")
+    t = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .select("l_returnflag", "qty", "n_rows")
+    )
+    out = t.transpose()
+    # transpose names the key column 'key'; align to the oracle
+    return out.select(
+        F.col("key").alias("measure"),
+        F.col("A").cast("bigint").alias("A"),
+        F.col("N").cast("bigint").alias("N"),
+        F.col("R").cast("bigint").alias("R"),
+    )

@@ -1057,3 +1057,11 @@ def test_nested_parquet_prunes_and_pushes(spark, sf_dir):
     assert "clerk_bucket" in rs and "priority" in rs and "cents" in rs, rs
     pf = plan.split("PushedFilters:")[1][:200]
     assert "clerk_bucket" in pf, pf
+
+
+def test_map_in_arrow_no_exchange(spark, sf_dir):
+    """udf_map_in_arrow: the Arrow kernel runs inside the scan stage —
+    zero exchanges, and the node is the Arrow-native map (not pandas)."""
+    plan = explain_str(QUERIES["udf_map_in_arrow"].fn(spark, sf_dir), "simple")
+    assert "Exchange" not in plan, plan[:600]
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan[:600]
