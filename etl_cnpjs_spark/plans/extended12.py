@@ -1314,3 +1314,128 @@ def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("N").cast("bigint").alias("N"),
         F.col("R").cast("bigint").alias("R"),
     )
+
+
+# --- agg_delta_method_ci -----------------------------------------------------
+#
+# Delta-method CI for a RATIO metric (the A/B-testing workhorse:
+# clicks-per-view, revenue-per-session — user-level ratios of sums,
+# where naive per-row variance is wrong because users, not rows, are
+# the randomization unit). Per user: x = micro-value of click events,
+# y = view-event count. R = mean(x)/mean(y); Var(R) ~=
+# (var_x + R^2 var_y - 2 R cov_xy) / (n * mean(y)^2). Completes the
+# experimentation kit beside CUPED (variance reduction), t-test/
+# Mann-Whitney (mean shifts), DiD (causal), power, SRM.
+
+_DELTA_SQL = """
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+             CAST(sum(CASE WHEN event_type = 'click'
+                           THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events
+      GROUP BY 1, 2
+      HAVING sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+    ),
+    s AS (
+      SELECT variant,
+             CAST(count(*) AS DECIMAL(38,0)) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS syy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sxy
+      FROM u GROUP BY 1
+    )
+    SELECT variant,
+           CAST(n AS BIGINT) AS n_users,
+           floor(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS ratio_q,
+           floor(sqrt(
+             ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+              - 2 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))
+             / CAST(n AS DOUBLE)
+             / ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+           ) * 1e6 + 0.5) / 1e6 AS se_q
+    FROM s
+"""
+
+
+@register(
+    "agg_delta_method_ci", oracle=_DELTA_SQL, tags=("agg", "ml", "stats")
+)
+def agg_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error of the per-variant clicks-value /
+    views ratio (user-level randomization unit).
+
+    Shapes: one user-grain conditional aggregate (single exchange — the
+    CUPED discipline), then a 2-row variant rollup of DECIMAL(38,0)
+    sufficient statistics; ratio and SE finish as one mirrored double
+    expression over exact integers, quantized 1e-6. The sample
+    variance/covariance terms use the n·Σ−ΣΣ form so nothing subtracts
+    means rowwise."""
+    ev = table(spark, sf_dir, "events")
+    u = (
+        ev.groupBy(
+            "user_id", (F.col("user_id") % 2).cast("bigint").alias("variant")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.floor(F.col("value") * 1000000 + 0.5).cast("bigint"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .filter(F.col("y") > 0)
+    )
+    dec = "DECIMAL(38,0)"
+    s = u.groupBy("variant").agg(
+        F.expr(f"CAST(count(1) AS {dec})").alias("n"),
+        F.expr(f"CAST(sum(CAST(x AS {dec})) AS {dec})").alias("sx"),
+        F.expr(f"CAST(sum(CAST(y AS {dec})) AS {dec})").alias("sy"),
+        F.expr(
+            f"CAST(sum(CAST(x AS {dec}) * CAST(x AS {dec})) AS {dec})"
+        ).alias("sxx"),
+        F.expr(
+            f"CAST(sum(CAST(y AS {dec}) * CAST(y AS {dec})) AS {dec})"
+        ).alias("syy"),
+        F.expr(
+            f"CAST(sum(CAST(x AS {dec}) * CAST(y AS {dec})) AS {dec})"
+        ).alias("sxy"),
+    )
+    nd = "CAST(n AS DOUBLE)"
+    sxd, syd = "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)"
+    r = f"({sxd} / {syd})"
+    varx = f"({nd} * CAST(sxx AS DOUBLE) - {sxd} * {sxd})"
+    vary = f"({nd} * CAST(syy AS DOUBLE) - {syd} * {syd})"
+    covxy = f"({nd} * CAST(sxy AS DOUBLE) - {sxd} * {syd})"
+    return s.select(
+        "variant",
+        F.expr("CAST(n AS BIGINT)").alias("n_users"),
+        F.expr(f"floor({r} * 1e6 + 0.5) / 1e6").alias("ratio_q"),
+        F.expr(
+            f"floor(sqrt(({varx} + {r} * {r} * {vary} - 2 * {r} * {covxy})"
+            f" / ({nd} * {nd} - {nd}) / {nd}"
+            f" / (({syd} / {nd}) * ({syd} / {nd}))) * 1e6 + 0.5) / 1e6"
+        ).alias("se_q"),
+    )
