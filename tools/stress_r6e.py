@@ -106,6 +106,27 @@ def main():
         "wall_1x": w1, "wall_10x": w10, "spans_1x": n1, "spans_10x": n10,
     }
 
+    # apply step: span-cut cleaned corpus (anti-join + ordered agg)
+    from etl_cnpjs_spark.plans.extended12 import exact_substr_spans
+
+    def clean_shape(docs):
+        spans = exact_substr_spans(docs.select("doc_id", "text"), k=8)
+        cut = spans.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start_tok"), F.col("end_tok"))).alias("pos"),
+        )
+        tok = docs.select(
+            "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos0", "tok")
+        ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
+        kept = tok.join(cut, ["doc_id", "pos"], "left_anti")
+        return kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).count()
+
+    w1, n1 = timed(lambda: clean_shape(docs))
+    w10, n10 = timed(lambda: clean_shape(d10))
+    results["corpus_substr_clean"] = {
+        "wall_1x": w1, "wall_10x": w10, "docs_kept_1x": n1, "docs_kept_10x": n10,
+    }
+
     from etl_cnpjs_spark.plans.dedup import _exact_pairs
 
     pairs = _exact_pairs(spark, SF_DIR).select("i", "j").localCheckpoint()
