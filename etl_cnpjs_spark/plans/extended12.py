@@ -1439,3 +1439,93 @@ def agg_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / (({syd} / {nd}) * ({syd} / {nd}))) * 1e6 + 0.5) / 1e6"
         ).alias("se_q"),
     )
+
+
+# --- fn_isoweek --------------------------------------------------------------
+#
+# ISO-8601 calendar surfaces: iso year, iso week, iso day-of-week.
+# These are the fields that SILENTLY diverge across engines (Spark's
+# dayofweek is Sunday=1; DuckDB's dayofweek is Sunday=0; both agree
+# only on the ISO definitions) — the key pins the portable mapping:
+# Spark weekofyear IS the ISO week; isodow derives from dayofweek by
+# ((dow + 5) % 7) + 1; iso year must come from the Jan-4 rule, NOT
+# year(), which is wrong in the year-boundary weeks.
+
+
+@register(
+    "fn_isoweek",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(isoyear(o_orderdate) AS INT)  AS iso_year,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(isodow(o_orderdate) AS INT)   AS iso_dow
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    tags=("fn", "date"),
+)
+def fn_isoweek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO year / week / day-of-week per order date.
+
+    Spark has no isoyear(); derive it by the ISO rule (the year of the
+    Thursday of the date's week): add (4 - isodow) days and take
+    year() — exact, and scan-side codegen. iso_dow = ((dayofweek(d) +
+    5) % 7) + 1 maps Spark's Sunday=1 convention to ISO Monday=1.
+    DuckDB mirrors with its native isoyear/isodow, so any engine
+    divergence in the week fields hash-fails loudly."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    isodow = ((F.dayofweek("o_orderdate") + 5) % 7) + 1
+    return o.select(
+        "o_orderkey",
+        F.year(F.date_add(F.col("o_orderdate").cast("date"), 4 - isodow))
+        .cast("int")
+        .alias("iso_year"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+        isodow.cast("int").alias("iso_dow"),
+    )
+
+
+# --- sink_parquet_zstd -------------------------------------------------------
+#
+# Parquet compression-codec surface: zstd (the 100 TB-era default —
+# ~30% smaller than snappy at similar scan speed) write + read-back.
+# Content equality is the contract; codec choice must never change
+# values. Completes the codec matrix beside gzip CSV (scan_csv_gzip)
+# and snappy-default parquet (every other sink).
+
+_zstd_cache: dict[tuple[str, str], str] = {}
+
+
+@register(
+    "sink_parquet_zstd",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    tags=("sink", "scan"),
+)
+def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents round-tripped through zstd-compressed parquet; output
+    proves bit-identical content (md5 over text) after the
+    write-read cycle. Distributed write, one staged copy per
+    (session, sf)."""
+    import os
+
+    from etl_cnpjs_spark.plans.extended3 import _session_tmpdir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _zstd_cache.get(key)
+    if path is None:
+        path = os.path.join(_session_tmpdir("zstd_stage_"), "docs.parquet")
+        table(spark, sf_dir, "documents").write.mode("overwrite").option(
+            "compression", "zstd"
+        ).parquet(path)
+        _zstd_cache[key] = path
+    df = spark.read.parquet(path)
+    return df.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5("text").alias("content_md5"),
+    )
