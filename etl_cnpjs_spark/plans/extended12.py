@@ -1529,3 +1529,66 @@ def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.md5("text").alias("content_md5"),
     )
+
+
+# --- sql_not_in_null ---------------------------------------------------------
+#
+# The NOT IN + NULL three-valued-logic trap, pinned as a contract: when
+# the subquery set contains even one NULL, `x NOT IN (set)` is never
+# TRUE (x <> NULL is UNKNOWN), so the filter returns ZERO rows — while
+# the NOT EXISTS rewrite returns the intuitive complement. Both engines
+# implement the ANSI semantics, so the side-by-side counts hash-match;
+# the key exists so the engine's behavior (and the rewrite a pipeline
+# should use) is regression-pinned, and because Spark plans the NOT IN
+# form as a null-aware anti join (NAAJ) — a genuinely different
+# physical operator than the NOT EXISTS anti join.
+
+
+@register(
+    "sql_not_in_null",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN c_acctbal < 0 THEN c_custkey END AS k
+      FROM customer
+    )
+    SELECT
+      CAST((SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT k FROM s)) AS BIGINT)
+        AS n_not_in,
+      CAST((SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.k = o.o_custkey))
+           AS BIGINT) AS n_not_exists,
+      CAST((SELECT count(*) FROM s WHERE k IS NULL) > 0 AS BOOLEAN)
+        AS set_has_null
+    """,
+    tags=("sql", "relational"),
+)
+def sql_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs NOT EXISTS over a NULL-bearing subquery set, counted
+    side by side (n_not_in = 0 whenever set_has_null — the ANSI trap;
+    n_not_exists = the intuitive complement).
+
+    Plan note: Spark executes the NOT IN form as a null-aware anti
+    join (BroadcastNestedLoopJoin with the NAAJ condition) — at scale
+    that's a broadcast of the whole set and per-row null logic, one
+    more reason production filters should be written NOT EXISTS (plain
+    anti join, hash-partitionable). The contract here IS the lesson."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__nn_orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("__nn_customer")
+    return spark.sql(
+        """
+        WITH s AS (
+          SELECT CASE WHEN c_acctbal < 0 THEN c_custkey END AS k
+          FROM __nn_customer
+        )
+        SELECT
+          CAST((SELECT count(*) FROM __nn_orders
+                WHERE o_custkey NOT IN (SELECT k FROM s)) AS BIGINT)
+            AS n_not_in,
+          CAST((SELECT count(*) FROM __nn_orders o
+                WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.k = o.o_custkey))
+               AS BIGINT) AS n_not_exists,
+          CAST((SELECT count(*) FROM s WHERE k IS NULL) > 0 AS BOOLEAN)
+            AS set_has_null
+        """
+    )
