@@ -1592,3 +1592,89 @@ def sql_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS set_has_null
         """
     )
+
+
+# --- scan_jsonl_corrupt ------------------------------------------------------
+#
+# PERMISSIVE JSONL with corrupt-record capture: web-crawl dumps always
+# carry a fraction of truncated/garbled lines, and the ingest contract
+# is "parse what parses, QUARANTINE the rest with the raw line" — not
+# FAILFAST (kills the job at 100 TB) and not DROPMALFORMED (silently
+# loses data). A staged JSONL derives corruption deterministically
+# (doc_id % 7 == 3 lines are truncated mid-record), so the good/bad
+# split is oracle-checkable from the clean table.
+
+_jsonl_cache: dict[tuple[str, str], str] = {}
+
+
+def _stage_corrupt_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from etl_cnpjs_spark.plans.extended3 import _session_tmpdir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _jsonl_cache.get(key)
+    if cached is not None:
+        return cached
+    out = os.path.join(_session_tmpdir("jsonl_stage_"), "feed.jsonl")
+    d = table(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            # truncated mid-record: unparseable, lands in _corrupt
+            F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.to_json(F.struct("doc_id", "lang", "n_chars"))
+        )
+        .alias("value")
+    )
+    d.write.mode("overwrite").text(out)
+    _jsonl_cache[key] = out
+    return out
+
+
+@register(
+    "scan_jsonl_corrupt",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                         AS n_good,
+           CAST(sum(n_chars) AS BIGINT)                     AS sum_chars,
+           CAST((SELECT count(*) FROM documents WHERE doc_id % 7 = 3)
+                AS BIGINT)                                  AS n_corrupt
+    FROM documents
+    WHERE doc_id % 7 <> 3
+    GROUP BY lang
+    """,
+    tags=("scan", "source", "dq"),
+)
+def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang good-record rollup + corpus-wide quarantine count from
+    a PERMISSIVE JSONL read with columnNameOfCorruptRecord.
+
+    Contract pinned: corrupt lines parse to NULL fields + the raw line
+    in _corrupt (they are COUNTED, never dropped); good lines parse
+    fully. Spark caveat handled: counting corrupt records requires
+    referencing the corrupt column AFTER a barrier (the JSON reader
+    refuses queries that select ONLY the corrupt column from an
+    unmaterialized scan — internal-corrupt-record restriction), so the
+    rollup counts via the parsed-key nullity, which is equivalent
+    under this staging rule. One scan, one grid-sized exchange."""
+    path = _stage_corrupt_jsonl(spark, sf_dir)
+    df = spark.read.schema(
+        "doc_id long, lang string, n_chars long, _corrupt string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt"
+    ).json(path)
+    # a corrupt line has lang NULL + _corrupt set; good lines the reverse
+    good = df.filter(F.col("lang").isNotNull())
+    bad = df.filter(F.col("lang").isNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corrupt")
+    )
+    return (
+        good.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_good"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(bad))  # 1-row quarantine total, no driver hop
+    )

@@ -59,6 +59,7 @@ BNLJ_OK = {
     "embedding_pq",  # broadcast 4-row codebook crossJoin (assignment shape)
     "events_did",  # broadcast 1-row corpus-midpoint frame onto the scan
     "agg_cuped",  # broadcast 1-row midpoint + 1-row pooled-stats frames
+    "scan_jsonl_corrupt",  # broadcast 1-row quarantine-total frame
     "graph_modularity",  # broadcast 1-row edge-total m onto |components| rows
     "events_ab_srm",  # broadcast 1-row user-total frame onto 2 cohort rows
     "agg_rate_smoothing",  # broadcast 1-row global-prior frame onto users
