@@ -1678,3 +1678,103 @@ def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(bad))  # 1-row quarantine total, no driver hop
     )
+
+
+# --- graph_cc_incremental ----------------------------------------------------
+#
+# Incremental connected-components maintenance: the daily-crawl shape
+# where a LABELED base graph receives a delta edge batch and the
+# labeling must be repaired WITHOUT re-traversing the base graph. The
+# star-contraction identity makes it exact: the base labeling is
+# itself an edge set (node -> component hub), so CC over
+# (star edges UNION delta edges) equals CC over (base UNION delta) —
+# but the star graph has diameter 2, so convergence costs 1-2 fused
+# rounds instead of the full component diameter. Oracle = full
+# recompute over all edges (the cdc_apply "incremental must equal
+# batch" pattern).
+
+
+def _cc_inc_oracle() -> str:
+    from etl_cnpjs_spark.plans.dedup import _SQL_SHINGLES, JACCARD_THRESHOLD
+
+    return (
+        "WITH RECURSIVE "
+        + _SQL_SHINGLES.strip().removeprefix("WITH")
+        + f"""
+  , ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+  sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+  p AS (
+    SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  pairs AS (
+    SELECT i, j FROM p
+    JOIN sz s1 ON p.i = s1.doc_id JOIN sz s2 ON p.j = s2.doc_id
+    WHERE inter / (s1.n + s2.n - inter) >= {JACCARD_THRESHOLD}
+  ),
+  edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+  reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+  )
+  SELECT a AS node, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+"""
+    )
+
+
+@register(
+    "graph_cc_incremental",
+    oracle=_cc_inc_oracle(),
+    tags=("graph", "dedup", "incremental"),
+)
+def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repair a CC labeling after a delta edge batch; output
+    (node, component) for every edge-touched node, equal to the full
+    recompute.
+
+    The near-dup edge set splits deterministically (hash(i,j) % 5 == 0
+    is the "new today" delta); the base 80% is labeled with the
+    standard operator, then the repair pass runs CC over the
+    star-contracted graph (labels-as-edges UNION delta) — the base
+    graph's internal structure is never re-walked, which is the whole
+    economics of incremental maintenance: repair cost scales with
+    |delta| + |components touched|, not |base edges|. At crawl scale
+    the base labeling is a persisted table (dedup_minhash_persist's
+    posture) and this plan is the nightly job."""
+    from etl_cnpjs_spark.operators.graph import connected_components
+    from etl_cnpjs_spark.plans.dedup import _exact_pairs
+
+    pairs = _exact_pairs(spark, sf_dir).select("i", "j")
+    is_delta = F.pmod(F.xxhash64(F.col("i"), F.col("j")), F.lit(5)) == 0
+    base = pairs.filter(~is_delta)
+    delta = pairs.filter(is_delta)
+
+    base_nodes = (
+        base.select(F.col("i").alias("node"))
+        .unionAll(base.select(F.col("j").alias("node")))
+        .distinct()
+    )
+    labels = connected_components(
+        base_nodes,
+        base.select(F.col("i").alias("src"), F.col("j").alias("dst")),
+    )
+    # star contraction: the labeling IS an edge set (node -> hub)
+    star = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("src"), F.col("component").alias("dst")
+    )
+    all_nodes = (
+        pairs.select(F.col("i").alias("node"))
+        .unionAll(pairs.select(F.col("j").alias("node")))
+        .distinct()
+    )
+    repaired = connected_components(
+        all_nodes,
+        star.unionAll(
+            delta.select(F.col("i").alias("src"), F.col("j").alias("dst"))
+        ),
+        probe_stride=1,  # star graph: diameter 2, first probe usually ends it
+    )
+    return repaired.select("node", "component")
