@@ -67,4 +67,68 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- udtf_polymorphic --------------------------------------------------------
+#
+# Polymorphic Python UDTF (Spark 4 analyze() API): the OUTPUT SCHEMA is
+# computed at ANALYSIS time from a constant argument — the extension
+# point for generic expanders (split-to-N-columns, parse-to-schema)
+# that a fixed returnType UDTF cannot express. Here: the first N=3
+# whitespace tokens of each document become typed columns; the oracle
+# is plain list indexing.
+
+
+class _FirstTokensUDTF:
+    @staticmethod
+    def analyze(text, n):
+        from pyspark.sql.types import StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        assert n.isConstantExpression, "n must be a literal"
+        schema = StructType()
+        for i in range(n.value):
+            schema = schema.add(f"tok{i + 1}", "string")
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text, n):
+        parts = (text or "").strip().split()
+        yield tuple(
+            (parts[i] if i < len(parts) else None) for i in range(n)
+        )
+
+
+@register(
+    "udtf_polymorphic",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 1 AND toks[1] <> '' THEN toks[1] END AS tok1,
+           CASE WHEN len(toks) >= 2 THEN toks[2] END AS tok2,
+           CASE WHEN len(toks) >= 3 THEN toks[3] END AS tok3
+    FROM t
+    """,
+    tags=("udtf", "text"),
+)
+def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-3-token columns via an analyze()-schema'd UDTF in a
+    LATERAL join. The schema (tok1..tok3) exists only because the
+    literal 3 is visible at analysis time — the polymorphic half of
+    the UDTF surface (udtf_bigrams covers the fixed-schema half).
+    Empty docs yield a row of NULLs (python split() of '' is [] —
+    mirrored by the oracle's empty-token guard)."""
+    spark.udtf.register("__udtf_first_toks", udtf(_FirstTokensUDTF))
+    table(spark, sf_dir, "documents").filter(
+        "doc_id < 300"
+    ).createOrReplaceTempView("__udtf_docs_poly")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.tok1, t.tok2, t.tok3
+        FROM __udtf_docs_poly d,
+             LATERAL __udtf_first_toks(d.text, 3) AS t
+        """
+    )
+
+
 pickle_by_value(__name__)
