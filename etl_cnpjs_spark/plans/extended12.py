@@ -1778,3 +1778,134 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_stride=1,  # star graph: diameter 2, first probe usually ends it
     )
     return repaired.select("node", "component")
+
+
+# --- dedup_minhash_estimate --------------------------------------------------
+#
+# MinHash as an ESTIMATOR, made engine-exact: per near-dup pair, the
+# 16-permutation signature agreement (each permutation = min over
+# shingles of an md5-keyed hash, the conv(hex,16,10) idiom DuckDB
+# computes identically) BESIDE the exact Jaccard — the report that
+# justifies a sketch operating point empirically instead of by the
+# (1-j^r)^b formula alone. The detection keys (dedup_minhash,
+# dedup_incremental) prove banding finds the pairs; this key proves
+# the SIGNATURE VALUES themselves are deterministic and portable.
+
+_MH_PERMS = 16
+
+
+def _mh_est_oracle() -> str:
+    from etl_cnpjs_spark.plans.dedup import _SQL_SHINGLES, JACCARD_THRESHOLD
+
+    mins = ",\n             ".join(
+        f"min(('0x' || substr(md5('{p}|' || s), 1, 15))::BIGINT) AS mh{p}"
+        for p in range(_MH_PERMS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.mh{p} = b.mh{p} THEN 1 ELSE 0 END"
+        for p in range(_MH_PERMS)
+    )
+    return (
+        _SQL_SHINGLES
+        + f"""
+  , ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+  sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+  p0 AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+  pairs AS (SELECT i, j,
+                   CAST(inter * 1000000 // (s1.n + s2.n - inter) AS BIGINT)
+                     AS exact_ppm
+            FROM p0 JOIN sz s1 ON p0.i = s1.doc_id
+                    JOIN sz s2 ON p0.j = s2.doc_id
+            WHERE inter / (s1.n + s2.n - inter) >= {JACCARD_THRESHOLD}),
+  mh AS (SELECT doc_id,
+             {mins}
+         FROM ex GROUP BY doc_id)
+  SELECT p.i, p.j, p.exact_ppm,
+         CAST({agree} AS BIGINT) AS agree,
+         CAST(({agree}) * 1000000 // {_MH_PERMS} AS BIGINT) AS est_ppm
+  FROM pairs p JOIN mh a ON p.i = a.doc_id JOIN mh b ON p.j = b.doc_id
+"""
+    )
+
+
+@register(
+    "dedup_minhash_estimate",
+    oracle=_mh_est_oracle(),
+    tags=("dedup", "north_star", "similarity"),
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup pair: exact Jaccard (ppm) beside the 16-permutation
+    MinHash agreement estimate (ppm).
+
+    Shapes: ONE posting explode feeds a 16-min groupBy (signatures in
+    a single doc-keyed pass — adding permutations widens the aggregate,
+    never adds exchanges); the pair frame reuses the memoized exact
+    pairs; two broadcast-sized joins attach signatures. The md5→
+    conv(hex,16,10) hash is the r3 idiom both engines compute bit-
+    identically, so E[agreement] = J is not just a theorem here — the
+    estimator's exact output is hash-pinned. At corpus scale the same
+    signature table is what dedup_minhash_persist buckets and stores."""
+    from etl_cnpjs_spark.plans.dedup import (
+        JACCARD_THRESHOLD,
+        _doc_shingles,
+        _exact_pairs,
+    )
+
+    sh = _doc_shingles(spark, sf_dir)
+    ex = sh.filter(F.size("sh") > 0).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    mins = [
+        F.min(
+            F.expr(
+                f"cast(conv(substring(md5(concat('{p}|', s)), 1, 15), 16, 10)"
+                " as bigint)"
+            )
+        ).alias(f"mh{p}")
+        for p in range(_MH_PERMS)
+    ]
+    mh = ex.groupBy("doc_id").agg(*mins)
+
+    pairs = _exact_pairs(spark, sf_dir)
+    sz = sh.select("doc_id", F.size("sh").alias("n"))
+    shd = sh.select("doc_id", "sh")
+    p = (
+        pairs.select("i", "j")
+        .join(shd.select(F.col("doc_id").alias("i"), F.col("sh").alias("sha")), "i")
+        .join(shd.select(F.col("doc_id").alias("j"), F.col("sh").alias("shb")), "j")
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    p = p.select(
+        "i",
+        "j",
+        F.expr(
+            "CAST(size(array_intersect(sha, shb)) * 1000000 DIV "
+            "(size(sha) + size(shb) - size(array_intersect(sha, shb))) "
+            "AS BIGINT)"
+        ).alias("exact_ppm"),
+    )
+    a = mh.select(
+        F.col("doc_id").alias("i"), *[F.col(f"mh{q}").alias(f"a{q}") for q in range(_MH_PERMS)]
+    )
+    b = mh.select(
+        F.col("doc_id").alias("j"), *[F.col(f"mh{q}").alias(f"b{q}") for q in range(_MH_PERMS)]
+    )
+    agree_expr = sum(
+        F.when(F.col(f"a{q}") == F.col(f"b{q}"), 1).otherwise(0)
+        for q in range(_MH_PERMS)
+    )
+    return (
+        p.join(a, "i")
+        .join(b, "j")
+        .select(
+            "i",
+            "j",
+            "exact_ppm",
+            agree_expr.cast("bigint").alias("agree"),
+            (agree_expr * 1000000 / _MH_PERMS)
+            .cast("bigint")
+            .alias("est_ppm"),
+        )
+    )
