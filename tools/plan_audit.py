@@ -71,7 +71,7 @@ BNLJ_OK = {
 }
 
 # The one deliberate row-at-a-time Python path: the UDTF demonstration.
-ROW_PY_OK = {"udtf_bigrams"}
+ROW_PY_OK = {"udtf_bigrams", "udtf_polymorphic"}  # UDTFs ARE the Python-row surface being demonstrated
 
 # Exchange-watchlist adjudications (marginal plans read by hand): keys
 # whose ≥6 static Exchange nodes are the intended shape, not a smell.
