@@ -256,7 +256,11 @@ def _reorder() -> None:
         QUERIES,
         key=lambda k: (
             bucket(k),
-            added_tier(k),
+            # tiers exist to order UNVERIFIED keys; once a key is
+            # driver-green only evidence age matters (stalest first) —
+            # a tier-0 key re-greened in r6 must NOT outrank an R3 key
+            # whose latest green row is r4 (r6 verdict, finding #1)
+            0 if k in green else added_tier(k),
             # within the green bucket: stalest evidence first, so driver
             # freshness doesn't decay as the surface grows (~60 keys'
             # only green row is r1); 0 for non-green keys

@@ -55,6 +55,7 @@ BNLJ_OK = {
     "sim_topk_filtered",  # broadcast 1-row query vector (scalar shape)
     "events_dau_mau",  # broadcast day-grid frame (≤ |days| rows) onto actives
     "text_js_divergence",  # broadcast 1-row corpus-total frame onto the vocab
+    "text_collocations_pmi",  # broadcast 1-row token-total frame (r7: replaced the eager collect)
     "dq_freshness",  # broadcast 1-row watermark frame onto |types| rows
     "embedding_pq",  # broadcast 4-row codebook crossJoin (assignment shape)
     "events_did",  # broadcast 1-row corpus-midpoint frame onto the scan
