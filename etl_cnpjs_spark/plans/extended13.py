@@ -1,0 +1,268 @@
+"""Round-7 batch: the staged end-to-end dedup capstone.
+
+`corpus_dedup_funnel` chains the three published dedup paradigms the
+way a production 100 TB curation run actually orders them —
+
+    documents
+      -> ExactSubstr span-cut        (Lee et al. 2022: cut every maximal
+                                      duplicated >=8-gram token span;
+                                      docs cut to nothing disappear)
+      -> MinHash-LSH near-dup + CC   (Broder banding over the CLEANED
+                                      text, exact-Jaccard verify >= 0.8,
+                                      connected components, keep the
+                                      component-min doc)
+      -> SemDeDup semantic prune     (Abbas et al. 2023: coarse-cluster
+                                      survivor embeddings, drop a doc iff
+                                      a lower-id survivor in its cluster
+                                      cell has cosine >= tau)
+      -> per-source funnel report    (source, n_docs, kept_cut,
+                                      kept_near, kept_sem — nested counts)
+
+This composite re-exercises all three paradigms against ONE DuckDB
+oracle; `corpus_dedup_sweep` (plans/corpus.py) remains the
+exact/near/containment sibling — together they cover the five-paradigm
+lineage end to end.
+
+Stage-ordering rationale (why this chain composes soundly):
+- ExactSubstr runs FIRST because span cutting CHANGES document text:
+  boilerplate/quote removal shrinks shingle sets, so near-dup detection
+  on cleaned text finds template-sharing docs that raw-text Jaccard
+  misses (the order the Lee et al. pipeline itself uses before fuzzy
+  dedup).
+- Exact duplicates need no separate stage here: after cleaning,
+  identical texts share identical shingle sets (Jaccard 1 >= 0.8), so
+  the CC stage absorbs exact dedup — keep-min-id per component IS the
+  exact rule on the text-group min.
+- SemDeDup runs LAST on the smallest survivor set (the expensive
+  embedding stage sees the fewest rows), restricted to survivors that
+  HAVE an embedding; docs without a vector pass through stage 3
+  unpruned on both engines (at sf0.1 only 2000 of 5000 docs carry
+  vectors — the partial-coverage case a real pipeline must define).
+- Division of labor, stage 1 vs stage 2 (a structural fact, pinned in
+  tests/test_dedup_funnel.py): once every duplicated run of >= k+1
+  tokens is cut, two cleaned docs share at most k-token exact runs,
+  which caps 3-shingle Jaccard near 0.5 — below the 0.8 threshold. So
+  after the cut, stage 2's live targets are exactly the documents
+  ExactSubstr CANNOT see: docs shorter than k=8 tokens (no k-grams)
+  and near-identical short remainders. On the shipped corpora stage 2
+  removes 0 docs (kept_cut == kept_near at every SF) because the
+  generator plants only long-form duplication; the fixture test plants
+  a sub-k duplicate pair and watches stage 2 remove it.
+
+Reference trace: none — the reference
+(ETLCNPJFinalEmpresaEstabelecimentos.py) has no corpus surface; this
+extends SURVEY.md §2.2b's dedup family per the round-6 verdict queue
+(item 5).
+
+Determinism: every stage rule is id-deterministic (component-min,
+lower-id-wins prune), thresholds are shared constants asserted against
+the stage modules, and the only floats (Jaccard, cosine) are
+exact-integer ratios / identical-op-sequence dot products both engines
+evaluate bit-identically (the dedup/similarity house discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_cnpjs_spark.catalog import table
+from etl_cnpjs_spark.plans.registry import register
+
+# --- corpus_dedup_funnel -----------------------------------------------------
+
+
+def _funnel_oracle() -> str:
+    from etl_cnpjs_spark.operators.similarity import sql_cosine
+    from etl_cnpjs_spark.plans.dedup import JACCARD_THRESHOLD
+    from etl_cnpjs_spark.plans.extended12 import _SUBSTR_SQL
+    from etl_cnpjs_spark.plans.similarity import _SQL_ASSIGN_CTES, SEMANTIC_TAU
+
+    # CTE names must not collide with the assign block's (u, cl, c,
+    # assign); the cut/clean chain is corpus_substr_clean's oracle, the
+    # pairs/closure chain is _SQL_CLUSTER's, both re-rooted on the
+    # cleaned corpus.
+    return rf"""
+    WITH RECURSIVE
+    spans AS (SELECT * FROM ({_SUBSTR_SQL}) z),
+    d2 AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos
+      FROM d2),
+    cut AS (
+      SELECT doc_id, unnest(generate_series(start_tok, end_tok)) AS pos
+      FROM spans),
+    keptt AS (
+      SELECT t.doc_id, t.pos, t.toks[t.pos] AS tok
+      FROM tok t ANTI JOIN cut x ON t.doc_id = x.doc_id AND t.pos = x.pos),
+    clean AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+      FROM keptt GROUP BY doc_id),
+    cd AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM clean),
+    csh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+      FROM cd),
+    ce AS (SELECT doc_id, unnest(shingles) AS s FROM csh
+           WHERE len(shingles) > 0),
+    csz AS (SELECT doc_id, len(shingles) AS n FROM csh),
+    cp AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+      FROM ce a JOIN ce b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    cpairs AS (
+      SELECT i, j FROM cp
+      JOIN csz s1 ON cp.i = s1.doc_id JOIN csz s2 ON cp.j = s2.doc_id
+      WHERE inter / (s1.n + s2.n - inter) >= {JACCARD_THRESHOLD}),
+    edges AS (SELECT i AS a, j AS b FROM cpairs
+              UNION SELECT j, i FROM cpairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+    comp AS (SELECT a, least(a, min(b)) AS component FROM reach GROUP BY a),
+    keep2 AS (
+      SELECT cl2.doc_id FROM clean cl2 LEFT JOIN comp ON cl2.doc_id = comp.a
+      WHERE coalesce(comp.component, cl2.doc_id) = cl2.doc_id),
+    n AS (
+      SELECT em.vec_id, em.label, em.embedding::DOUBLE[] AS v
+      FROM embeddings em JOIN keep2 k ON em.vec_id = k.doc_id),
+    {_SQL_ASSIGN_CTES},
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND b.vec_id < a.vec_id
+      WHERE {sql_cosine("a.v", "b.v")} >= {SEMANTIC_TAU}),
+    fl AS (
+      SELECT d.doc_id, d.source,
+             (c1.doc_id IS NOT NULL) AS s1,
+             (k2.doc_id IS NOT NULL) AS s2,
+             (dr.vec_id IS NULL)     AS s3
+      FROM documents d
+      LEFT JOIN clean c1 ON d.doc_id = c1.doc_id
+      LEFT JOIN keep2 k2 ON d.doc_id = k2.doc_id
+      LEFT JOIN dropped dr ON d.doc_id = dr.vec_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT)                          AS n_docs,
+           CAST(count(CASE WHEN s1 THEN 1 END) AS BIGINT)    AS kept_cut,
+           CAST(count(CASE WHEN s2 THEN 1 END) AS BIGINT)    AS kept_near,
+           CAST(count(CASE WHEN s2 AND s3 THEN 1 END) AS BIGINT)
+                                                             AS kept_sem
+    FROM fl GROUP BY source
+    """
+
+
+@register(
+    "corpus_dedup_funnel",
+    oracle=_funnel_oracle(),
+    tags=("north_star", "dedup", "pipeline", "capstone"),
+)
+def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr cut -> MinHash-LSH/CC -> SemDeDup, one per-source
+    funnel report: (source, n_docs, kept_cut, kept_near, kept_sem).
+    See the module docstring for stage semantics and composition
+    soundness.
+
+    Scale story, stage by stage: (1) the span cut is the registered
+    ExactSubstr program — linear positional postings, two natural-key
+    exchanges, no pair enumeration; its cleaned frame is
+    localCheckpointed because THREE branches consume it (shingles, CC
+    node set, report join). (2) near-dup runs the banded-LSH path
+    (8x2 minhash bands -> candidate pairs -> exact-Jaccard verify), one
+    band-keyed shuffle instead of a full posting self-join — banding
+    recall vs the oracle's exact pairs is pinned by
+    tests/test_dedup_funnel.py at every shipped SF (the dedup_minhash
+    adjudication). CC is the star-contraction min-label loop, cost
+    bounded by component diameter (near-dup clusters are shallow).
+    (3) the semantic stage sees only stage-2 SURVIVORS with vectors:
+    broadcast-centroid assignment (no vector shuffle) and the salted
+    bucket-local numpy scorer — pair space ~n_surv^2/k, never corpus^2.
+    The report is one conditional-count aggregate on source.
+    """
+    from etl_cnpjs_spark.functions.text import shingles, tokens
+    from etl_cnpjs_spark.operators.dedup import (
+        candidate_pairs,
+        exact_jaccard,
+        minhash_band_keys,
+    )
+    from etl_cnpjs_spark.operators.graph import connected_components
+    from etl_cnpjs_spark.operators.similarity import bucket_cosine_pairs, vec_double
+    from etl_cnpjs_spark.plans.dedup import JACCARD_THRESHOLD
+    from etl_cnpjs_spark.plans.extended12 import corpus_substr_clean
+    from etl_cnpjs_spark.plans.similarity import (
+        SEMANTIC_TAU,
+        _label_centroid_assignment,
+    )
+
+    d = table(spark, sf_dir, "documents")
+
+    # stage 1 — ExactSubstr span cut (docs cut to nothing vanish here)
+    clean = (
+        corpus_substr_clean(spark, sf_dir)
+        .select("doc_id", "clean_text")
+        .localCheckpoint()
+    )
+
+    # stage 2 — MinHash-LSH candidates over CLEANED text, exact verify,
+    # connected components, keep component-min
+    signed = (
+        clean.select("doc_id", shingles(tokens(F.col("clean_text"))).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            "sh",
+            minhash_band_keys(F.col("sh"), bands=8, rows=2).alias("bk"),
+        )
+        # two self-join branches (candidates, verify) — barrier or the
+        # 16 min-hash array passes run once per branch
+        .localCheckpoint()
+    )
+    cands = candidate_pairs(signed, "doc_id", "bk")
+    pairs = exact_jaccard(cands, signed, "doc_id", "sh").filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    labels = connected_components(
+        clean.select(F.col("doc_id").alias("node")),
+        pairs.select(F.col("i").alias("src"), F.col("j").alias("dst")),
+    )
+    keep2 = (
+        labels.filter(F.col("node") == F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+        # two consumers: semantic-stage semi-join + report join
+        .localCheckpoint()
+    )
+
+    # stage 3 — SemDeDup over survivors WITH vectors (vec_id == doc_id;
+    # vector-less docs pass through unpruned)
+    n = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", vec_double(F.col("embedding")).alias("v"))
+        .join(keep2.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
+    )
+    _, assign = _label_centroid_assignment(n)
+    a = assign.localCheckpoint()  # pair scorer + (implicitly) its two sides
+    p3 = bucket_cosine_pairs(a, "cid", "vec_id", "v", SEMANTIC_TAU)
+    dropped = (
+        p3.select(F.col("j").alias("doc_id")).distinct().withColumn("dr", F.lit(1))
+    )
+
+    # funnel report
+    fl = (
+        d.select("doc_id", "source")
+        .join(clean.select("doc_id").withColumn("s1", F.lit(True)), "doc_id", "left")
+        .join(keep2.withColumn("s2", F.lit(True)), "doc_id", "left")
+        .join(dropped, "doc_id", "left")
+    )
+    return fl.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("s1"), 1)).cast("bigint").alias("kept_cut"),
+        F.count(F.when(F.col("s2"), 1)).cast("bigint").alias("kept_near"),
+        F.count(F.when(F.col("s2") & F.col("dr").isNull(), 1))
+        .cast("bigint")
+        .alias("kept_sem"),
+    )
