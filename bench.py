@@ -125,11 +125,29 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: cnpj_env_build failed: {exc}", file=sys.stderr)
 
-    # (The KMeans-quantizer pre-train left with the registry key: since
-    # r6, sim_topk_kmeans seeds its IVF from deterministic label-mean
-    # centroids — the trained MLlib path lives on as
-    # sim_topk_kmeans_trained, exercised by the recall test, not timed
-    # here.)
+    # KMeans-quantizer pre-train (back since r7: sim_topk_kmeans_trained
+    # is a registered rows-only key again, r6 ADVICE item 1). Training
+    # is once-per-corpus offline work — warm the memoized model (plus
+    # pyspark.ml's one-time infra, 10-60 s cold) as its own infra entry
+    # so the timed key measures trained-quantizer ASSIGNMENT + probe,
+    # not training. sim_topk_kmeans (label-seeded) needs no warmup.
+    try:
+        from pyspark.ml.functions import array_to_vector
+        from pyspark.sql import functions as F
+
+        from etl_cnpjs_spark.plans.similarity import _kmeans_model, _vecs
+
+        t0 = time.perf_counter()
+        _kmeans_model(
+            spark,
+            sf_dir,
+            _vecs(spark, sf_dir).withColumn(
+                "features", array_to_vector(F.col("v"))
+            ),
+        )
+        timings["kmeans_train_warmup"] = round(time.perf_counter() - t0, 4)
+    except Exception as exc:
+        print(f"bench: kmeans_train_warmup failed: {exc}", file=sys.stderr)
 
     # First use of the Python DataSource API spins up its worker
     # infrastructure (~15 s once per session, then <1 s per read). Warm it

@@ -242,8 +242,11 @@ def mm_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: Arrow-batched mapInPandas, vectorized numpy per
     image; bytes never leave the task — only 12 integers per image
     cross to the JVM, nothing binary shuffles (SCALE.md multimodal
-    rule). The oracle grid re-derives the statistics analytically,
-    fully independent of the bytes."""
+    rule). The oracle grid re-derives the statistics analytically
+    without touching bytes — which also means oracle and plan SHARE the
+    generator spec (r6 ADVICE item 5): a spec-level mistake would pass
+    both sides. The outside-the-generator anchor is the hand-built BMP
+    fixture test noted in mm_image_phash's docstring."""
     from etl_cnpjs_spark.operators.multimodal import (
         bmp_channel_stats_map_in_pandas,
     )

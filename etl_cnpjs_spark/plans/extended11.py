@@ -1996,7 +1996,10 @@ def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     task — 4 rows × 7 ints per image cross to the JVM. A production
     ViT pipeline swaps the stats reduction for a flattened patch
     tensor with the SAME partitioning and batch shape (documented
-    seam — the tensor columns would be fixed-length arrays)."""
+    seam — the tensor columns would be fixed-length arrays). Oracle
+    and plan share the generator spec (r6 ADVICE item 5) — see
+    mm_image_phash's blind-spot note for the independent fixture
+    anchor."""
     from etl_cnpjs_spark.operators.multimodal import (
         bmp_tile_stats_map_in_pandas,
     )

@@ -266,3 +266,112 @@ def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_sem"),
     )
+
+
+# --- full-range sketch keys with error-bound FULL oracles --------------------
+#
+# r6 ADVICE item 2: agg_approx_distinct / agg_approx_quantile pin their
+# equality oracles by running the sketches in an exact regime (bounded
+# key domain / accuracy >> group size), so the benchmark no longer
+# measured real sketch ESTIMATION. These two keys restore that: the
+# sketch runs at a PRODUCTION setting over the full-range column, and
+# the plan itself verifies the published error bound, returning a
+# boolean the oracle states as literal TRUE. The hash check is then a
+# genuine cross-engine assertion ("the estimate met its bound on this
+# data") while the estimate itself is free to be approximate. The
+# in-plan exact yardstick (countDistinct / the rank-count pass) exists
+# only because the driver compares final frames — the production query
+# is the sketch aggregate alone (the sibling keys' plan shape).
+
+_HLL_LGK_PROD = 14  # ~0.8% relative standard error; bound below is 5% (~6 sigma)
+
+
+@register(
+    "agg_approx_distinct_fullrange",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           TRUE AS est_within_5pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def agg_approx_distinct_fullrange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches HLL cardinality estimate over the FULL-RANGE
+    o_custkey at a production sketch size (lgConfigK=14, ~0.8% RSE),
+    asserted against a 5% relative-error bound in-plan. The boolean is
+    robust to regeneration and to partial-merge order: the HLL state is
+    a set-function of the hashed values (order-insensitive), and the
+    bound has ~6-sigma headroom. Estimation-regime behavior is further
+    error-bounded in tests/test_approx_accuracy.py."""
+    o = table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_custs"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("o_custkey"), F.lit(_HLL_LGK_PROD))
+        ).alias("_est"),
+    )
+    err = F.abs(F.col("_est") - F.col("exact_custs"))
+    return g.select(
+        "o_orderstatus",
+        "exact_custs",
+        (err <= F.col("exact_custs") * F.lit(0.05)).alias("est_within_5pct"),
+    )
+
+
+_GK_ACCURACY_PROD = 2000  # rank error <= n/2000, fixed sketch memory
+
+
+@register(
+    "agg_approx_quantile_fullrange",
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           TRUE AS qty_rank_ok, TRUE AS price_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx", "quantile", "sketch"),
+)
+def agg_approx_quantile_fullrange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile at the PRODUCTION accuracy (2000: fixed-size
+    mergeable GK summary, rank error <= n/2000 — the O(1)-memory
+    regime agg_approx_quantile's exact-at-test-SF setting deliberately
+    leaves), verified in-plan against the published rank guarantee:
+    the returned median m must satisfy cnt_lt(m) <= n/2 + eps*n and
+    cnt_le(m) >= n/2 - eps*n (the tie-aware two-sided rank check, +1
+    slack for rank conventions). The check needs a second scan with m
+    known — the 3-row estimate frame broadcast-joins back onto
+    lineitem; a production query runs the first aggregate alone. The
+    boolean holds for ANY partial-merge order because the GK invariant
+    does, so the key is hash-stable while genuinely approximate."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    acc = F.lit(_GK_ACCURACY_PROD)
+    est = l.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), acc).alias("qe"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), acc).alias("pe"),
+    )
+    j = l.join(F.broadcast(est), "l_returnflag")
+    g = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_quantity") < F.col("qe"), 1).otherwise(0)).alias("qlt"),
+        F.sum(F.when(F.col("l_quantity") <= F.col("qe"), 1).otherwise(0)).alias("qle"),
+        F.sum(F.when(F.col("l_extendedprice") < F.col("pe"), 1).otherwise(0)).alias(
+            "plt"
+        ),
+        F.sum(F.when(F.col("l_extendedprice") <= F.col("pe"), 1).otherwise(0)).alias(
+            "ple"
+        ),
+    )
+    half = F.col("n") / F.lit(2.0)
+    slack = F.col("n") / F.lit(float(_GK_ACCURACY_PROD)) + F.lit(1.0)
+    return g.select(
+        "l_returnflag",
+        "n",
+        (
+            (F.col("qlt") <= half + slack) & (F.col("qle") >= half - slack)
+        ).alias("qty_rank_ok"),
+        (
+            (F.col("plt") <= half + slack) & (F.col("ple") >= half - slack)
+        ).alias("price_rank_ok"),
+    )

@@ -250,9 +250,12 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     and its values never change across regenerations, so per-group
     subsets AND the union stay exact at every SF — the
     COUNT(DISTINCT key%4096) oracle is an equality (regime pinned in
-    tests/test_queries.py). The production estimation regime (default
-    lgConfigK=12, full-range keys) keeps its error-bound test in
-    tests/test_approx_accuracy.py."""
+    tests/test_queries.py). This key is explicitly the BOUNDED-DOMAIN
+    variant (r6 ADVICE item 2); real full-range estimation is
+    hash-checked end-to-end by agg_approx_distinct_fullrange
+    (plans/extended13.py), and the production estimation regime
+    (default lgConfigK=12, full-range keys) keeps its error-bound test
+    in tests/test_approx_accuracy.py."""
     o = table(spark, sf_dir, "orders")
     per = o.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg(F.col("o_custkey") % 4096, F.lit(21)).alias("sk"),

@@ -1148,7 +1148,18 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the md5 grouping. The oracle re-derives every BIT analytically
     from the generator pattern without touching bytes, so a green hash
     proves decode → aHash → groupBy end to end. Scale: the shuffle
-    carries (doc_id, 2 ints, one int64) per image."""
+    carries (doc_id, 2 ints, one int64) per image.
+
+    SHARED-SPEC BLIND SPOT (r6 ADVICE item 5): oracle and plan both
+    derive from the same synthetic-generator formula, so a SPEC-level
+    mistake (e.g. this implementation's strictly-greater-than-mean tie
+    convention, which differs from the classic >= aHash recipe) would
+    pass both sides unnoticed. The independent, fixture-based pin that
+    anchors behavior from OUTSIDE the generator is
+    tests/test_queries.py::test_phash_merges_byte_distinct_near_dups
+    (hand-built BMP bytes, hand-derived expected bits); the same caveat
+    and mitigation applies to the BMP channel/tile stat keys
+    (mm_image_channel_stats, mm_image_tiles)."""
     from etl_cnpjs_spark.operators.multimodal import bmp_ahash_map_in_pandas
 
     d = table(spark, sf_dir, "documents").select(

@@ -480,7 +480,11 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory per group. At production cardinality (full-range keys,
     smaller lgConfigK) the same plan degrades gracefully to the ~1.6%
     HLL estimate — that regime is error-bounded in
-    tests/test_approx_accuracy.py::test_hll_estimation_regime_bounds."""
+    tests/test_approx_accuracy.py::test_hll_estimation_regime_bounds,
+    and REAL full-range estimation is hash-checked end-to-end by the
+    error-bound-oracle twin agg_approx_distinct_fullrange
+    (plans/extended13.py) — this key is explicitly the BOUNDED-DOMAIN
+    variant (r6 ADVICE item 2)."""
     return (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
@@ -494,9 +498,18 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 APPROX_QUANTILE_ACCURACY = 1_000_000  # > any test-SF group size ⇒ GK
 # summary retains every sample ⇒ the query is an EXACT discrete
-# percentile and the quantile_disc oracle is an equality. Production
-# setting is ~2000 (rank error 1/2000, fixed memory); that regime is
-# error-bounded in tests/test_approx_accuracy.py.
+# percentile and the quantile_disc oracle is an equality.
+#
+# SCOPE OF THE CLAIM (r6 ADVICE item 3): in THIS regime per-group sketch
+# memory is O(group size), NOT the production O(1) — the equality oracle
+# holds only while every tested group stays under 1e6 rows, and
+# tests/test_queries.py::test_approx_quantile_regime_is_exact fails
+# loudly the moment an SF crosses that line (largest tested group:
+# ~0.5M at sf0.1; sf>=1 would breach). The production setting is ~2000
+# (rank error n/2000, genuinely fixed memory); that regime is
+# error-bounded in tests/test_approx_accuracy.py AND hash-checked
+# end-to-end by agg_approx_quantile_fullrange (plans/extended13.py),
+# which runs accuracy=2000 and verifies the GK rank guarantee in-plan.
 
 
 @register(
@@ -510,15 +523,16 @@ APPROX_QUANTILE_ACCURACY = 1_000_000  # > any test-SF group size ⇒ GK
     tags=("agg", "approx", "quantile"),
 )
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch twin of agg_quantile: approx_percentile — the 100 TB
-    posture for percentiles (fixed-size mergeable Greenwald-Khanna
-    summary, no per-group sort/spill). Sized exact at test cardinality:
-    with accuracy >> group size the GK summary never compresses, so the
-    result is the exact discrete median and DuckDB's quantile_disc is an
-    equality oracle (regime pinned by tests/test_queries.py::
-    test_approx_quantile_regime_is_exact; the production accuracy=2000
-    setting keeps its error-bound test in
-    tests/test_approx_accuracy.py)."""
+    """Sketch twin of agg_quantile: approx_percentile, deliberately
+    SIZED EXACT at test cardinality — with accuracy >> group size the
+    GK summary never compresses, so the result is the exact discrete
+    median and DuckDB's quantile_disc is an equality oracle. In this
+    regime the sketch memory is O(group size), not the production O(1);
+    see the APPROX_QUANTILE_ACCURACY note above for the regime bounds
+    and the agg_approx_quantile_fullrange twin that runs the true
+    fixed-memory production setting (regime pinned by
+    tests/test_queries.py::test_approx_quantile_regime_is_exact;
+    error bounds in tests/test_approx_accuracy.py)."""
     l = table(spark, sf_dir, "lineitem")
     acc = F.lit(APPROX_QUANTILE_ACCURACY)
     return l.groupBy("l_returnflag").agg(

@@ -195,6 +195,11 @@ def _kmeans_model(spark: SparkSession, sf_dir: str, train_df) -> object:
     return model
 
 
+@register(
+    "sim_topk_kmeans_trained",
+    oracle=None,  # trained-model assignment has no SQL twin — rows-only
+    tags=("similarity", "ann", "ml", "rows_only"),
+)
 def sim_topk_kmeans_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production form of sim_topk_kmeans: IVF with a TRAINED coarse
     quantizer. pyspark.ml KMeans(16, seed fixed) fits centroids, vectors
@@ -204,11 +209,12 @@ def sim_topk_kmeans_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; the model is trained once per (session, sf) and reused
     (_kmeans_model), mirroring offline quantizer training. Because
     trained-model assignment depends on MLlib internals it cannot carry
-    a SQL oracle — the registry key sim_topk_kmeans therefore runs the
-    SAME IVF plan seeded with deterministic label-mean centroids (one
-    exact Lloyd assign step both engines can re-derive), and this
-    trained path keeps its quality evidence in
-    tests/test_blocked_ops.py::test_kmeans_ivf_recall_vs_exact."""
+    a SQL oracle — this key is DELIBERATELY rows-only (the one such key
+    in the registry, r6 ADVICE item 1: benchmark output must not claim
+    trained-quantizer coverage through the label-seeded twin). Its
+    correctness evidence is the measured recall-vs-exact test
+    (tests/test_blocked_ops.py::test_kmeans_ivf_recall_vs_exact) and
+    the structural invariants shared with the oracle-checked twin."""
     from pyspark.ml.functions import array_to_vector  # noqa: F401
 
     n = _vecs(spark, sf_dir).withColumn("features", array_to_vector(F.col("v")))
@@ -317,7 +323,10 @@ _SQL_KMEANS = f"""
 @register(
     "sim_topk_kmeans",
     oracle=_SQL_KMEANS,
-    tags=("north_star", "similarity", "ann", "ml"),
+    # NOT tagged 'ml' (r6 ADVICE item 1): the quantizer here is
+    # label-SEEDED, not trained — trained-KMeans coverage is the
+    # sim_topk_kmeans_trained key below.
+    tags=("north_star", "similarity", "ann", "label_seeded"),
 )
 def sim_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a k-means-style coarse quantizer, made oracle-exact: the

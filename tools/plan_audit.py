@@ -34,7 +34,7 @@ sys.path.insert(0, REPO)
 BNLJ_OK = {
     "join_cross", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
     "tpch_q20", "tpch_q22", "agg_hll_sketch", "sim_topk",
-    "sim_topk_ivf", "sim_topk_kmeans", "sim_knn_join",
+    "sim_topk_ivf", "sim_topk_kmeans", "sim_topk_kmeans_trained", "sim_knn_join",
     "dedup_embedding_cosine", "layout_zorder", "text_tfidf",
     "dq_check",  # (rule, violations, checked) rows from 1-row stat frames
     "text_quality_classifier",  # broadcast 1-row model-weights frame (scalar shape)
@@ -90,6 +90,12 @@ EXCHANGES_OK = {
     # capstone: exact window + CC-label join + survivor-restricted
     # containment + per-source report (shared frames pre-warmed below).
     "corpus_dedup_sweep": 14,
+    # staged funnel capstone: 6 static = ExactSubstr positional postings
+    # (2, its registered shape) + LSH band-key shuffle + exact-verify
+    # pair aggregate + CC star-contraction label join + the per-source
+    # report aggregate; each stage's frame is localCheckpointed once
+    # for its multiple consumers, so nothing recomputes.
+    "corpus_dedup_funnel": 6,
     # 10 static exchanges = the oriented edge-set subtree appearing in all
     # three join branches. Interleaved A/B at sf0.1 (2026-08-14, reps=3):
     # plain 7.2/6.7/7.6 s vs localCheckpoint-barrier 7.6/7.8/7.6 s — the
