@@ -281,6 +281,47 @@ def main() -> None:
     except OSError as exc:
         print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
 
+    # Isolated-headline mode (r6 verdict item 4): the in-suite flagship /
+    # corpus_curate numbers drift round-over-round with session AGE (the
+    # suite ran ~8,400 stages in one JVM by the time r6 measured them).
+    # Re-measure each in a FRESH subprocess session (warmup + median of
+    # reps) so every BENCH_r*.json carries the session-age-free number
+    # beside the in-suite one. Adjudication 2026-08-15: isolated medians
+    # 0.86-0.88 s (flagship) / 0.95-0.97 s (corpus_curate) at sf0.1 vs
+    # in-suite r6 0.99 / 1.29 — the drift is session composition plus
+    # the driver's between-round testdata regeneration, not a plan
+    # regression (both plans unchanged and shape-pinned). Not counted in
+    # any total; skippable via SPARK_GRAFT_BENCH_ISOLATED=0.
+    isolated: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
+        import subprocess
+
+        iso_reps = os.environ.get("SPARK_GRAFT_BENCH_ISOLATED_REPS", "3")
+        for key in ("flagship", "corpus_curate"):
+            try:
+                out = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.join(
+                            os.path.dirname(os.path.abspath(__file__)),
+                            "tools",
+                            "bench_isolated.py",
+                        ),
+                        key,
+                        iso_reps,
+                        sf_dir,
+                    ],
+                    capture_output=True,
+                    text=True,
+                    timeout=300,
+                )
+                isolated[key] = json.loads(
+                    out.stdout.strip().splitlines()[-1]
+                )["median"]
+            except Exception as exc:
+                print(f"bench: isolated {key} failed: {exc}", file=sys.stderr)
+                isolated[key] = -1.0
+
     headline = {k: timings[k] for k in HEADLINE if k in timings}
     print(
         json.dumps(
@@ -291,6 +332,7 @@ def main() -> None:
                 "total_infra_sec": total_infra,
                 "unit": "sec",
                 "queries": headline,
+                "isolated_fresh_session": isolated or None,
                 "sf": sf,
                 "n_queries": sum(1 for t in timings.values() if t >= 0),
                 "failures": failures,
