@@ -1,0 +1,282 @@
+"""Round-7 batch 2: evaluation composites a curation pipeline runs
+before training — benchmark decontamination and ANN index-quality
+measurement.
+
+`corpus_decontaminate` — train/eval split leakage report. The split is
+the deterministic Knuth-hash 10% (sample_hash's idiom: rerun- and
+engine-stable, no random()); a leaked eval doc is one with a near-dup
+partner (exact-Jaccard >= 0.8 — the shared `pairs` definition every
+dedup oracle uses) on the TRAIN side. This is the cross-split twin of
+corpus_curate's within-corpus dedup: curation removes duplicates from
+the corpus, decontamination removes eval docs whose content the model
+will have seen in train (Lee et al. 2022 §6, the benchmark-overlap
+protocol every LLM eval now runs).
+
+`sim_recall_report` — per-query recall@k of the IVF index
+(sim_topk_kmeans's label-seeded coarse quantizer) against the exact
+brute-force top-k, over a fixed probe set of the NQ lowest vec_ids.
+This is the index-quality gate a pipeline runs before trusting ANN
+dedup/search at scale: recall is computed IN-PLAN (no collect), and
+because the quantizer is the oracle-derivable one, the whole
+eval — exact ranking, bucket probing, IVF ranking, overlap — carries a
+full DuckDB hash oracle. The trained-quantizer twin keeps its recall
+evidence in tests/test_blocked_ops.py::test_kmeans_ivf_recall_vs_exact.
+
+Reference trace: none — the reference
+(ETLCNPJFinalEmpresaEstabelecimentos.py) has no corpus/eval surface;
+these extend SURVEY.md §2.2b per the r6 verdict's "composites users
+actually chain" directive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_cnpjs_spark.catalog import table
+from etl_cnpjs_spark.plans.registry import register
+
+# --- corpus_decontaminate ----------------------------------------------------
+
+
+def _decon_oracle() -> str:
+    from etl_cnpjs_spark.plans.dedup import _SQL_PAIRS
+    from etl_cnpjs_spark.plans.extended import _KEEP, _KNUTH, _MOD
+
+    return (
+        _SQL_PAIRS
+        + f"""
+  , ev AS (
+      SELECT doc_id, source,
+             ((doc_id * {_KNUTH}) % {_MOD} < {_KEEP}) AS is_eval
+      FROM documents),
+  sym AS (SELECT i AS e, t.j AS t FROM pairs t
+          UNION ALL
+          SELECT j AS e, t.i AS t FROM pairs t),
+  leaked AS (
+      SELECT DISTINCT s.e AS doc_id
+      FROM sym s
+      JOIN ev a ON s.e = a.doc_id
+      JOIN ev b ON s.t = b.doc_id
+      WHERE a.is_eval AND NOT b.is_eval)
+  SELECT ev.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN ev.is_eval THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_eval,
+         CAST(count(leaked.doc_id) AS BIGINT) AS n_leaked,
+         CAST(sum(CASE WHEN ev.is_eval THEN 1 ELSE 0 END)
+              - count(leaked.doc_id) AS BIGINT) AS n_clean_eval
+  FROM ev LEFT JOIN leaked ON ev.doc_id = leaked.doc_id
+  GROUP BY ev.source
+"""
+    )
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=_decon_oracle(),
+    tags=("north_star", "dedup", "pipeline", "eval"),
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source decontamination report for a deterministic 10%
+    eval split: (source, n_docs, n_eval, n_leaked, n_clean_eval),
+    where a leaked eval doc has an exact-Jaccard >= 0.8 near-dup in
+    the train split.
+
+    Shapes: the eval flag is a pure function of doc_id (Knuth
+    multiplicative hash — computed scan-side on BOTH endpoints of a
+    pair, so membership needs NO join against a split table). The
+    pair frame is the memoized posting-join `_exact_pairs`; the
+    leaked set is a projection+distinct of pairs whose endpoints'
+    flags differ (eval e, train t) — broadcast back onto the
+    documents scan for the per-source rollup. One document-table
+    pass + the (tiny) pair-frame work. At 100 TB the pair frame
+    comes from the banded MinHash-LSH path instead (the
+    dedup_minhash adjudication); the report is unchanged. Docs too
+    short to shingle (< 3 tokens) have no pairs and can never leak
+    by this detector — the documented blind spot of n-gram-overlap
+    decontamination; the fingerprint (exact-text) channel would
+    catch them at production.
+    Split-hash caveat: the bigint multiply overflows past ~2^33 keys
+    (SCALE.md honest-list #4) — at that scale swap in xxhash64 on
+    both engines."""
+    from etl_cnpjs_spark.plans.dedup import _exact_pairs
+    from etl_cnpjs_spark.plans.extended import _KEEP, _KNUTH, _MOD
+
+    def is_eval(col):
+        return (col * F.lit(_KNUTH)) % F.lit(_MOD) < F.lit(_KEEP)
+
+    d = table(spark, sf_dir, "documents")
+    pairs = _exact_pairs(spark, sf_dir).select("i", "j")
+    sym = pairs.select(F.col("i").alias("e"), F.col("j").alias("t")).unionAll(
+        pairs.select(F.col("j").alias("e"), F.col("i").alias("t"))
+    )
+    leaked = (
+        sym.filter(is_eval(F.col("e")) & ~is_eval(F.col("t")))
+        .select(F.col("e").alias("doc_id"))
+        .distinct()
+        .withColumn("_leak", F.lit(1))
+    )
+    ev = F.when(is_eval(F.col("doc_id")), 1).otherwise(0)
+    return (
+        d.select("doc_id", "source", ev.alias("is_eval"))
+        .join(F.broadcast(leaked), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_eval").cast("bigint").alias("n_eval"),
+            F.count("_leak").cast("bigint").alias("n_leaked"),
+            (F.sum("is_eval") - F.count("_leak")).cast("bigint").alias("n_clean_eval"),
+        )
+    )
+
+
+# --- sim_recall_report -------------------------------------------------------
+
+RECALL_NQ = 20  # probe-set size: the NQ lowest vec_ids query the index
+
+
+def _recall_oracle() -> str:
+    from etl_cnpjs_spark.operators.similarity import sql_cosine
+    from etl_cnpjs_spark.plans.similarity import (
+        _SQL_ASSIGN_CTES,
+        _SQL_VECS,
+        KMEANS_N_PROBE,
+        TOP_K,
+    )
+
+    return f"""
+    WITH n AS ({_SQL_VECS}),
+    {_SQL_ASSIGN_CTES},
+    q AS (SELECT vec_id AS qid, v AS qv FROM n ORDER BY vec_id
+          LIMIT {RECALL_NQ}),
+    ex AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, n.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY {sql_cosine("n.v", "q.qv")} DESC, n.vec_id) AS rn
+        FROM n, q WHERE n.vec_id <> q.qid) t
+      WHERE rn <= {TOP_K}),
+    pr AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY {sql_cosine("q.qv", "c.cv")} DESC, c.cid) AS rn
+        FROM c, q) t
+      WHERE rn <= {KMEANS_N_PROBE}),
+    iv AS (
+      SELECT qid, vec_id FROM (
+        SELECT p.qid, a.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY p.qid
+                 ORDER BY {sql_cosine("a.v", "q.qv")} DESC, a.vec_id) AS rn
+        FROM assign a JOIN pr p ON a.cid = p.cid
+        JOIN q ON q.qid = p.qid
+        WHERE a.vec_id <> p.qid) t
+      WHERE rn <= {TOP_K})
+    SELECT ex.qid,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(count(iv.vec_id) AS BIGINT) AS n_overlap,
+           CAST(count(iv.vec_id) * 1000000 // {TOP_K} AS BIGINT)
+             AS recall_micro
+    FROM ex LEFT JOIN iv ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
+    GROUP BY ex.qid
+    """
+
+
+@register(
+    "sim_recall_report",
+    oracle=_recall_oracle(),
+    tags=("north_star", "similarity", "ann", "eval"),
+)
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the label-seeded IVF against exact
+    brute-force: (qid, k, n_overlap, recall_micro) for the RECALL_NQ
+    lowest vec_ids.
+
+    Shapes: the probe set and the centroid table are broadcast (NQ
+    and |labels| rows); the exact side is ONE corpus scan scored
+    against all NQ probes (cross of corpus x broadcast probes),
+    ranked by a window on qid — the exchange carries corpus x NQ
+    narrow rows, the documented cost of measuring exact ground truth
+    on a SAMPLED probe set (how ANN recall is measured in production;
+    never all-queries). The IVF side reuses the broadcast-centroid
+    assignment pass and touches only probed buckets per query. Both
+    rankings break cosine ties by vec_id and quantize nothing — every
+    compared value is an exact integer count; recall_micro is an
+    exact integer ratio (count * 1e6 / k).
+
+    The trained-quantizer twin (sim_topk_kmeans_trained) keeps its
+    recall evidence in tests/test_blocked_ops.py — this key makes the
+    oracle-derivable index's quality a hash-checked, distributed
+    query."""
+    from etl_cnpjs_spark.operators.similarity import cosine
+    from etl_cnpjs_spark.plans.similarity import (
+        KMEANS_N_PROBE,
+        TOP_K,
+        _label_centroid_assignment,
+        _vecs,
+    )
+
+    n = _vecs(spark, sf_dir)
+    q = (
+        n.orderBy("vec_id")
+        .limit(RECALL_NQ)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    )
+    wq = Window.partitionBy("qid")
+
+    ex = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                wq.orderBy(F.desc(cosine(F.col("v"), F.col("qv"))), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+
+    c, assign = _label_centroid_assignment(n)
+    pr = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                wq.orderBy(F.desc(cosine(F.col("qv"), F.col("cv"))), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("rn") <= KMEANS_N_PROBE)
+        .select("qid", "cid")
+    )
+    iv = (
+        assign.join(F.broadcast(pr), "cid")
+        .join(F.broadcast(q), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                wq.orderBy(F.desc(cosine(F.col("v"), F.col("qv"))), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("iv_id"), F.lit(1).alias("_hit"))
+    )
+
+    return (
+        ex.join(
+            iv,
+            (ex["qid"] == iv["qid"]) & (ex["vec_id"] == iv["iv_id"]),
+            "left",
+        )
+        .select(ex["qid"], "_hit")
+        .groupBy("qid")
+        .agg(
+            F.lit(TOP_K).cast("bigint").alias("k"),
+            F.count("_hit").cast("bigint").alias("n_overlap"),
+            F.expr(f"CAST(count(_hit) * 1000000 DIV {TOP_K} AS BIGINT)").alias(
+                "recall_micro"
+            ),
+        )
+    )

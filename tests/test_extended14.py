@@ -1,0 +1,192 @@
+"""corpus_decontaminate and sim_recall_report: behavior pinned on
+independent fixtures (the r6 ADVICE blind-spot discipline — the
+registered oracle and plan must ALSO match a derivation that shares no
+spec with either)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from etl_cnpjs_spark.plans import QUERIES
+from etl_cnpjs_spark.plans.extended import _KEEP, _KNUTH, _MOD
+
+
+def _is_eval(doc_id: int) -> bool:
+    return (doc_id * _KNUTH) % _MOD < _KEEP
+
+
+def _pick_ids(want_eval: int, want_train: int) -> tuple[list[int], list[int]]:
+    ev, tr, i = [], [], 1
+    while len(ev) < want_eval or len(tr) < want_train:
+        if _is_eval(i):
+            if len(ev) < want_eval:
+                ev.append(i)
+        elif len(tr) < want_train:
+            tr.append(i)
+        i += 1
+    return ev, tr
+
+
+@pytest.fixture()
+def decon_dir(tmp_path):
+    """Planted split-leakage cases. Doc ids are CHOSEN by evaluating the
+    Knuth hash in plain Python (independent of both engines):
+
+    - eval E0 duplicates train T0       -> E0 leaks.
+    - eval E1 duplicates eval E2 ONLY   -> no leak (both eval).
+    - train T1 duplicates train T2      -> no leak (train side only).
+    - eval E3 unique                    -> clean.
+    - train T3 unique                   -> nothing.
+
+    Expected (single source 'fix'): n_docs=8... (4 eval, 4 train),
+    n_eval=4, n_leaked=1 (E0), n_clean_eval=3.
+    """
+    ev, tr = _pick_ids(4, 4)
+    dup_a = " ".join(f"a_{i}" for i in range(12))
+    dup_b = " ".join(f"b_{i}" for i in range(12))
+    dup_c = " ".join(f"c_{i}" for i in range(12))
+    texts = {
+        ev[0]: dup_a,
+        tr[0]: dup_a,
+        ev[1]: dup_b,
+        ev[2]: dup_b,
+        tr[1]: dup_c,
+        tr[2]: dup_c,
+        ev[3]: " ".join(f"u_{i}" for i in range(12)),
+        tr[3]: " ".join(f"w_{i}" for i in range(12)),
+    }
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 8,
+            "source": ["fix"] * 8,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+DECON_EXPECTED = ("fix", 8, 4, 1, 3)
+
+
+def test_decontaminate_fixture_spark(spark, decon_dir):
+    rows = QUERIES["corpus_decontaminate"].fn(spark, decon_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    got = (r.source, r.n_docs, r.n_eval, r.n_leaked, r.n_clean_eval)
+    assert got == DECON_EXPECTED, f"{got} != hand-derived {DECON_EXPECTED}"
+
+
+def test_decontaminate_fixture_oracle(decon_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{decon_dir}/documents.parquet')"
+    )
+    rows = [tuple(r) for r in con.execute(QUERIES["corpus_decontaminate"].oracle).fetchall()]
+    assert rows == [DECON_EXPECTED]
+
+
+def test_decontaminate_eval_share_on_corpus(spark, sf_dir):
+    """Sanity on the shipped corpus: the hash split lands near 10% and
+    every reported count is internally consistent (leaked <= eval,
+    clean = eval - leaked)."""
+    rows = QUERIES["corpus_decontaminate"].fn(spark, sf_dir).collect()
+    n_docs = sum(r.n_docs for r in rows)
+    n_eval = sum(r.n_eval for r in rows)
+    assert n_docs > 0
+    assert 0.05 <= n_eval / n_docs <= 0.15
+    for r in rows:
+        assert 0 <= r.n_leaked <= r.n_eval
+        assert r.n_clean_eval == r.n_eval - r.n_leaked
+
+
+# --- sim_recall_report -------------------------------------------------------
+
+
+def _numpy_recall(emb: pd.DataFrame, nq: int, k: int, nprobe: int):
+    """Independent numpy re-derivation of the whole recall eval:
+    label-mean centroids quantized floor(x*1e6+0.5)/1e6, cosine
+    assignment (tie: lowest cid), per-query probe sets (tie: lowest
+    cid), IVF top-k within probed buckets vs exact top-k (ties: lowest
+    vec_id)."""
+    ids = emb["vec_id"].to_numpy()
+    V = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    labels = emb["label"].to_numpy()
+
+    def cos(a, b):
+        return (a @ b) / (math.sqrt(a @ a) * math.sqrt(b @ b))
+
+    cids = sorted(set(labels.tolist()))
+    cents = {
+        c: np.floor(V[labels == c].mean(axis=0) * 1e6 + 0.5) / 1e6 for c in cids
+    }
+    assign = {}
+    for vid, v in zip(ids, V):
+        best = max(cids, key=lambda c: (cos(v, cents[c]), -c))
+        assign[vid] = best
+
+    qids = sorted(ids)[:nq]
+    out = {}
+    for qid in qids:
+        qv = V[ids == qid][0]
+        scored = sorted(
+            ((cos(v, qv), -vid) for vid, v in zip(ids, V) if vid != qid),
+            reverse=True,
+        )
+        exact = {-s[1] for s in scored[:k]}
+        probes = set(
+            sorted(cids, key=lambda c: (-cos(qv, cents[c]), c))[:nprobe]
+        )
+        ivf_scored = sorted(
+            (
+                (cos(v, qv), -vid)
+                for vid, v in zip(ids, V)
+                if vid != qid and assign[vid] in probes
+            ),
+            reverse=True,
+        )
+        ivf = {-s[1] for s in ivf_scored[:k]}
+        out[qid] = len(exact & ivf)
+    return out
+
+
+def test_recall_report_matches_numpy(spark, sf_dir):
+    from etl_cnpjs_spark.plans.extended14 import RECALL_NQ
+    from etl_cnpjs_spark.plans.similarity import KMEANS_N_PROBE, TOP_K
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    expected = _numpy_recall(emb, RECALL_NQ, TOP_K, KMEANS_N_PROBE)
+
+    rows = QUERIES["sim_recall_report"].fn(spark, sf_dir).collect()
+    got = {r.qid: r.n_overlap for r in rows}
+    assert got == expected
+    for r in rows:
+        assert r.recall_micro == r.n_overlap * 1_000_000 // TOP_K
+        assert r.k == TOP_K
+
+
+def test_recall_report_perfect_when_one_bucket(spark, tmp_path):
+    """All vectors share one label -> one centroid -> the probe set IS
+    the whole corpus -> IVF == exact, recall 1.0 for every query."""
+    rng = np.random.RandomState(7)
+    n, dim = 30, 8
+    emb = pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "embedding": [rng.randn(dim).tolist() for _ in range(n)],
+            "label": [0] * n,
+        }
+    )
+    emb.to_parquet(tmp_path / "embeddings.parquet", index=False)
+    rows = QUERIES["sim_recall_report"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 20
+    assert all(r.recall_micro == 1_000_000 for r in rows)

@@ -35,6 +35,7 @@ BNLJ_OK = {
     "join_cross", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
     "tpch_q20", "tpch_q22", "agg_hll_sketch", "sim_topk",
     "sim_topk_ivf", "sim_topk_kmeans", "sim_topk_kmeans_trained", "sim_knn_join",
+    "sim_recall_report",  # broadcast probe-set/centroid crossJoins (sim-family shape)
     "dedup_embedding_cosine", "layout_zorder", "text_tfidf",
     "dq_check",  # (rule, violations, checked) rows from 1-row stat frames
     "text_quality_classifier",  # broadcast 1-row model-weights frame (scalar shape)
@@ -90,6 +91,14 @@ EXCHANGES_OK = {
     # capstone: exact window + CC-label join + survivor-restricted
     # containment + per-source report (shared frames pre-warmed below).
     "corpus_dedup_sweep": 14,
+    # recall eval composite: 11 static = the centroid build pair
+    # (label-pos partial agg + cid collect), the per-vector assignment
+    # window, THREE qid-partitioned ranking windows (exact / probe-set /
+    # IVF — each ranks a different frame, so no exchange is shareable by
+    # construction), and the overlap join + report agg. Measured 1.9 s
+    # isolated at sf0.1; the exact side is the documented sampled-probe
+    # ground-truth cost.
+    "sim_recall_report": 11,
     # staged funnel capstone: 6 static = ExactSubstr positional postings
     # (2, its registered shape) + LSH band-key shuffle + exact-verify
     # pair aggregate + CC star-contraction label join + the per-source
