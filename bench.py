@@ -284,14 +284,16 @@ def main() -> None:
     # Isolated-headline mode (r6 verdict item 4): the in-suite flagship /
     # corpus_curate numbers drift round-over-round with session AGE (the
     # suite ran ~8,400 stages in one JVM by the time r6 measured them).
-    # Re-measure each in a FRESH subprocess session (warmup + median of
-    # reps) so every BENCH_r*.json carries the session-age-free number
-    # beside the in-suite one. Adjudication 2026-08-15: isolated medians
-    # 0.86-0.88 s (flagship) / 0.95-0.97 s (corpus_curate) at sf0.1 vs
-    # in-suite r6 0.99 / 1.29 — the drift is session composition plus
-    # the driver's between-round testdata regeneration, not a plan
-    # regression (both plans unchanged and shape-pinned). Not counted in
-    # any total; skippable via SPARK_GRAFT_BENCH_ISOLATED=0.
+    # Re-measure each in a FRESH subprocess session (get_spark configs —
+    # same factory as this suite, so only session AGE differs; warmup +
+    # median of reps) so every BENCH_r*.json carries the session-age-free
+    # number beside the in-suite one. Adjudication 2026-08-15: isolated
+    # medians 0.95 s (flagship) / 0.92 s (corpus_curate) at sf0.1 vs
+    # in-suite r6 0.99 / 1.29 and in-suite r7 0.58 / 0.62 — the
+    # round-over-round swing is session composition (suite position /
+    # JIT warmth) plus the driver's between-round testdata regeneration,
+    # not a plan regression (both plans unchanged and shape-pinned).
+    # Not counted in any total; skippable via SPARK_GRAFT_BENCH_ISOLATED=0.
     isolated: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
         import subprocess

@@ -108,9 +108,7 @@ def test_funnel_fixture_oracle(fixture_dir):
             f"FROM read_parquet('{fixture_dir}/{t}.parquet')"
         )
     rows = con.execute(QUERIES["corpus_dedup_funnel"].oracle).fetchall()
-    assert rows == [EXPECTED[0:1] + tuple(EXPECTED[1:])] or [
-        tuple(r) for r in rows
-    ] == [EXPECTED]
+    assert [tuple(r) for r in rows] == [EXPECTED]
 
 
 def test_funnel_lsh_recall_on_cleaned_text(spark, fixture_dir, sf_dir):

@@ -113,19 +113,34 @@ def test_decontaminate_eval_share_on_corpus(spark, sf_dir):
 
 
 def _numpy_recall(emb: pd.DataFrame, nq: int, k: int, nprobe: int):
-    """Independent numpy re-derivation of the whole recall eval:
+    """Independent re-derivation of the whole recall eval:
     label-mean centroids quantized floor(x*1e6+0.5)/1e6, cosine
     assignment (tie: lowest cid), per-query probe sets (tie: lowest
     cid), IVF top-k within probed buckets vs exact top-k (ties: lowest
-    vec_id)."""
+    vec_id).
+
+    Dot products use a PLAIN sequential Python loop, not numpy BLAS:
+    operators/similarity.py::dot is a sequential element-order fold,
+    and BLAS pairwise/SIMD summation can differ in the last ulp —
+    enough to flip a rank-k boundary on a near-tie. A sequential loop
+    over identical float64 inputs reproduces Spark's fold bit-exactly
+    (the house identical-op-sequence discipline)."""
     ids = emb["vec_id"].to_numpy()
     V = np.array(emb["embedding"].tolist(), dtype=np.float64)
     labels = emb["label"].to_numpy()
 
+    def sdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
     def cos(a, b):
-        return (a @ b) / (math.sqrt(a @ a) * math.sqrt(b @ b))
+        return sdot(a, b) / (math.sqrt(sdot(a, a)) * math.sqrt(sdot(b, b)))
 
     cids = sorted(set(labels.tolist()))
+    # centroid means: quantization (not op order) is the cross-engine
+    # contract for the group sums — same as the registered oracle
     cents = {
         c: np.floor(V[labels == c].mean(axis=0) * 1e6 + 0.5) / 1e6 for c in cids
     }
@@ -187,6 +202,8 @@ def test_recall_report_perfect_when_one_bucket(spark, tmp_path):
         }
     )
     emb.to_parquet(tmp_path / "embeddings.parquet", index=False)
+    from etl_cnpjs_spark.plans.extended14 import RECALL_NQ
+
     rows = QUERIES["sim_recall_report"].fn(spark, str(tmp_path)).collect()
-    assert len(rows) == 20
+    assert len(rows) == RECALL_NQ
     assert all(r.recall_micro == 1_000_000 for r in rows)

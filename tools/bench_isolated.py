@@ -27,17 +27,13 @@ def main() -> int:
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-
-    from pyspark.sql import SparkSession
-
     from etl_cnpjs_spark.plans import QUERIES
+    from etl_cnpjs_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(f"bench-isolated-{key}")
-        .getOrCreate()
-    )
+    # Same factory as the in-suite bench: the comparison this tool
+    # exists for must differ only in session AGE, not in configs
+    # (shuffle partitions, driver memory, timezone, AQE).
+    spark = get_spark(app_name=f"bench-isolated-{key}")
     spark.sparkContext.setLogLevel("ERROR")
 
     fn = QUERIES[key].fn

@@ -55,9 +55,19 @@ def timed(fn):
     return round(time.time() - t0, 2), n
 
 
+def mat(df) -> int:
+    """Materialize EVERY column through the noop sink (bench.py's
+    discipline): a bare .count() lets Catalyst prune unused window /
+    aggregate expressions and even eliminate cardinality-preserving
+    joins, silently measuring a fraction of the claimed compute
+    (NOTES.md round-7 sharp edge)."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
 def tenc_shape(o):
     w = W.partitionBy("o_orderpriority")
-    return (
+    return mat(
         o.withColumn("s", F.sum("cents").over(w))
         .withColumn("n", F.count(F.lit(1)).over(w))
         .filter(F.col("n") > 1)
@@ -68,7 +78,6 @@ def tenc_shape(o):
                 "loo"
             ),
         )
-        .count()
     )
 
 
@@ -105,7 +114,7 @@ def cuped_shape(ev):
         F.expr(f"CAST(sum(CAST(x AS {dec})) AS {dec})").alias("vsx"),
         F.expr(f"CAST(sum(CAST(y AS {dec})) AS {dec})").alias("vsy"),
     )
-    return v.crossJoin(F.broadcast(g)).count()
+    return mat(v.crossJoin(F.broadcast(g)))
 
 
 def did_shape(ev):
@@ -117,15 +126,13 @@ def did_shape(ev):
         F.when(F.col("us") <= F.col("mid_us"), 0).otherwise(1).alias("post"),
         "vm",
     )
-    return (
-        e.groupBy("variant", "post")
-        .agg(
+    return mat(
+        e.groupBy("variant", "post").agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("CAST(CAST(sum(vm) AS BIGINT) DIV count(1) AS BIGINT)").alias(
                 "mean_micro"
             ),
         )
-        .count()
     )
 
 
@@ -151,7 +158,7 @@ def walk_shape(edges, steps: int = 3):
             .agg(F.min_by("b", key).alias(f"step{t}"))
         )
         carried.append(f"step{t}")
-    return cur.count()
+    return mat(cur.select(*carried))
 
 
 def jsd_shape(docs):
@@ -183,9 +190,9 @@ def jsd_shape(docs):
     t1 = F.when(
         F.col("c1") > 0, F.floor(p1 * F.log(p1 / m) * 1000000 + 0.5).cast("bigint")
     ).otherwise(F.lit(0))
-    return j.select(t0.alias("t0"), t1.alias("t1")).agg(
-        F.sum("t0"), F.sum("t1")
-    ).count()
+    return mat(
+        j.select(t0.alias("t0"), t1.alias("t1")).agg(F.sum("t0"), F.sum("t1"))
+    )
 
 
 def main() -> int:
