@@ -207,3 +207,68 @@ def test_recall_report_perfect_when_one_bucket(spark, tmp_path):
     rows = QUERIES["sim_recall_report"].fn(spark, str(tmp_path)).collect()
     assert len(rows) == RECALL_NQ
     assert all(r.recall_micro == 1_000_000 for r in rows)
+
+
+# --- property: decontaminate vs sequential Python ---------------------------
+
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+_doc = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=10).map(" ".join)
+_corpus14 = st.lists(
+    st.tuples(_doc, st.sampled_from(["s1", "s2"])), min_size=1, max_size=10
+)
+
+
+def _py_shingles(text: str, n: int = 3) -> set:
+    toks = text.split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_corpus14)
+def test_decontaminate_matches_sequential(spark, tmp_path_factory, docs):
+    """Full-report equivalence vs an independent sequential derivation:
+    hash split, exact-Jaccard >= 0.8 pairs, cross-split leak rule and
+    the per-source rollup all recomputed in plain Python."""
+    from etl_cnpjs_spark.plans.dedup import JACCARD_THRESHOLD
+
+    leak = set()
+    for (i, (a, _)), (j, (b, _)) in itertools.combinations(enumerate(docs), 2):
+        sa, sb = _py_shingles(a), _py_shingles(b)
+        if sa and sb and len(sa & sb) / len(sa | sb) >= JACCARD_THRESHOLD:
+            for e, t in ((i, j), (j, i)):
+                if _is_eval(e) and not _is_eval(t):
+                    leak.add(e)
+    expected = {}
+    for i, (_, src) in enumerate(docs):
+        n, ne, nl = expected.get(src, (0, 0, 0))
+        expected[src] = (
+            n + 1,
+            ne + (1 if _is_eval(i) else 0),
+            nl + (1 if i in leak else 0),
+        )
+
+    d = tmp_path_factory.mktemp("decon_prop")
+    pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": [t for t, _ in docs],
+            "lang": ["en"] * len(docs),
+            "source": [s for _, s in docs],
+            "n_chars": [len(t) for t, _ in docs],
+        }
+    ).to_parquet(d / "documents.parquet", index=False)
+
+    got = {
+        r.source: (r.n_docs, r.n_eval, r.n_leaked)
+        for r in QUERIES["corpus_decontaminate"].fn(spark, str(d)).collect()
+    }
+    assert got == expected
