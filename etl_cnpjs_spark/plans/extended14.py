@@ -280,3 +280,104 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- doc_pack_greedy ---------------------------------------------------------
+#
+# The GREEDY packing variant doc_pack_sequences' docstring defers: close
+# the current training sequence when the next document would overflow it
+# (never split a document), instead of concat-then-chunk (which splits
+# docs at every capacity boundary). This is the document-preserving
+# packing finetuning/SFT pipelines use — a doc is an atomic unit, and
+# the padding cost of closing bins early is the price of atomicity.
+# The recurrence (bin, fill) -> next doc is inherently sequential PER
+# LANGUAGE, so the Spark shape is ONE applyInPandas grouped-map pass
+# (Arrow-batched, sorted by doc_id inside the group — the sequential
+# fold a KeyedProcessFunction would run), and the oracle replays the
+# identical recurrence as a DuckDB recursive CTE. Production shards the
+# group key to (lang, shard) exactly as doc_pack_sequences documents;
+# per-group memory is O(1) (two integers of state).
+
+GREEDY_PACK_BUDGET = 512  # same capacity as _PACK_BUDGET (comparability)
+
+
+def _greedy_oracle() -> str:
+    return rf"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    g AS (
+      SELECT lang, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.lang, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN g.fill + t.n_tokens > {GREEDY_PACK_BUDGET}
+                       AND g.fill > 0
+                  THEN g.bin + 1 ELSE g.bin END,
+             CASE WHEN g.fill + t.n_tokens > {GREEDY_PACK_BUDGET}
+                       AND g.fill > 0
+                  THEN t.n_tokens ELSE g.fill + t.n_tokens END
+      FROM g JOIN t ON t.lang = g.lang AND t.rn = g.rn + 1
+    )
+    SELECT lang, bin AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM g GROUP BY 1, 2
+    """
+
+
+@register(
+    "doc_pack_greedy",
+    oracle=_greedy_oracle(),
+    tags=("north_star", "pipeline", "grouped_map"),
+)
+def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy document-preserving sequence packing per language:
+    (lang, seq_id, n_docs, seq_tokens, first_doc, last_doc), where a
+    sequence closes when the next doc would cross GREEDY_PACK_BUDGET
+    tokens (an oversize doc gets its own sequence; docs never split).
+
+    Shape: ONE lang-keyed exchange into an applyInPandas sequential
+    fold (two ints of state per group, emitted per doc), then the
+    rollup reuses the same partitioning. The concat-then-chunk twin
+    (doc_pack_sequences) stays the pretraining form; this is the
+    SFT/finetuning form where documents are atomic."""
+    import pandas as pd
+
+    from etl_cnpjs_spark.functions.text import tokens
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    )
+
+    budget = GREEDY_PACK_BUDGET
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        b, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            if fill + n > budget and fill > 0:
+                b, fill = b + 1, int(n)
+            else:
+                fill += int(n)
+            bins.append(b)
+        pdf["seq_id"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    packed = d.groupBy("lang").applyInPandas(
+        pack, "doc_id long, lang string, n_tokens int, seq_id long"
+    )
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

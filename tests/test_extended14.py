@@ -272,3 +272,88 @@ def test_decontaminate_matches_sequential(spark, tmp_path_factory, docs):
         for r in QUERIES["corpus_decontaminate"].fn(spark, str(d)).collect()
     }
     assert got == expected
+
+
+# --- doc_pack_greedy ---------------------------------------------------------
+
+
+@pytest.fixture()
+def pack_dir(tmp_path):
+    """Token counts chosen around GREEDY_PACK_BUDGET=512 to exercise
+    every greedy rule: fit, overflow-close, oversize-own-bin, and a
+    second language. Hand-derived bins (budget 512):
+
+    en: 300 -> bin0 | 400 (300+400>512) -> bin1 | 100 (500<=512) -> bin1
+        | 600 (oversize) -> bin2 | 200 -> bin3
+    pt: 512 (exact fit) -> bin0 | 1 (513>512) -> bin1
+    """
+    sizes = {1: 300, 2: 400, 3: 100, 4: 600, 5: 200}
+    rows = [
+        {"doc_id": i, "lang": "en", "text": " ".join(f"w{j}" for j in range(n))}
+        for i, n in sizes.items()
+    ]
+    rows += [
+        {"doc_id": 6, "lang": "pt", "text": " ".join(f"p{j}" for j in range(512))},
+        {"doc_id": 7, "lang": "pt", "text": "solo"},
+    ]
+    df = pd.DataFrame(rows)
+    df["source"] = "fix"
+    df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+PACK_EXPECTED = {
+    ("en", 0): (1, 300, 1, 1),
+    ("en", 1): (2, 500, 2, 3),
+    ("en", 2): (1, 600, 4, 4),
+    ("en", 3): (1, 200, 5, 5),
+    ("pt", 0): (1, 512, 6, 6),
+    ("pt", 1): (1, 1, 7, 7),
+}
+
+
+def test_pack_greedy_fixture_spark(spark, pack_dir):
+    rows = QUERIES["doc_pack_greedy"].fn(spark, pack_dir).collect()
+    got = {
+        (r.lang, r.seq_id): (r.n_docs, r.seq_tokens, r.first_doc, r.last_doc)
+        for r in rows
+    }
+    assert got == PACK_EXPECTED
+
+
+def test_pack_greedy_fixture_oracle(pack_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{pack_dir}/documents.parquet')"
+    )
+    rows = con.execute(QUERIES["doc_pack_greedy"].oracle).fetchall()
+    got = {(r[0], r[1]): tuple(r[2:]) for r in rows}
+    assert got == PACK_EXPECTED
+
+
+def test_pack_greedy_never_splits_and_respects_budget(spark, sf_dir):
+    """Structural invariants on the shipped corpus: every sequence
+    except oversize singletons holds <= budget tokens; doc count and
+    token totals reconcile with the corpus (docs are atomic)."""
+    from pyspark.sql import functions as F
+
+    from etl_cnpjs_spark.catalog import table
+    from etl_cnpjs_spark.functions.text import tokens
+    from etl_cnpjs_spark.plans.extended14 import GREEDY_PACK_BUDGET
+
+    rows = QUERIES["doc_pack_greedy"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.seq_tokens <= GREEDY_PACK_BUDGET or r.n_docs == 1
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(F.size(tokens(F.col("text"))).alias("n"))
+        .agg(F.count(F.lit(1)).alias("nd"), F.sum("n").alias("nt"))
+        .collect()[0]
+    )
+    assert sum(r.n_docs for r in rows) == d.nd
+    assert sum(r.seq_tokens for r in rows) == d.nt
