@@ -357,3 +357,45 @@ def test_pack_greedy_never_splits_and_respects_budget(spark, sf_dir):
     )
     assert sum(r.n_docs for r in rows) == d.nd
     assert sum(r.seq_tokens for r in rows) == d.nt
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(
+        st.integers(min_value=1, max_value=700), min_size=1, max_size=12
+    )
+)
+def test_pack_greedy_matches_sequential(spark, tmp_path_factory, sizes):
+    """Greedy recurrence vs a plain-Python sequential fold on random
+    doc sizes (including oversize > budget docs)."""
+    from etl_cnpjs_spark.plans.extended14 import GREEDY_PACK_BUDGET
+
+    expected = {}
+    b, fill = 0, 0
+    for i, n in enumerate(sizes):
+        if fill + n > GREEDY_PACK_BUDGET and fill > 0:
+            b, fill = b + 1, n
+        else:
+            fill += n
+        nd, nt = expected.get(b, (0, 0))
+        expected[b] = (nd + 1, nt + n)
+
+    d = tmp_path_factory.mktemp("pack_prop")
+    pd.DataFrame(
+        {
+            "doc_id": range(len(sizes)),
+            "lang": ["xx"] * len(sizes),
+            "source": ["fix"] * len(sizes),
+            "text": [" ".join(f"w{j}" for j in range(n)) for n in sizes],
+            "n_chars": [n * 3 for n in sizes],
+        }
+    ).to_parquet(d / "documents.parquet", index=False)
+    got = {
+        r.seq_id: (r.n_docs, r.seq_tokens)
+        for r in QUERIES["doc_pack_greedy"].fn(spark, str(d)).collect()
+    }
+    assert got == expected
