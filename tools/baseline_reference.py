@@ -28,8 +28,10 @@ Prints one JSON line with both sides' phase timings.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import shutil
 import sqlite3
 import sys
 import tempfile
@@ -144,10 +146,13 @@ def main() -> int:
     else:
         sizes = _SIZES[tag]
     src = tempfile.mkdtemp(prefix="baseline_fixtures_")
+    atexit.register(shutil.rmtree, src, ignore_errors=True)
     paths = fixtures.generate(src, seed=42, n_empresas=sizes[0], n_estab=sizes[1])
 
     ref_dir = tempfile.mkdtemp(prefix="baseline_ref_")
     eng_dir = tempfile.mkdtemp(prefix="baseline_eng_")
+    atexit.register(shutil.rmtree, ref_dir, ignore_errors=True)
+    atexit.register(shutil.rmtree, eng_dir, ignore_errors=True)
     ref = baseline_sqlite(paths, ref_dir)
     eng = engine_spark(src, paths, eng_dir)
 
