@@ -200,3 +200,91 @@ def test_pmi_matches_python(spark, pmi_dir):
         for r in QUERIES["text_collocations_pmi"].fn(spark, pmi_dir).collect()
     }
     assert got == expected
+
+
+# --- graph_hits vs Python power iteration -------------------------------------
+
+
+def test_hits_matches_python(spark, tmp_path):
+    """Tiny orders fixture -> the plan's synthetic edge derivation and
+    3 max-normalized HITS rounds replayed in plain Python integer
+    arithmetic (ppm bigints, no floats anywhere on either side)."""
+    from etl_cnpjs_spark.plans.extended11 import _HITS_N, _HITS_ROUNDS
+
+    keys = [1, 2, 3, 7, 501, 502, 1003, 1504, 999, 42]
+    pd.DataFrame({"o_orderkey": keys}).to_parquet(
+        tmp_path / "orders.parquet", index=False
+    )
+
+    edges = set()
+    for k in keys:
+        a = k % _HITS_N
+        b = ((k // _HITS_N) * 13 + (k % _HITS_N) * 7 + 1) % _HITS_N
+        if a != b:
+            edges.add((a, b))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    h = {n: 1_000_000 for n in nodes}
+    a_ = {n: 1_000_000 for n in nodes}
+    for _ in range(_HITS_ROUNDS):
+        s = {n: 0 for n in nodes}
+        for u, v in edges:
+            s[v] += h[u]
+        mx = max(s.values())
+        a_ = {n: s[n] * 1_000_000 // mx for n in nodes}
+        s = {n: 0 for n in nodes}
+        for u, v in edges:
+            s[u] += a_[v]
+        mx = max(s.values())
+        h = {n: s[n] * 1_000_000 // mx for n in nodes}
+    expected = {
+        n: (h[n], a_[n]) for n in nodes if h[n] > 0 or a_[n] > 0
+    }
+
+    got = {
+        r.node: (r.hub_ppm, r.auth_ppm)
+        for r in QUERIES["graph_hits"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+
+
+# --- graph_bipartite_project vs Python ----------------------------------------
+
+
+def test_bipartite_project_matches_python(spark, tmp_path):
+    """Hand-planted part->supplier memberships; the co-membership
+    projection (shared-part counts, global top-K rank) recomputed with
+    Python dict arithmetic."""
+    import itertools
+
+    memb = {
+        100: [1, 2, 3],     # parts 100: suppliers 1,2,3 -> 3 pairs
+        101: [1, 2],        # strengthens (1,2)
+        102: [2, 3, 4],
+        103: [5],           # singleton part: no pairs
+        104: [1, 2],        # (1,2) again -> weight 3
+    }
+    rows = [(p, s) for p, ss in memb.items() for s in ss]
+    rows.append((100, 1))  # duplicate membership row: must dedup first
+    pd.DataFrame(
+        {
+            "l_partkey": [r[0] for r in rows],
+            "l_suppkey": [r[1] for r in rows],
+            "l_orderkey": range(len(rows)),
+            "l_linenumber": [1] * len(rows),
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet", index=False)
+
+    w: dict[tuple, int] = {}
+    for ss in memb.values():
+        for s1, s2 in itertools.combinations(sorted(set(ss)), 2):
+            w[(s1, s2)] = w.get((s1, s2), 0) + 1
+    ranked = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))
+    expected = {
+        (rk + 1, s1, s2): c for rk, ((s1, s2), c) in enumerate(ranked)
+    }
+
+    got = {
+        (r.rk, r.s1, r.s2): r.shared_parts
+        for r in QUERIES["graph_bipartite_project"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
