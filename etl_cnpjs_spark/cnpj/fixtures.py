@@ -49,6 +49,34 @@ def _write_csv(path: str, rows: list[list[str]]) -> None:
         csv.writer(f, delimiter=";", lineterminator="\n").writerows(rows)
 
 
+class _ShardWriter:
+    """Stream rows into 2 shards (row i < half -> shard 0) without ever
+    holding a table in memory — byte-identical to the old build-list-
+    then-slice form (same encoding/dialect, same split point), but
+    O(1) memory so multi-10M-row baseline fixtures can't OOM the box."""
+
+    def __init__(self, paths: list[str], half: int):
+        self.half = half
+        self.i = 0
+        self._files = []
+        self._writers = []
+        for p in paths:
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            f = open(p, "w", encoding="latin-1", newline="")
+            self._files.append(f)
+            self._writers.append(
+                csv.writer(f, delimiter=";", lineterminator="\n")
+            )
+
+    def write(self, row: list[str]) -> None:
+        self._writers[0 if self.i < self.half else 1].writerow(row)
+        self.i += 1
+
+    def close(self) -> None:
+        for f in self._files:
+            f.close()
+
+
 def generate(base_dir: str, seed: int = 42, n_empresas: int = 1000, n_estab: int = 2500) -> dict[str, list[str]]:
     """Write fixture shards under base_dir; return {table: [paths]}.
 
@@ -60,11 +88,15 @@ def generate(base_dir: str, seed: int = 42, n_empresas: int = 1000, n_estab: int
     paths: dict[str, list[str]] = {}
 
     # --- empresas: keys 1..n, ~10% of estabelecimento keys will be orphans
-    empresas = []
+    paths["empresas"] = [
+        os.path.join(base_dir, "zips", "empresas", f"K3241.K0320{k}.EMPRECSV")
+        for k in range(2)
+    ]
+    w = _ShardWriter(paths["empresas"], n_empresas // 2)
     for i in range(1, n_empresas + 1):
         name_words = [rng.choice(_ACCENTED if rng.random() < 0.3 else _PLAIN) for _ in range(3)]
         capital = f"{rng.randrange(0, 900000)},{rng.randrange(100):02d}" if rng.random() > 0.05 else "0,00"
-        empresas.append(
+        w.write(
             [
                 f"{i:08d}",
                 " ".join(name_words),
@@ -75,24 +107,24 @@ def generate(base_dir: str, seed: int = 42, n_empresas: int = 1000, n_estab: int
                 "",
             ]
         )
-    half = len(empresas) // 2
-    shards = [empresas[:half], empresas[half:]]
-    paths["empresas"] = []
-    for k, shard in enumerate(shards):
-        p = os.path.join(base_dir, "zips", "empresas", f"K3241.K0320{k}.EMPRECSV")
-        _write_csv(p, shard)
-        paths["empresas"].append(p)
+    w.close()
 
     # --- estabelecimentos: ~10% orphan cnpj_basico (beyond n_empresas)
     municipios_pool = QUERY_MUNICIPIOS + [7107, 6001, 8100, 9205, 5300]
-    estab = []
+    paths["estabelecimentos"] = [
+        os.path.join(
+            base_dir, "zips", "estabelecimentos", f"K3241.K0320{k}.ESTABELE"
+        )
+        for k in range(2)
+    ]
+    w = _ShardWriter(paths["estabelecimentos"], n_estab // 2)
     for i in range(1, n_estab + 1):
         orphan = rng.random() < 0.10
         basico = rng.randrange(n_empresas + 1, n_empresas + 200) if orphan else rng.randrange(1, n_empresas + 1)
         cnae = rng.choice(QUERY_CNAES_DISTINCT) if rng.random() < 0.5 else rng.choice([111301, 8599604, 5611201, 9602501])
         sec = ",".join(str(rng.choice(QUERY_CNAES_DISTINCT)) for _ in range(rng.randrange(1, 4))) if rng.random() < 0.4 else ""
         ddd1 = f"{rng.choice([11, 41, 21, 31])}" if rng.random() > 0.2 else ""
-        estab.append(
+        w.write(
             [
                 f"{basico:08d}",
                 f"{rng.randrange(1, 3):04d}",
@@ -126,12 +158,7 @@ def generate(base_dir: str, seed: int = 42, n_empresas: int = 1000, n_estab: int
                 "",
             ]
         )
-    half = len(estab) // 2
-    paths["estabelecimentos"] = []
-    for k, shard in enumerate([estab[:half], estab[half:]]):
-        p = os.path.join(base_dir, "zips", "estabelecimentos", f"K3241.K0320{k}.ESTABELE")
-        _write_csv(p, shard)
-        paths["estabelecimentos"].append(p)
+    w.close()
 
     # --- dims
     other_cnaes = [111301, 8599604, 5611201, 9602501]
