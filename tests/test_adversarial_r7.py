@@ -288,3 +288,90 @@ def test_bipartite_project_matches_python(spark, tmp_path):
         for r in QUERIES["graph_bipartite_project"].fn(spark, str(tmp_path)).collect()
     }
     assert got == expected
+
+
+# --- synthetic-graph family: pagerank + bounded BFS vs Python -----------------
+
+
+@pytest.fixture()
+def li_graph_dir(tmp_path):
+    """Hand-planted part->supplier memberships. Parts 97 and 194 are the
+    BFS seeds (u % 97 == 0); the chain 97 -(s2)- part1 -(s3) gives BFS
+    levels 3 deep; part 2/supplier 4 is an unreachable island."""
+    memb = [
+        (97, 1), (97, 2),
+        (1, 2), (1, 3),
+        (194, 5),
+        (3, 5), (3, 6),
+        (2, 4),
+        (97, 1),  # duplicate membership row: plans must distinct first
+    ]
+    pd.DataFrame(
+        {
+            "l_partkey": [p for p, _ in memb],
+            "l_suppkey": [s for _, s in memb],
+            "l_orderkey": range(len(memb)),
+            "l_linenumber": [1] * len(memb),
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet", index=False)
+    return str(tmp_path), memb
+
+
+def _undirected(memb, offset):
+    e = {(p, offset + s) for p, s in memb}
+    return e | {(v, u) for u, v in e}
+
+
+def test_bfs_bounded_matches_python(spark, li_graph_dir):
+    from etl_cnpjs_spark.plans.extended7 import _BFS_HOPS, _BFS_SUPP_OFFSET
+
+    d, memb = li_graph_dir
+    e = _undirected(memb, _BFS_SUPP_OFFSET)
+    adj: dict[int, set] = {}
+    for u, v in e:
+        adj.setdefault(u, set()).add(v)
+    seeds = {p for p, _ in memb if p % 97 == 0}
+    levels = {n: 0 for n in seeds}
+    frontier = set(seeds)
+    for lvl in range(1, _BFS_HOPS + 1):
+        frontier = {
+            v for u in frontier for v in adj.get(u, ()) if v not in levels
+        }
+        for v in frontier:
+            levels[v] = lvl
+
+    got = {
+        r.node: r.level
+        for r in QUERIES["graph_bfs_bounded"].fn(spark, d).collect()
+    }
+    assert got == levels
+
+
+def test_pagerank_matches_python(spark, li_graph_dir):
+    """Replays the exact arithmetic: per-edge contribution quantized to
+    1e-15 bigints (floor), exact integer sums, double finish, final
+    quantize at 1e-12 — identical op order, so equality is exact."""
+    from etl_cnpjs_spark.plans.extended3 import (
+        _PR_D,
+        _PR_ITERS,
+        _PR_SUPP_OFFSET,
+    )
+
+    d, memb = li_graph_dir
+    e = sorted(_undirected(memb, _PR_SUPP_OFFSET))
+    nodes = sorted({u for u, _ in e})
+    od = {n: sum(1 for u, _ in e if u == n) for n in nodes}
+    nn = len(nodes)
+    r = {n: 1.0 / nn for n in nodes}
+    for _ in range(_PR_ITERS):
+        s = {n: 0 for n in nodes}
+        for u, v in e:
+            s[v] += math.floor(r[u] / od[u] * 1e15 + 0.5)
+        r = {n: 0.15 / nn + _PR_D * (float(s[n]) / 1e15) for n in nodes}
+    expected = {n: math.floor(r[n] * 1e12 + 0.5) / 1e12 for n in nodes}
+
+    got = {
+        row.node: row.rank
+        for row in QUERIES["graph_pagerank"].fn(spark, d).collect()
+    }
+    assert got == expected
