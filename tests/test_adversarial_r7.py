@@ -375,3 +375,80 @@ def test_pagerank_matches_python(spark, li_graph_dir):
         for row in QUERIES["graph_pagerank"].fn(spark, d).collect()
     }
     assert got == expected
+
+
+def test_label_propagation_matches_python(spark, li_graph_dir):
+    """Two synchronous LPA iterations replayed in Python with the same
+    deterministic (count, smallest-label) mode rule (score = cnt*C -
+    label, max wins)."""
+    from etl_cnpjs_spark.plans.extended3 import (
+        _LPA_C,
+        _LPA_ITERS,
+        _PR_SUPP_OFFSET,
+    )
+
+    d, memb = li_graph_dir
+    e = sorted(_undirected(memb, _PR_SUPP_OFFSET))
+    nodes = sorted({u for u, _ in e})
+    lab = {n: n for n in nodes}
+    for _ in range(_LPA_ITERS):
+        cnt: dict[tuple, int] = {}
+        for u, v in e:
+            cnt[(v, lab[u])] = cnt.get((v, lab[u]), 0) + 1
+        nxt = {}
+        for (v, label), c in cnt.items():
+            score = c * _LPA_C - label
+            if v not in nxt or score > nxt[v][0]:
+                nxt[v] = (score, label)
+        lab = {n: nxt[n][1] for n in nodes}
+
+    got = {
+        r.node: r.label
+        for r in QUERIES["graph_label_propagation"].fn(spark, d).collect()
+    }
+    assert got == lab
+
+
+def test_kcore_matches_python(spark, tmp_path):
+    """4 peel rounds at k=8 replayed as Python set arithmetic on a
+    graph built so peeling CASCADES: a 9-clique of parts on 9 shared
+    suppliers survives, a pendant chain peels away round by round."""
+    import itertools
+
+    from etl_cnpjs_spark.plans.extended10 import (
+        _KC_SUPP_OFFSET,
+        _KCORE_K,
+        _KCORE_ROUNDS,
+    )
+
+    # bipartite: parts 1..9 each use suppliers 1..9 -> bipartite
+    # 9x9 biclique (degree 9 >= k=8 everywhere, survives). parts
+    # 100..103 form a pendant path via single suppliers 100..104.
+    memb = [(p, s) for p in range(1, 10) for s in range(1, 10)]
+    memb += [(100, 100), (100, 101), (101, 101), (101, 102),
+             (102, 102), (102, 103), (103, 103), (103, 104)]
+    pd.DataFrame(
+        {
+            "l_partkey": [p for p, _ in memb],
+            "l_suppkey": [s for _, s in memb],
+            "l_orderkey": range(len(memb)),
+            "l_linenumber": [1] * len(memb),
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet", index=False)
+
+    e = _undirected(memb, _KC_SUPP_OFFSET)
+    for _ in range(_KCORE_ROUNDS):
+        deg: dict[int, int] = {}
+        for u, _v in e:
+            deg[u] = deg.get(u, 0) + 1
+        surv = {n for n, c in deg.items() if c >= _KCORE_K}
+        e = {(u, v) for u, v in e if u in surv and v in surv}
+    expected: dict[int, int] = {}
+    for u, _v in e:
+        expected[u] = expected.get(u, 0) + 1
+
+    got = {
+        r.node: r.core_degree
+        for r in QUERIES["graph_kcore"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
