@@ -976,9 +976,12 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     FRAME (vocab exchange, not corpus); idf joins back vocab-sized
     (broadcast); the per-doc cut is one rank window. The idf is
     quantized to integer micro-units BEFORE the tf multiply, so the
-    ranking key is bigint — no float ordering anywhere. At 100 TB
-    this is text_tfidf's envelope plus a window on the doc-sized
-    scored frame."""
+    ranking key is bigint — no float ordering anywhere. The corpus
+    size folds into the job as a broadcast 1-row frame (the
+    text_tfidf pattern) — NOT a driver-side count(), which at 100 TB
+    is a second full pass over the corpus plus a driver sync before
+    the real job starts. At 100 TB this is text_tfidf's envelope
+    plus a window on the doc-sized scored frame."""
     from pyspark.sql.window import Window as W
 
     from etl_cnpjs_spark.functions.text import tokens
@@ -988,15 +991,20 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length(F.trim("text")) > 0)
         .select("doc_id", tokens(F.col("text")).alias("toks"))
     )
-    n_docs = d.count()
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     tfc = (
         d.select("doc_id", F.explode("toks").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
-    df = tfc.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    df = (
+        tfc.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+    )
     idf = F.floor(
-        F.log(F.lit(float(n_docs)) / F.col("df").cast("double")) * 1000000 + 0.5
+        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")) * 1000000
+        + 0.5
     ).cast("bigint")
     sc = tfc.join(F.broadcast(df.select("tok", idf.alias("idf_micro"))), "tok").select(
         "doc_id", "tok", (F.col("tf") * F.col("idf_micro")).alias("score_micro")

@@ -216,7 +216,11 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shapes: one tiny contingency aggregate (|types|·2 cells,
     map-side combined), window totals over the cell frame, one
     single-row reduce. All heavy lifting is the first aggregate —
-    everything after is constant-sized. At 100 TB: one exchange of
+    everything after is constant-sized, and the dof cardinalities
+    (nr, nc) are countDistinct columns of that SAME final reduce —
+    not eager driver-side .distinct().count() jobs, which would
+    re-run the contingency aggregate (a full fact-table scan each)
+    before the real job starts. At 100 TB: one exchange of
     per-task partial cells."""
     ev = table(spark, sf_dir, "events")
     cell = (
@@ -237,12 +241,12 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = F.col("o").cast("double") - e
     contrib = F.floor(dev * dev / e * 1000000 + 0.5).cast("bigint")
-    nr = cell.select("event_type").distinct().count()
-    nc = cell.select("cohort").distinct().count()
-    q = t.select("n", contrib.alias("contrib_micro"))
+    q = t.select("event_type", "cohort", "n", contrib.alias("contrib_micro"))
     return q.agg(
         F.max("n").cast("bigint").alias("n"),
-        F.lit((nr - 1) * (nc - 1)).cast("bigint").alias("dof"),
+        ((F.countDistinct("event_type") - 1) * (F.countDistinct("cohort") - 1))
+        .cast("bigint")
+        .alias("dof"),
         F.sum("contrib_micro").cast("bigint").alias("chi2_micro"),
         (F.sum("contrib_micro").cast("double") / F.lit(1e6)).alias("chi2"),
     )

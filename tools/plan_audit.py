@@ -12,6 +12,18 @@ cluster run:
                                   path (Arrow paths show ArrowEvalPython /
                                   MapInPandas instead)
 - high Exchange counts          — shuffle-discipline watchlist
+- EAGER actions at build time   — any DataFrame.count/collect/first/
+                                  take/toPandas/show/head fired while the
+                                  plan FUNCTION runs (before the driver
+                                  executes the returned frame): at 100 TB
+                                  that is an extra full job + driver sync
+                                  before the real query starts. Detected
+                                  by intercepting the DataFrame action
+                                  methods during construction (see
+                                  record_eager); the only adjudicated
+                                  sites are the iterative-CC convergence
+                                  probe and the brute-force-oracle size
+                                  guards (EAGER_OK_SITES).
 
 tests/test_plans.py pins the per-key claims; this tool is the sweep that
 finds NEW offenders before they earn a pin. Run:
@@ -20,11 +32,104 @@ finds NEW offenders before they earn a pin. Run:
 
 from __future__ import annotations
 
+import contextlib
 import os
 import sys
+import traceback
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+# DataFrame methods that run a job and sync to the driver. localCheckpoint
+# is deliberately NOT here: it is the adjudicated barrier primitive (plan
+# bodies use it to cut twice-consumed lineage), and writes are the sink
+# keys' staged inputs — both materialize by design.
+EAGER_ACTIONS = ("count", "collect", "first", "take", "toPandas", "show", "head")
+
+# Adjudicated eager call sites: (path suffix, enclosing function). Anything
+# else firing an eager action during plan construction flags.
+EAGER_OK_SITES = (
+    # iterative star-contraction convergence probe — a legitimate driver
+    # decision point, stride-gated (operators/graph.py docstring)
+    ("operators/graph.py", "connected_components"),
+    # brute-force oracle size guards: refuse O(n²) past max_rows with a
+    # message naming the LSH/IVF scale twins
+    ("operators/similarity.py", "all_pairs_cosine_blocked"),
+    ("operators/similarity.py", "knn_join_blocked"),
+)
+
+
+def _adjudicated(stack: list[traceback.FrameSummary]) -> bool:
+    return any(
+        f.filename.endswith(path) and f.name == fn
+        for f in stack
+        for path, fn in EAGER_OK_SITES
+    )
+
+
+_THIS_FILE = os.path.abspath(__file__)
+
+
+def _df_classes():
+    """Every DataFrame class whose methods a session might dispatch to.
+    Spark 4's classic DataFrame SUBCLASSES pyspark.sql.DataFrame and
+    redefines the action methods, so patching only the base class is
+    silently shadowed — patch each class that defines the method itself."""
+    classes = []
+    from pyspark.sql import DataFrame as base
+
+    classes.append(base)
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as classic
+
+        classes.append(classic)
+    except ImportError:
+        pass
+    return classes
+
+
+@contextlib.contextmanager
+def record_eager():
+    """Intercept DataFrame eager actions; yields a list of
+    (action, 'file:line') hits from un-adjudicated call sites. Used by
+    main() around every plan build and by tests to seed violations."""
+    hits: list[tuple[str, str]] = []
+    originals: list[tuple[type, str, object]] = []
+
+    def make(name, orig):
+        def wrapper(self, *a, **kw):
+            stack = traceback.extract_stack()[:-1]
+            # ignore nested eager calls (head -> take) — record the
+            # outermost interception only
+            nested = any(
+                os.path.abspath(f.filename) == _THIS_FILE and f.name == "wrapper"
+                for f in stack
+            )
+            if not nested and not _adjudicated(stack):
+                site = next(
+                    (
+                        f"{os.path.relpath(f.filename, REPO)}:{f.lineno}"
+                        for f in reversed(stack)
+                        if os.sep + "etl_cnpjs_spark" + os.sep in f.filename
+                    ),
+                    f"{stack[-1].filename}:{stack[-1].lineno}",
+                )
+                hits.append((name, site))
+            return orig(self, *a, **kw)
+
+        return wrapper
+
+    for cls in _df_classes():
+        for name in EAGER_ACTIONS:
+            if name in cls.__dict__:
+                orig = cls.__dict__[name]
+                originals.append((cls, name, orig))
+                setattr(cls, name, make(name, orig))
+    try:
+        yield hits
+    finally:
+        for cls, name, orig in originals:
+            setattr(cls, name, orig)
 
 # BNLJ appearances that are the CORRECT scalar/tiny-broadcast shape,
 # adjudicated by reading the plan: scalar thresholds (tpch_q11/q22),
@@ -57,6 +162,7 @@ BNLJ_OK = {
     "events_dau_mau",  # broadcast day-grid frame (≤ |days| rows) onto actives
     "text_js_divergence",  # broadcast 1-row corpus-total frame onto the vocab
     "text_collocations_pmi",  # broadcast 1-row token-total frame (r7: replaced the eager collect)
+    "text_keywords",  # broadcast 1-row n_docs frame (r8: replaced the eager count)
     "dq_freshness",  # broadcast 1-row watermark frame onto |types| rows
     "embedding_pq",  # broadcast 4-row codebook crossJoin (assignment shape)
     "events_did",  # broadcast 1-row corpus-midpoint frame onto the scan
@@ -176,12 +282,16 @@ def main() -> int:
     bad = 0
     for k, fn in qs.items():
         try:
-            p = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            with record_eager() as eager_hits:
+                df = fn(spark, sf_dir)
+            p = df._jdf.queryExecution().executedPlan().toString()
         except Exception as ex:
             print(f"ERROR {k}: {type(ex).__name__}: {ex}")
             bad += 1
             continue
         issues = []
+        for action, site in eager_hits:
+            issues.append(f"EAGER_{action.upper()}@{site}")
         if "CartesianProduct" in p:
             issues.append("CARTESIAN")
         if "BroadcastNestedLoopJoin" in p and k not in BNLJ_OK:
