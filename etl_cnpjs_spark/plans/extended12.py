@@ -177,7 +177,7 @@ _TENC_SQL = """
     ),
     w AS (
       SELECT o_orderkey, o_orderpriority, cents,
-             CAST(sum(cents) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+             CAST(sum(cents) OVER (PARTITION BY o_orderpriority) AS HUGEINT)
                AS s,
              count(*) OVER (PARTITION BY o_orderpriority) AS n
       FROM o
@@ -201,12 +201,21 @@ def agg_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n − 1) identity is what makes LOO encoding a single-window
     operation instead of an n-fold recompute.
 
-    Integer bound (documented, not latent): (s − cents) ≤ ~7.5e11 per
-    category at sf0.1, ×1e6 = 7.5e17 < 2^63; holds through sf1. Past
-    that, the sum accumulates in DECIMAL(38,0) (house pattern) and the
-    multiplier drops to 1e3. DuckDB twin must CAST(sum(...) AS BIGINT)
-    before `//` or HUGEINT widens the division to DOUBLE (sharp edge,
-    NOTES.md round-6 session 2)."""
+    Accumulation regime (r8, promoted after the r7 100× stress): the
+    window sum runs in DECIMAL(38,0) — the r7 noop-materialized probe
+    proved the bigint form's (s − cents)·1e6 overflows int64 under
+    ANSI at ~15 M same-category rows (3 M rows/category, exactly the
+    docstring's predicted past-sf1 boundary), so the registered plan
+    is the form that is correct at ANY volume: ~1e38 headroom, and
+    `DIV` on decimals still returns the exact BIGINT quotient, so the
+    output is bit-identical to the int64 form everywhere below the
+    boundary (DuckDB's HUGEINT sum widens the same way — the oracle's
+    arithmetic is unchanged). The int64 form is the documented fast
+    path (~25% cheaper at sf0.1, tools/stress_r7.py) for deployments
+    that can BOUND per-category sums below 2^63/1e6; past ~1e8
+    rows/category the right rewrite is the (sum, count) groupBy +
+    broadcast-join-back of the same LOO identity — window parallelism
+    is capped at |categories| long before arithmetic overflows."""
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
@@ -216,7 +225,7 @@ def agg_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("o_orderpriority")
     return (
-        o.withColumn("s", F.sum("cents").over(w))
+        o.withColumn("s", F.sum(F.col("cents").cast("decimal(38,0)")).over(w))
         .withColumn("n", F.count(F.lit(1)).over(w))
         .filter(F.col("n") > 1)
         .select(

@@ -294,9 +294,10 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LANGUAGE, so the Spark shape is ONE applyInPandas grouped-map pass
 # (Arrow-batched, sorted by doc_id inside the group — the sequential
 # fold a KeyedProcessFunction would run), and the oracle replays the
-# identical recurrence as a DuckDB recursive CTE. Production shards the
-# group key to (lang, shard) exactly as doc_pack_sequences documents;
-# per-group memory is O(1) (two integers of state).
+# identical recurrence as a DuckDB recursive CTE. Per-group memory is
+# O(1) (two integers of state), but the group ROW COUNT is the whole
+# language — see doc_pack_greedy_sharded below for the bounded-task
+# production form and the explicit boundary-divergence contract.
 
 GREEDY_PACK_BUDGET = 512  # same capacity as _PACK_BUDGET (comparability)
 
@@ -346,7 +347,23 @@ def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold (two ints of state per group, emitted per doc), then the
     rollup reuses the same partitioning. The concat-then-chunk twin
     (doc_pack_sequences) stays the pretraining form; this is the
-    SFT/finetuning form where documents are atomic."""
+    SFT/finetuning form where documents are atomic.
+
+    SCALE CONTRACT (r7 verdict): the registered semantics is the
+    GLOBAL per-language fold, which materializes one language's whole
+    (doc_id, n_tokens) frame in a single pandas task — at 100 TB a
+    dominant language is ~1e9-1e10 rows in one task (straggler/OOM).
+    Greedy packing is NOT associatively composable: an incoming-fill
+    change at a shard boundary can cascade bin boundaries through the
+    rest of the shard, so no exact parallel stitch exists. The
+    production path is doc_pack_greedy_sharded: (lang, shard) groups
+    bounded by GREEDY_SHARD_WIDTH docs per task, stitched with
+    per-shard bin offsets — it DIVERGES from this key exactly at shard
+    boundaries (a bin force-closes at every shard edge; waste is
+    bounded by n_shards*budget tokens, and every bin still satisfies
+    the capacity/atomicity invariants). Pick one: this key's bins are
+    reproducible against a sequential fold; the sharded key's bins are
+    reproducible at any parallelism."""
     import pandas as pd
 
     from etl_cnpjs_spark.functions.text import tokens
@@ -376,6 +393,155 @@ def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack, "doc_id long, lang string, n_tokens int, seq_id long"
     )
     return packed.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# --- doc_pack_greedy_sharded -------------------------------------------------
+#
+# The bounded-task production form of doc_pack_greedy. Greedy packing's
+# recurrence is order-sensitive and non-composable (see the contract in
+# doc_pack_greedy's docstring), so the scale form CHANGES THE SEMANTICS
+# EXPLICITLY rather than silently: docs shard into contiguous doc_id
+# ranges of GREEDY_SHARD_WIDTH, each (lang, shard) packs independently
+# from fill=0 (task row count bounded by the width, whatever the corpus
+# size), and global sequence ids stitch by adding each shard's
+# cumulative bin offset (the fn_stable_id partition-offset technique).
+# A bin force-closes at every shard boundary — that is the entire
+# divergence from the global fold, and it is bounded: at most one
+# under-filled bin per (lang, shard), so wasted capacity <=
+# n_shards * budget tokens. All capacity/atomicity invariants hold
+# bin-by-bin. The oracle replays the IDENTICAL sharded recurrence
+# (recursive CTE partitioned by (lang, shard) + the same offset window),
+# so the hash check covers the stitch arithmetic too.
+
+# Docs per shard — the per-task row bound AND the pandas-overhead
+# amortization knob. 64 is the REGISTERED (oracle-checked) width so
+# sf0.01's 500 docs exercise multiple shards and the stitch arithmetic
+# is inside the hash check; production uses 1e5-1e6 (tools/stress_r8.py
+# measured the tradeoff at 10x: width 64 pays ~6x in per-group
+# applyInPandas overhead, width 4096 is already flat at 1.25 s — group
+# START cost, not the fold, is what a too-small width buys).
+GREEDY_SHARD_WIDTH = 64
+
+
+def _greedy_sharded_oracle() -> str:
+    return rf"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang, doc_id // {GREEDY_SHARD_WIDTH} AS shard,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             row_number() OVER (PARTITION BY lang, doc_id // {GREEDY_SHARD_WIDTH}
+                                ORDER BY doc_id) AS rn
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    g AS (
+      SELECT lang, shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.lang, t.shard, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN g.fill + t.n_tokens > {GREEDY_PACK_BUDGET}
+                       AND g.fill > 0
+                  THEN g.bin + 1 ELSE g.bin END,
+             CASE WHEN g.fill + t.n_tokens > {GREEDY_PACK_BUDGET}
+                       AND g.fill > 0
+                  THEN t.n_tokens ELSE g.fill + t.n_tokens END
+      FROM g JOIN t ON t.lang = g.lang AND t.shard = g.shard
+                   AND t.rn = g.rn + 1
+    ),
+    sb AS (
+      SELECT lang, shard, max(bin) + 1 AS bins FROM g GROUP BY 1, 2),
+    off AS (
+      SELECT lang, shard,
+             CAST(sum(bins) OVER (PARTITION BY lang ORDER BY shard)
+                  - bins AS BIGINT) AS offset
+      FROM sb)
+    SELECT g.lang, g.bin + o.offset AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(g.n_tokens) AS BIGINT) AS seq_tokens,
+           MIN(g.doc_id) AS first_doc, MAX(g.doc_id) AS last_doc
+    FROM g JOIN off o ON g.lang = o.lang AND g.shard = o.shard
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "doc_pack_greedy_sharded",
+    oracle=_greedy_sharded_oracle(),
+    tags=("north_star", "pipeline", "grouped_map"),
+)
+def doc_pack_greedy_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy document-preserving packing, sharded for bounded tasks:
+    same output schema as doc_pack_greedy, but the fold runs per
+    (lang, shard = doc_id DIV GREEDY_SHARD_WIDTH) and global seq_ids
+    stitch via per-shard cumulative bin offsets.
+
+    Shape: one (lang, shard)-keyed exchange into the applyInPandas
+    fold (task rows <= GREEDY_SHARD_WIDTH by construction); the
+    per-shard bin-count rollup REUSES that partitioning (a prefix of
+    the group key); the offset table is |shards| rows — one tiny
+    window exchange — and broadcasts back onto the packed frame (no
+    re-shuffle of the doc-grain data). Divergence vs the global fold
+    is exactly the forced bin close at each shard edge (bounded waste;
+    see doc_pack_greedy's SCALE CONTRACT)."""
+    import pandas as pd
+
+    from etl_cnpjs_spark.functions.text import tokens
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.size(tokens(F.col("text"))).alias("n_tokens"),
+            F.expr(f"doc_id DIV {GREEDY_SHARD_WIDTH}").alias("shard"),
+        )
+    )
+
+    budget = GREEDY_PACK_BUDGET
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        b, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            if fill + n > budget and fill > 0:
+                b, fill = b + 1, int(n)
+            else:
+                fill += int(n)
+            bins.append(b)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    packed = d.groupBy("lang", "shard").applyInPandas(
+        pack, "doc_id long, lang string, n_tokens int, shard long, bin long"
+    )
+    sb = packed.groupBy("lang", "shard").agg(
+        (F.max("bin") + 1).cast("bigint").alias("bins")
+    )
+    off = sb.select(
+        "lang",
+        "shard",
+        (
+            F.sum("bins").over(
+                Window.partitionBy("lang").orderBy("shard")
+            )
+            - F.col("bins")
+        )
+        .cast("bigint")
+        .alias("offset"),
+    )
+    stitched = packed.join(F.broadcast(off), ["lang", "shard"]).select(
+        "lang",
+        (F.col("bin") + F.col("offset")).alias("seq_id"),
+        "doc_id",
+        "n_tokens",
+    )
+    return stitched.groupBy("lang", "seq_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
         F.min("doc_id").alias("first_doc"),

@@ -399,3 +399,77 @@ def test_pack_greedy_matches_sequential(spark, tmp_path_factory, sizes):
         for r in QUERIES["doc_pack_greedy"].fn(spark, str(d)).collect()
     }
     assert got == expected
+
+
+# --- doc_pack_greedy_sharded invariants -------------------------------------
+
+
+def test_pack_sharded_invariants_and_divergence_bound(spark, sf_dir):
+    """The sharded twin keeps every bin-level invariant of the global
+    fold (capacity, atomicity, corpus reconciliation) and its ONLY
+    divergence is the forced close at shard boundaries: bins_sharded is
+    between bins_global and bins_global + n_nonempty_shards, and no
+    sharded bin spans a shard boundary."""
+    from etl_cnpjs_spark.plans.extended14 import (
+        GREEDY_PACK_BUDGET,
+        GREEDY_SHARD_WIDTH,
+    )
+
+    sharded = QUERIES["doc_pack_greedy_sharded"].fn(spark, sf_dir).collect()
+    global_ = QUERIES["doc_pack_greedy"].fn(spark, sf_dir).collect()
+
+    for r in sharded:
+        # capacity unless an oversize singleton; docs atomic by schema
+        assert r.seq_tokens <= GREEDY_PACK_BUDGET or r.n_docs == 1
+        # a bin never spans a shard boundary (first/last doc same shard)
+        assert r.first_doc // GREEDY_SHARD_WIDTH == r.last_doc // GREEDY_SHARD_WIDTH
+
+    # same docs, same tokens — packing moves nothing in or out
+    assert sum(r.n_docs for r in sharded) == sum(r.n_docs for r in global_)
+    assert sum(r.seq_tokens for r in sharded) == sum(r.seq_tokens for r in global_)
+
+    # per-lang bin-count divergence bounded by the nonempty shard count
+    import collections
+
+    gb = collections.Counter(r.lang for r in global_)
+    sb = collections.Counter(r.lang for r in sharded)
+    shards = collections.defaultdict(set)
+    for r in sharded:
+        shards[r.lang].add(r.first_doc // GREEDY_SHARD_WIDTH)
+    for lang in gb:
+        assert gb[lang] <= sb[lang] <= gb[lang] + len(shards[lang]), lang
+
+    # seq_ids are 0..n-1 contiguous per lang (the offset stitch is tight)
+    per_lang = collections.defaultdict(list)
+    for r in sharded:
+        per_lang[r.lang].append(r.seq_id)
+    for lang, ids in per_lang.items():
+        assert sorted(ids) == list(range(len(ids))), lang
+
+
+def test_pack_sharded_equals_global_within_one_shard(spark, tmp_path_factory):
+    """When every doc of a language fits in one shard, the sharded fold
+    IS the global fold (offset 0, identical bins) — pins that the
+    divergence comes only from boundaries, not from the stitch."""
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("pack_one_shard")
+    sizes = [300, 400, 100, 600, 200, 512, 1]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(sizes)),
+            "lang": ["xx"] * len(sizes),
+            "source": ["fix"] * len(sizes),
+            "text": [" ".join(f"w{j}" for j in range(n)) for n in sizes],
+            "n_chars": [n * 3 for n in sizes],
+        }
+    ).to_parquet(d / "documents.parquet", index=False)
+    got_s = {
+        (r.lang, r.seq_id): (r.n_docs, r.seq_tokens, r.first_doc, r.last_doc)
+        for r in QUERIES["doc_pack_greedy_sharded"].fn(spark, str(d)).collect()
+    }
+    got_g = {
+        (r.lang, r.seq_id): (r.n_docs, r.seq_tokens, r.first_doc, r.last_doc)
+        for r in QUERIES["doc_pack_greedy"].fn(spark, str(d)).collect()
+    }
+    assert got_s == got_g
