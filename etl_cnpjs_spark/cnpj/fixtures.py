@@ -53,20 +53,33 @@ class _ShardWriter:
     """Stream rows into 2 shards (row i < half -> shard 0) without ever
     holding a table in memory — byte-identical to the old build-list-
     then-slice form (same encoding/dialect, same split point), but
-    O(1) memory so multi-10M-row baseline fixtures can't OOM the box."""
+    O(1) memory so multi-10M-row baseline fixtures can't OOM the box.
+    Context manager (ADVICE r7): an exception during row generation
+    releases the handles instead of leaking them alongside partial
+    shard files."""
 
     def __init__(self, paths: list[str], half: int):
         self.half = half
         self.i = 0
         self._files = []
         self._writers = []
-        for p in paths:
-            os.makedirs(os.path.dirname(p), exist_ok=True)
-            f = open(p, "w", encoding="latin-1", newline="")
-            self._files.append(f)
-            self._writers.append(
-                csv.writer(f, delimiter=";", lineterminator="\n")
-            )
+        try:
+            for p in paths:
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                f = open(p, "w", encoding="latin-1", newline="")
+                self._files.append(f)
+                self._writers.append(
+                    csv.writer(f, delimiter=";", lineterminator="\n")
+                )
+        except Exception:
+            self.close()
+            raise
+
+    def __enter__(self) -> "_ShardWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def write(self, row: list[str]) -> None:
         self._writers[0 if self.i < self.half else 1].writerow(row)
@@ -92,22 +105,21 @@ def generate(base_dir: str, seed: int = 42, n_empresas: int = 1000, n_estab: int
         os.path.join(base_dir, "zips", "empresas", f"K3241.K0320{k}.EMPRECSV")
         for k in range(2)
     ]
-    w = _ShardWriter(paths["empresas"], n_empresas // 2)
-    for i in range(1, n_empresas + 1):
-        name_words = [rng.choice(_ACCENTED if rng.random() < 0.3 else _PLAIN) for _ in range(3)]
-        capital = f"{rng.randrange(0, 900000)},{rng.randrange(100):02d}" if rng.random() > 0.05 else "0,00"
-        w.write(
-            [
-                f"{i:08d}",
-                " ".join(name_words),
-                str(rng.choice([2062, 2135, 2240, 3999, 4120, 2011, 2038, 1015, 1023, 1031])),
-                str(rng.choice([5, 10, 16, 49])),
-                capital,
-                rng.choice(["01", "03", "05", ""]),
-                "",
-            ]
-        )
-    w.close()
+    with _ShardWriter(paths["empresas"], n_empresas // 2) as w:
+        for i in range(1, n_empresas + 1):
+            name_words = [rng.choice(_ACCENTED if rng.random() < 0.3 else _PLAIN) for _ in range(3)]
+            capital = f"{rng.randrange(0, 900000)},{rng.randrange(100):02d}" if rng.random() > 0.05 else "0,00"
+            w.write(
+                [
+                    f"{i:08d}",
+                    " ".join(name_words),
+                    str(rng.choice([2062, 2135, 2240, 3999, 4120, 2011, 2038, 1015, 1023, 1031])),
+                    str(rng.choice([5, 10, 16, 49])),
+                    capital,
+                    rng.choice(["01", "03", "05", ""]),
+                    "",
+                ]
+            )
 
     # --- estabelecimentos: ~10% orphan cnpj_basico (beyond n_empresas)
     municipios_pool = QUERY_MUNICIPIOS + [7107, 6001, 8100, 9205, 5300]
@@ -117,48 +129,47 @@ def generate(base_dir: str, seed: int = 42, n_empresas: int = 1000, n_estab: int
         )
         for k in range(2)
     ]
-    w = _ShardWriter(paths["estabelecimentos"], n_estab // 2)
-    for i in range(1, n_estab + 1):
-        orphan = rng.random() < 0.10
-        basico = rng.randrange(n_empresas + 1, n_empresas + 200) if orphan else rng.randrange(1, n_empresas + 1)
-        cnae = rng.choice(QUERY_CNAES_DISTINCT) if rng.random() < 0.5 else rng.choice([111301, 8599604, 5611201, 9602501])
-        sec = ",".join(str(rng.choice(QUERY_CNAES_DISTINCT)) for _ in range(rng.randrange(1, 4))) if rng.random() < 0.4 else ""
-        ddd1 = f"{rng.choice([11, 41, 21, 31])}" if rng.random() > 0.2 else ""
-        w.write(
-            [
-                f"{basico:08d}",
-                f"{rng.randrange(1, 3):04d}",
-                f"{rng.randrange(100):02d}",
-                str(rng.choice([1, 2])),
-                (" ".join(rng.choice(_PLAIN) for _ in range(2)) if rng.random() > 0.4 else ""),
-                str(rng.choice(ALL_SITUACOES)),
-                f"{rng.randrange(1995, 2025)}{rng.randrange(1, 13):02d}{rng.randrange(1, 29):02d}",
-                str(rng.choice([0, 1, 63])),
-                "",
-                "",
-                f"{rng.randrange(1990, 2025)}{rng.randrange(1, 13):02d}{rng.randrange(1, 29):02d}",
-                str(cnae),
-                sec,
-                rng.choice(_LOGRADOUROS),
-                f"{rng.choice(_ACCENTED)} {rng.choice(_PLAIN)}",
-                (str(rng.randrange(1, 9999)) if rng.random() > 0.1 else "S/N"),
-                ("SALA " + str(rng.randrange(1, 200)) if rng.random() < 0.2 else ""),
-                rng.choice(["CENTRO", "JARDIM PAULISTA", "VILA NOVA", "COHAB"]),
-                f"{rng.randrange(1000000, 99999999):08d}",
-                rng.choice(_UFS),
-                str(rng.choice(municipios_pool)),
-                ddd1,
-                (f"{rng.randrange(20000000, 99999999)}" if ddd1 else ""),
-                "",
-                "",
-                "",
-                "",
-                (f"contato{i}@exemplo.com.br" if rng.random() > 0.5 else f"FISCAL{i}@EXEMPLO.COM.BR") if rng.random() > 0.3 else "",
-                "",
-                "",
-            ]
-        )
-    w.close()
+    with _ShardWriter(paths["estabelecimentos"], n_estab // 2) as w:
+        for i in range(1, n_estab + 1):
+            orphan = rng.random() < 0.10
+            basico = rng.randrange(n_empresas + 1, n_empresas + 200) if orphan else rng.randrange(1, n_empresas + 1)
+            cnae = rng.choice(QUERY_CNAES_DISTINCT) if rng.random() < 0.5 else rng.choice([111301, 8599604, 5611201, 9602501])
+            sec = ",".join(str(rng.choice(QUERY_CNAES_DISTINCT)) for _ in range(rng.randrange(1, 4))) if rng.random() < 0.4 else ""
+            ddd1 = f"{rng.choice([11, 41, 21, 31])}" if rng.random() > 0.2 else ""
+            w.write(
+                [
+                    f"{basico:08d}",
+                    f"{rng.randrange(1, 3):04d}",
+                    f"{rng.randrange(100):02d}",
+                    str(rng.choice([1, 2])),
+                    (" ".join(rng.choice(_PLAIN) for _ in range(2)) if rng.random() > 0.4 else ""),
+                    str(rng.choice(ALL_SITUACOES)),
+                    f"{rng.randrange(1995, 2025)}{rng.randrange(1, 13):02d}{rng.randrange(1, 29):02d}",
+                    str(rng.choice([0, 1, 63])),
+                    "",
+                    "",
+                    f"{rng.randrange(1990, 2025)}{rng.randrange(1, 13):02d}{rng.randrange(1, 29):02d}",
+                    str(cnae),
+                    sec,
+                    rng.choice(_LOGRADOUROS),
+                    f"{rng.choice(_ACCENTED)} {rng.choice(_PLAIN)}",
+                    (str(rng.randrange(1, 9999)) if rng.random() > 0.1 else "S/N"),
+                    ("SALA " + str(rng.randrange(1, 200)) if rng.random() < 0.2 else ""),
+                    rng.choice(["CENTRO", "JARDIM PAULISTA", "VILA NOVA", "COHAB"]),
+                    f"{rng.randrange(1000000, 99999999):08d}",
+                    rng.choice(_UFS),
+                    str(rng.choice(municipios_pool)),
+                    ddd1,
+                    (f"{rng.randrange(20000000, 99999999)}" if ddd1 else ""),
+                    "",
+                    "",
+                    "",
+                    "",
+                    (f"contato{i}@exemplo.com.br" if rng.random() > 0.5 else f"FISCAL{i}@EXEMPLO.COM.BR") if rng.random() > 0.3 else "",
+                    "",
+                    "",
+                ]
+            )
 
     # --- dims
     other_cnaes = [111301, 8599604, 5611201, 9602501]

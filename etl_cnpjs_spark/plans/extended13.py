@@ -174,10 +174,14 @@ def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed because THREE branches consume it (shingles, CC
     node set, report join). (2) near-dup runs the banded-LSH path
     (8x2 minhash bands -> candidate pairs -> exact-Jaccard verify), one
-    band-keyed shuffle instead of a full posting self-join — banding
-    recall vs the oracle's exact pairs is pinned by
-    tests/test_dedup_funnel.py at every shipped SF (the dedup_minhash
-    adjudication). CC is the star-contraction min-label loop, cost
+    band-keyed shuffle instead of a full posting self-join. TRUST GATE
+    (ADVICE r7): the hash oracle enumerates exact-Jaccard pairs while
+    the plan discovers them by banding, so this key is green on a
+    corpus only while banding recall is exactly 1.0 there (theoretical
+    per-pair miss ~3e-4 at J=0.8);
+    tests/test_dedup_funnel.py::test_funnel_lsh_recall_on_cleaned_text
+    AUTO-DISCOVERS every /root/testdata/sf* dir and must pass on a
+    newly shipped SF before the key is trusted on it. CC is the star-contraction min-label loop, cost
     bounded by component diameter (near-dup clusters are shallow).
     (3) the semantic stage sees only stage-2 SURVIVORS with vectors:
     broadcast-centroid assignment (no vector shuffle) and the salted

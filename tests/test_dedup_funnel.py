@@ -111,12 +111,25 @@ def test_funnel_fixture_oracle(fixture_dir):
     assert [tuple(r) for r in rows] == [EXPECTED]
 
 
+def _shipped_sf_dirs():
+    """EVERY /root/testdata/sf* dir, discovered at collection time.
+    corpus_dedup_funnel's hash oracle enumerates exact-Jaccard pairs
+    while the plan discovers them via 8x2 banding, so the key is
+    trusted on a corpus ONLY where this recall test passes (ADVICE r7:
+    theoretical per-pair miss ~3e-4 at J=0.8) — a newly shipped SF is
+    gated automatically by being discovered here."""
+    import glob
+
+    return sorted(glob.glob("/root/testdata/sf*"))
+
+
 def test_funnel_lsh_recall_on_cleaned_text(spark, fixture_dir, sf_dir):
     """dedup_minhash's adjudication, re-asserted on the funnel's input:
     the 8x2-banded candidate path recovers EVERY exact-Jaccard >= 0.8
     pair of the CLEANED corpus — on the fixture (where a pair exists:
-    the short dup 4/5) and on the shipped corpus (where the cut leaves
-    none; equality still pins that banding invents nothing)."""
+    the short dup 4/5) and on EVERY shipped SF (where the cut leaves
+    none; equality still pins that banding invents nothing). This test
+    is the funnel key's TRUST GATE per corpus (see _shipped_sf_dirs)."""
     from pyspark.sql import functions as F
 
     from etl_cnpjs_spark.functions.text import shingles, tokens
@@ -129,7 +142,9 @@ def test_funnel_lsh_recall_on_cleaned_text(spark, fixture_dir, sf_dir):
     from etl_cnpjs_spark.plans.dedup import JACCARD_THRESHOLD
     from etl_cnpjs_spark.plans.extended12 import corpus_substr_clean
 
-    for d, expect_pair in ((fixture_dir, {(4, 5)}), (sf_dir, None)):
+    targets = [(fixture_dir, {(4, 5)})]
+    targets += [(d, None) for d in _shipped_sf_dirs()]
+    for d, expect_pair in targets:
         clean = corpus_substr_clean(spark, d).select("doc_id", "clean_text")
         sh = (
             clean.select(
