@@ -1,0 +1,347 @@
+"""Round-8 capstone: the full end-to-end training-corpus build.
+
+`corpus_build` chains the round-7 capstones the way a production run
+orders them — ONE registered key, one DuckDB oracle, a per-language
+stage report:
+
+    documents (non-empty)
+      -> train/eval split          (Knuth-hash 10% eval — the
+                                    corpus_decontaminate split, a pure
+                                    function of doc_id: no split table)
+      -> decontaminate TRAIN       (drop train docs with an
+                                    exact-Jaccard >= 0.8 near-dup in
+                                    EVAL — the direction that poisons
+                                    benchmark numbers; the report twin
+                                    corpus_decontaminate flags the eval
+                                    side instead)
+      -> near-dup dedup + CC       (pairs restricted to surviving train
+                                    docs, connected components, keep the
+                                    component-min doc — dedup_cluster's
+                                    rule on the induced subgraph; the
+                                    3-stage ExactSubstr/LSH/SemDeDup
+                                    story stays corpus_dedup_funnel's)
+      -> temperature mixture       (alpha = 0.5 rates derived from the
+                                    SURVIVORS' per-language counts —
+                                    sample_temperature_mix re-rooted on
+                                    the deduped corpus, so the mix
+                                    self-adjusts to what dedup removed)
+      -> greedy sharded packing    (doc_pack_greedy_sharded's bounded
+                                    (lang, shard) fold; the report needs
+                                    only per-shard bin counts, so the
+                                    offset stitch drops out of the plan)
+      -> per-language report       (lang, n_train, n_leaked,
+                                    n_dedup_kept, n_sampled, n_seqs,
+                                    packed_tokens)
+
+Stage-ordering rationale: decontamination runs BEFORE dedup because a
+train doc that duplicates an eval doc must not survive even as its
+component's min id; the mixture runs on DEDUPED counts because rates
+derived pre-dedup would re-skew toward languages whose volume was
+duplication; packing runs last on exactly the docs a trainer would see.
+
+Determinism: the split and mixture memberships are Knuth-hash
+thresholds (pure functions of doc_id; sqrt is IEEE-correctly-rounded so
+the derived rate thresholds are engine-identical), pair membership is
+exact integer Jaccard, CC keep is component-min, packing is the
+sharded greedy recurrence — every stage is replayed verbatim by the
+oracle, so the hash check covers the whole chain.
+
+Reference trace: none — the reference
+(ETLCNPJFinalEmpresaEstabelecimentos.py) has no corpus surface; this is
+the r7-verdict queue's "one composite worth adding" (item 7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_cnpjs_spark.catalog import table
+from etl_cnpjs_spark.plans.registry import register
+
+# --- corpus_build ------------------------------------------------------------
+
+
+def _build_oracle() -> str:
+    from etl_cnpjs_spark.plans.corpus import _MIX_KNUTH, _MIX_MOD
+    from etl_cnpjs_spark.plans.dedup import _SQL_PAIRS
+    from etl_cnpjs_spark.plans.extended import _KEEP, _KNUTH, _MOD
+    from etl_cnpjs_spark.plans.extended14 import (
+        GREEDY_PACK_BUDGET,
+        GREEDY_SHARD_WIDTH,
+    )
+
+    return (
+        "WITH RECURSIVE "
+        + _SQL_PAIRS.strip().removeprefix("WITH")
+        + rf"""
+  , dd AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             ((doc_id * {_KNUTH}) % {_MOD} < {_KEEP}) AS is_eval
+      FROM documents WHERE length(trim(text)) > 0),
+  sym AS (SELECT i AS a, j AS b FROM pairs
+          UNION ALL SELECT j, i FROM pairs),
+  leaked AS (
+      SELECT DISTINCT s.a AS doc_id
+      FROM sym s
+      JOIN dd x ON s.a = x.doc_id
+      JOIN dd y ON s.b = y.doc_id
+      WHERE NOT x.is_eval AND y.is_eval),
+  tr AS (
+      SELECT dd.doc_id, dd.lang, dd.n_tokens
+      FROM dd LEFT JOIN leaked l ON dd.doc_id = l.doc_id
+      WHERE NOT dd.is_eval AND l.doc_id IS NULL),
+  ed0 AS (
+      SELECT p.i, p.j FROM pairs p
+      JOIN tr t1 ON p.i = t1.doc_id JOIN tr t2 ON p.j = t2.doc_id),
+  -- MATERIALIZED: a recursive CTE re-evaluates every non-materialized
+  -- CTE it references ON EACH ITERATION — without the hint, reach
+  -- re-runs the whole pairs chain and g re-runs the entire
+  -- split/dedup/mixture pipeline per recursion step (measured: 47.5 s
+  -- -> 0.8 s at sf0.001)
+  ed AS MATERIALIZED (SELECT i AS a, j AS b FROM ed0
+                      UNION SELECT j, i FROM ed0),
+  reach(a, b) AS (
+      SELECT a, b FROM ed
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a),
+  comp AS (SELECT a, least(a, min(b)) AS component FROM reach GROUP BY a),
+  kept AS (
+      SELECT t.doc_id, t.lang, t.n_tokens
+      FROM tr t LEFT JOIN comp c ON t.doc_id = c.a
+      WHERE coalesce(c.component, t.doc_id) = t.doc_id),
+  nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl FROM kept GROUP BY 1),
+  mm AS (SELECT MIN(nl) AS nmin FROM nl),
+  rr AS (
+      SELECT nl.lang,
+             CAST(floor(sqrt(CAST(mm.nmin AS DOUBLE) / CAST(nl.nl AS DOUBLE))
+                        * {_MIX_MOD}) AS BIGINT) AS thresh
+      FROM nl, mm),
+  samp AS MATERIALIZED (
+      SELECT k.doc_id, k.lang, k.n_tokens,
+             k.doc_id // {GREEDY_SHARD_WIDTH} AS shard,
+             row_number() OVER (PARTITION BY k.lang,
+                                k.doc_id // {GREEDY_SHARD_WIDTH}
+                                ORDER BY k.doc_id) AS rn
+      FROM kept k JOIN rr ON k.lang = rr.lang
+      WHERE (k.doc_id * {_MIX_KNUTH}) % {_MIX_MOD} < rr.thresh),
+  g AS (
+      SELECT lang, shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+      FROM samp WHERE rn = 1
+      UNION ALL
+      SELECT s.lang, s.shard, s.rn, s.doc_id, s.n_tokens,
+             CASE WHEN g.fill + s.n_tokens > {GREEDY_PACK_BUDGET}
+                       AND g.fill > 0
+                  THEN g.bin + 1 ELSE g.bin END,
+             CASE WHEN g.fill + s.n_tokens > {GREEDY_PACK_BUDGET}
+                       AND g.fill > 0
+                  THEN s.n_tokens ELSE g.fill + s.n_tokens END
+      FROM g JOIN samp s ON s.lang = g.lang AND s.shard = g.shard
+                        AND s.rn = g.rn + 1),
+  pk AS (
+      SELECT lang, CAST(sum(bins) AS BIGINT) AS n_seqs,
+             CAST(sum(tok) AS BIGINT) AS packed_tokens
+      FROM (SELECT lang, shard, max(bin) + 1 AS bins,
+                   sum(n_tokens) AS tok
+            FROM g GROUP BY 1, 2) z
+      GROUP BY 1),
+  base AS (
+      SELECT dd.lang,
+             CAST(sum(CASE WHEN NOT dd.is_eval THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train,
+             CAST(count(l.doc_id) AS BIGINT) AS n_leaked
+      FROM dd LEFT JOIN leaked l ON dd.doc_id = l.doc_id
+      GROUP BY 1),
+  dk AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_dedup_kept
+         FROM kept GROUP BY 1),
+  sp AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+         FROM samp GROUP BY 1)
+  SELECT b.lang, b.n_train, b.n_leaked,
+         COALESCE(dk.n_dedup_kept, 0) AS n_dedup_kept,
+         COALESCE(sp.n_sampled, 0)    AS n_sampled,
+         COALESCE(pk.n_seqs, 0)       AS n_seqs,
+         COALESCE(pk.packed_tokens, 0) AS packed_tokens
+  FROM base b
+  LEFT JOIN dk ON b.lang = dk.lang
+  LEFT JOIN sp ON b.lang = sp.lang
+  LEFT JOIN pk ON b.lang = pk.lang
+"""
+    )
+
+
+@register(
+    "corpus_build",
+    oracle=_build_oracle(),
+    tags=("north_star", "pipeline", "capstone", "dedup", "sampling"),
+)
+def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus build report per language:
+    (lang, n_train, n_leaked, n_dedup_kept, n_sampled, n_seqs,
+    packed_tokens). Stage semantics in the module docstring.
+
+    Scale story, stage by stage: the split/leak flags are pure
+    doc_id functions computed scan-side on BOTH pair endpoints (no
+    membership join); the leaked set collapses the pair frame through
+    one distinct into a broadcast; CC runs on the survivor-restricted
+    pair subgraph (star contraction, diameter-bounded); the mixture
+    rate table is |langs| rows from one map-side-combined count
+    (broadcast back — no document shuffle); packing is the bounded
+    (lang, shard) fold, and because the report needs only per-shard
+    BIN COUNTS, the offset stitch (a join back onto doc-grain data)
+    drops out entirely. The only doc-grain exchanges are the memoized
+    pair build, the CC label join, and the one applyInPandas pack."""
+    import pandas as pd
+
+    from etl_cnpjs_spark.functions.text import tokens
+    from etl_cnpjs_spark.operators.graph import connected_components
+    from etl_cnpjs_spark.plans.corpus import _MIX_KNUTH, _MIX_MOD
+    from etl_cnpjs_spark.plans.dedup import _exact_pairs
+    from etl_cnpjs_spark.plans.extended import _KEEP, _KNUTH, _MOD
+    from etl_cnpjs_spark.plans.extended14 import (
+        GREEDY_PACK_BUDGET,
+        GREEDY_SHARD_WIDTH,
+    )
+
+    def is_eval(col):
+        return (col * F.lit(_KNUTH)) % F.lit(_MOD) < F.lit(_KEEP)
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.size(tokens(F.col("text"))).alias("n_tokens"),
+            is_eval(F.col("doc_id")).alias("is_eval"),
+        )
+    )
+    pairs = _exact_pairs(spark, sf_dir).select("i", "j")
+
+    # decontaminate: train docs with an eval near-dup partner
+    sym = pairs.select(F.col("i").alias("a"), F.col("j").alias("b")).unionAll(
+        pairs.select(F.col("j").alias("a"), F.col("i").alias("b"))
+    )
+    leaked = (
+        sym.filter(~is_eval(F.col("a")) & is_eval(F.col("b")))
+        .select(F.col("a").alias("doc_id"))
+        .distinct()
+        # three consumers: tr anti-join, edge anti-joins, report join
+        .localCheckpoint()
+    )
+    tr = (
+        d.filter(~F.col("is_eval"))
+        .join(F.broadcast(leaked), "doc_id", "left_anti")
+        # consumed by CC nodes, the label join, and (via kept) the
+        # mixture counts — barrier the scan+flag+anti once
+        .localCheckpoint()
+    )
+
+    # near-dup CC on the survivor-restricted subgraph, keep component-min
+    ed = (
+        pairs.filter(~is_eval(F.col("i")) & ~is_eval(F.col("j")))
+        .join(F.broadcast(leaked.withColumnRenamed("doc_id", "i")), "i", "left_anti")
+        .join(F.broadcast(leaked.withColumnRenamed("doc_id", "j")), "j", "left_anti")
+    )
+    labels = connected_components(
+        tr.select(F.col("doc_id").alias("node")),
+        ed.select(F.col("i").alias("src"), F.col("j").alias("dst")),
+    )
+    kept = (
+        labels.filter(F.col("node") == F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+        .join(tr, "doc_id")
+        .select("doc_id", "lang", "n_tokens")
+        # consumed by the rate counts AND the sampled filter
+        .localCheckpoint()
+    )
+
+    # temperature mixture (alpha = 0.5) on the deduped survivors
+    nl = kept.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("nl"))
+    mm = nl.agg(F.min("nl").alias("nmin"))
+    rr = nl.crossJoin(F.broadcast(mm)).select(
+        "lang",
+        F.floor(
+            F.sqrt(F.col("nmin").cast("double") / F.col("nl").cast("double"))
+            * F.lit(_MIX_MOD)
+        )
+        .cast("bigint")
+        .alias("thresh"),
+    )
+    samp = (
+        kept.join(F.broadcast(rr), "lang")
+        .filter((F.col("doc_id") * _MIX_KNUTH) % _MIX_MOD < F.col("thresh"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr(f"doc_id DIV {GREEDY_SHARD_WIDTH}").alias("shard"),
+        )
+    )
+
+    # greedy sharded packing; the report needs only per-shard bin counts
+    budget = GREEDY_PACK_BUDGET
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        b, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            if fill + n > budget and fill > 0:
+                b, fill = b + 1, int(n)
+            else:
+                fill += int(n)
+            bins.append(b)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    packed = samp.groupBy("lang", "shard").applyInPandas(
+        pack, "doc_id long, lang string, n_tokens int, shard long, bin long"
+    )
+    pk = (
+        packed.groupBy("lang", "shard")
+        .agg(
+            (F.max("bin") + 1).cast("bigint").alias("bins"),
+            F.sum("n_tokens").cast("bigint").alias("tok"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("bins").cast("bigint").alias("n_seqs"),
+            F.sum("tok").cast("bigint").alias("packed_tokens"),
+        )
+    )
+
+    # per-language stage report
+    base = (
+        d.join(F.broadcast(leaked.withColumn("_leak", F.lit(1))), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(~F.col("is_eval"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.count("_leak").cast("bigint").alias("n_leaked"),
+        )
+    )
+    dk = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dedup_kept")
+    )
+    sp = samp.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled")
+    )
+    return (
+        base.join(dk, "lang", "left")
+        .join(sp, "lang", "left")
+        .join(pk, "lang", "left")
+        .select(
+            "lang",
+            "n_train",
+            "n_leaked",
+            F.coalesce("n_dedup_kept", F.lit(0)).cast("bigint").alias("n_dedup_kept"),
+            F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
+            F.coalesce("n_seqs", F.lit(0)).cast("bigint").alias("n_seqs"),
+            F.coalesce("packed_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("packed_tokens"),
+        )
+    )

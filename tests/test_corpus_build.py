@@ -1,0 +1,198 @@
+"""corpus_build capstone: a fixture that exercises every stage (one
+planted removal each — decontamination, near-dup dedup, temperature
+mixture, multi-bin packing) with the expected report derived by an
+INDEPENDENT pure-Python replay of the chain (no engine involved), then
+asserted against BOTH the Spark plan and the DuckDB oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from etl_cnpjs_spark.plans import QUERIES
+from etl_cnpjs_spark.plans.corpus import _MIX_KNUTH, _MIX_MOD
+from etl_cnpjs_spark.plans.extended import _KEEP, _KNUTH, _MOD
+from etl_cnpjs_spark.plans.extended14 import (
+    GREEDY_PACK_BUDGET,
+    GREEDY_SHARD_WIDTH,
+)
+
+
+def _is_eval(doc_id: int) -> bool:
+    return (doc_id * _KNUTH) % _MOD < _KEEP
+
+
+def _mix_hash(doc_id: int) -> int:
+    return (doc_id * _MIX_KNUTH) % _MIX_MOD
+
+
+def _pick(pred, start=0, n=1, taken=()):
+    out, i = [], start
+    while len(out) < n:
+        if i not in taken and pred(i):
+            out.append(i)
+        i += 1
+    return out
+
+
+@pytest.fixture(scope="module")
+def build_fixture(tmp_path_factory):
+    """Docs (ids chosen by hash properties so every stage fires):
+    - lang aa: E (eval) + L (train, identical text to E -> LEAKED),
+      A + B (train, identical texts -> dedup keeps min(A,B)),
+      C_live + C_drop (train, unique texts; C_drop's mix hash falls
+      above the aa threshold -> MIXTURE-dropped, C_live survives),
+      A and C_live sized 300 tokens each -> 2 bins at budget 512.
+    - lang bb: D (train, unique) -> smallest lang, keeps 100%."""
+    taken: set[int] = set()
+
+    def grab(pred):
+        i = _pick(pred, taken=taken)[0]
+        taken.add(i)
+        return i
+
+    E = grab(_is_eval)
+    # mixture threshold for aa will be floor(sqrt(1/4) * MOD): after
+    # dedup aa keeps {A, B2, C_live, C_drop} = 4 docs, bb keeps {D} = 1
+    thresh_aa = math.floor(math.sqrt(1.0 / 4.0) * _MIX_MOD)
+    margin = _MIX_MOD // 50
+    L = grab(lambda i: not _is_eval(i))
+    A = grab(lambda i: not _is_eval(i) and _mix_hash(i) < thresh_aa - margin)
+    B2 = grab(lambda i: not _is_eval(i))  # dedup pair, lower id (kept)
+    B = grab(lambda i: i > B2 and not _is_eval(i))  # dedup pair, dropped
+    C_live = grab(
+        lambda i: not _is_eval(i) and _mix_hash(i) < thresh_aa - margin
+    )
+    C_drop = grab(
+        lambda i: not _is_eval(i) and _mix_hash(i) > thresh_aa + margin
+    )
+    D = grab(lambda i: not _is_eval(i) and _mix_hash(i) < thresh_aa - margin)
+
+    t_shared = " ".join(f"s{k}" for k in range(10))
+    t_dup = " ".join(f"d{k}" for k in range(12))
+    rows = [
+        (E, "aa", t_shared),
+        (L, "aa", t_shared),
+        (A, "aa", " ".join(f"a{k}" for k in range(300))),
+        (B2, "aa", t_dup),
+        (B, "aa", t_dup),
+        (C_live, "aa", " ".join(f"c{k}" for k in range(300))),
+        (C_drop, "aa", " ".join(f"x{k}" for k in range(5))),
+        (D, "bb", " ".join(f"b{k}" for k in range(7))),
+    ]
+
+    d = tmp_path_factory.mktemp("corpus_build_fix")
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "lang": [r[1] for r in rows],
+            "source": ["fix"] * len(rows),
+            "text": [r[2] for r in rows],
+            "n_chars": [len(r[2]) for r in rows],
+        }
+    ).to_parquet(d / "documents.parquet", index=False)
+    ids = dict(E=E, L=L, A=A, B=B, B2=B2, C_live=C_live, C_drop=C_drop, D=D)
+    return str(d), ids, rows
+
+
+def _expected(ids, rows):
+    """Pure-Python replay of the whole chain."""
+    text = {r[0]: r[2] for r in rows}
+    lang = {r[0]: r[1] for r in rows}
+    ntok = {i: len(t.split()) for i, t in text.items()}
+
+    train = [i for i in text if not _is_eval(i)]
+    # pairs = identical texts (distinct token sets share nothing here)
+    leaked = {
+        t
+        for t in train
+        for o in text
+        if o != t and text[o] == text[t] and _is_eval(o)
+    }
+    tr = [i for i in train if i not in leaked]
+    # dedup: keep min id of each identical-text group within tr
+    kept = [
+        i
+        for i in tr
+        if all(text[o] != text[i] or o >= i for o in tr)
+    ]
+    # mixture
+    by_lang: dict[str, list[int]] = {}
+    for i in kept:
+        by_lang.setdefault(lang[i], []).append(i)
+    nmin = min(len(v) for v in by_lang.values())
+    samp = [
+        i
+        for i in kept
+        if _mix_hash(i)
+        < math.floor(math.sqrt(nmin / len(by_lang[lang[i]])) * _MIX_MOD)
+    ]
+    # packing per (lang, shard)
+    report = {}
+    for lg in sorted({lang[i] for i in text}):
+        n_train = sum(1 for i in train if lang[i] == lg)
+        n_leaked = sum(1 for i in leaked if lang[i] == lg)
+        n_kept = sum(1 for i in kept if lang[i] == lg)
+        docs = sorted(i for i in samp if lang[i] == lg)
+        n_seqs, packed = 0, 0
+        for shard in sorted({i // GREEDY_SHARD_WIDTH for i in docs}):
+            fill, bins = 0, 1
+            members = [i for i in docs if i // GREEDY_SHARD_WIDTH == shard]
+            for i in members:
+                n = ntok[i]
+                if fill + n > GREEDY_PACK_BUDGET and fill > 0:
+                    bins, fill = bins + 1, n
+                else:
+                    fill += n
+                packed += n
+            n_seqs += bins if members else 0
+        report[lg] = (n_train, n_leaked, n_kept, len(docs), n_seqs, packed)
+    return report
+
+
+def test_every_stage_fires(build_fixture):
+    d, ids, rows = build_fixture
+    exp = _expected(ids, rows)
+    # the fixture really plants one removal per stage
+    assert sum(v[1] for v in exp.values()) == 1  # decontamination
+    aa = exp["aa"]
+    assert aa[2] < aa[0] - aa[1]  # dedup dropped at least one
+    assert aa[3] < aa[2]  # mixture dropped at least one
+    assert exp["bb"][3] == exp["bb"][2]  # smallest lang keeps 100%
+    assert aa[4] >= 2  # packing produced multiple sequences
+
+
+def test_corpus_build_fixture_spark(spark, build_fixture):
+    d, ids, rows = build_fixture
+    exp = _expected(ids, rows)
+    got = {
+        r.lang: (
+            r.n_train,
+            r.n_leaked,
+            r.n_dedup_kept,
+            r.n_sampled,
+            r.n_seqs,
+            r.packed_tokens,
+        )
+        for r in QUERIES["corpus_build"].fn(spark, d).collect()
+    }
+    assert got == exp
+
+
+def test_corpus_build_fixture_oracle(build_fixture):
+    import duckdb
+
+    d, ids, rows = build_fixture
+    exp = _expected(ids, rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{d}/documents.parquet')"
+    )
+    got = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(QUERIES["corpus_build"].oracle).fetchall()
+    }
+    assert got == exp

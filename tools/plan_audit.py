@@ -145,6 +145,7 @@ BNLJ_OK = {
     "dq_check",  # (rule, violations, checked) rows from 1-row stat frames
     "text_quality_classifier",  # broadcast 1-row model-weights frame (scalar shape)
     "sample_temperature_mix",  # broadcast 1-row n_min frame onto the rate table
+    "corpus_build",  # same 1-row n_min scalar shape (mixture stage of the capstone)
     "dq_drift",  # broadcast 1-row window-totals frame onto |types| rows
     "agg_cooccurrence",  # broadcast 1-row user-total frame onto |types|² pairs
     # deliberate bounded brute-force TAIL: only points the 5×5 ring
@@ -248,6 +249,12 @@ EXCHANGES_OK = {
     # contingency cells + two marginal rollups + the totals rollup and
     # final 1-row aggregate — every exchange carries ≤ |types|·2 rows.
     "agg_cramers_v": 7,
+    # r8 end-to-end capstone (marginal plan, shared pair frame
+    # prewarmed): survivor-edge anti-joins + CC label join + kept
+    # attribute join + |langs| rate counts + the (lang, shard) pack
+    # exchange + per-lang report rollups = 10 static; the doc-grain
+    # moves are the CC label join and the one applyInPandas pack.
+    "corpus_build": 10,
 }
 
 
