@@ -759,6 +759,26 @@ def corpus_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEMP_ALPHA_NOTE = 0.5  # α = 0.5 → rates ∝ sqrt (documentation constant)
 
 
+def temperature_rate_table(counts):
+    """(lang, nl) -> (lang, thresh): the alpha = 0.5 temperature keep
+    thresholds, floor(sqrt(n_min / n_l) * 2^32) — THE one definition of
+    the mixture formula (shared by sample_temperature_mix and
+    corpus_build's mixture stage; the SQL twins mirror it). sqrt is
+    IEEE-correctly-rounded, so both engines land on identical
+    thresholds with no quantization. |langs|-row frame; the min rides a
+    broadcast 1-row frame, never a driver scalar."""
+    m = counts.agg(F.min("nl").alias("nmin"))
+    return counts.crossJoin(F.broadcast(m)).select(
+        "lang",
+        F.floor(
+            F.sqrt(F.col("nmin").cast("double") / F.col("nl").cast("double"))
+            * F.lit(_MIX_MOD)
+        )
+        .cast("bigint")
+        .alias("thresh"),
+    )
+
+
 @register(
     "sample_temperature_mix",
     oracle=f"""
@@ -800,16 +820,7 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents, no driver-side scalars (the min rides a 1-row frame)."""
     d = table(spark, sf_dir, "documents")
     n = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("nl"))
-    m = n.agg(F.min("nl").alias("nmin"))
-    r = n.crossJoin(F.broadcast(m)).select(
-        "lang",
-        F.floor(
-            F.sqrt(F.col("nmin").cast("double") / F.col("nl").cast("double"))
-            * F.lit(_MIX_MOD)
-        )
-        .cast("bigint")
-        .alias("thresh"),
-    )
+    r = temperature_rate_table(n)
     return (
         d.select("doc_id", "lang", "source")
         .join(F.broadcast(r), "lang")

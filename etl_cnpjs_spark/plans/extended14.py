@@ -304,7 +304,10 @@ GREEDY_PACK_BUDGET = 512  # same capacity as _PACK_BUDGET (comparability)
 
 def _greedy_oracle() -> str:
     return rf"""
-    WITH RECURSIVE t AS (
+    WITH RECURSIVE t AS MATERIALIZED (
+      -- MATERIALIZED: the recursive member joins t each iteration;
+      -- without the hint DuckDB re-tokenizes the corpus per step
+      -- (13x measured on the sharded twin at sf0.01)
       SELECT doc_id, lang,
              len(string_split_regex(trim(text), '\s+')) AS n_tokens,
              row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
@@ -364,9 +367,8 @@ def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the capacity/atomicity invariants). Pick one: this key's bins are
     reproducible against a sequential fold; the sharded key's bins are
     reproducible at any parallelism."""
-    import pandas as pd
-
     from etl_cnpjs_spark.functions.text import tokens
+    from etl_cnpjs_spark.operators.packing import greedy_pack_bins
 
     d = (
         table(spark, sf_dir, "documents")
@@ -374,23 +376,9 @@ def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tokens"))
     )
 
-    budget = GREEDY_PACK_BUDGET
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bins = []
-        b, fill = 0, 0
-        for n in pdf["n_tokens"]:
-            if fill + n > budget and fill > 0:
-                b, fill = b + 1, int(n)
-            else:
-                fill += int(n)
-            bins.append(b)
-        pdf["seq_id"] = pd.Series(bins, dtype="int64")
-        return pdf
-
     packed = d.groupBy("lang").applyInPandas(
-        pack, "doc_id long, lang string, n_tokens int, seq_id long"
+        greedy_pack_bins(GREEDY_PACK_BUDGET, col="seq_id"),
+        "doc_id long, lang string, n_tokens int, seq_id long",
     )
     return packed.groupBy("lang", "seq_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -430,7 +418,8 @@ GREEDY_SHARD_WIDTH = 64
 
 def _greedy_sharded_oracle() -> str:
     return rf"""
-    WITH RECURSIVE t AS (
+    WITH RECURSIVE t AS MATERIALIZED (
+      -- MATERIALIZED: see _greedy_oracle (13x at sf0.01 here)
       SELECT doc_id, lang, doc_id // {GREEDY_SHARD_WIDTH} AS shard,
              len(string_split_regex(trim(text), '\s+')) AS n_tokens,
              row_number() OVER (PARTITION BY lang, doc_id // {GREEDY_SHARD_WIDTH}
@@ -487,9 +476,8 @@ def doc_pack_greedy_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-shuffle of the doc-grain data). Divergence vs the global fold
     is exactly the forced bin close at each shard edge (bounded waste;
     see doc_pack_greedy's SCALE CONTRACT)."""
-    import pandas as pd
-
     from etl_cnpjs_spark.functions.text import tokens
+    from etl_cnpjs_spark.operators.packing import greedy_pack_bins
 
     d = (
         table(spark, sf_dir, "documents")
@@ -502,23 +490,9 @@ def doc_pack_greedy_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    budget = GREEDY_PACK_BUDGET
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bins = []
-        b, fill = 0, 0
-        for n in pdf["n_tokens"]:
-            if fill + n > budget and fill > 0:
-                b, fill = b + 1, int(n)
-            else:
-                fill += int(n)
-            bins.append(b)
-        pdf["bin"] = pd.Series(bins, dtype="int64")
-        return pdf
-
     packed = d.groupBy("lang", "shard").applyInPandas(
-        pack, "doc_id long, lang string, n_tokens int, shard long, bin long"
+        greedy_pack_bins(GREEDY_PACK_BUDGET),
+        "doc_id long, lang string, n_tokens int, shard long, bin long",
     )
     sb = packed.groupBy("lang", "shard").agg(
         (F.max("bin") + 1).cast("bigint").alias("bins")

@@ -192,10 +192,9 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIN COUNTS, the offset stitch (a join back onto doc-grain data)
     drops out entirely. The only doc-grain exchanges are the memoized
     pair build, the CC label join, and the one applyInPandas pack."""
-    import pandas as pd
-
     from etl_cnpjs_spark.functions.text import tokens
     from etl_cnpjs_spark.operators.graph import connected_components
+    from etl_cnpjs_spark.operators.packing import greedy_pack_bins
     from etl_cnpjs_spark.plans.corpus import _MIX_KNUTH, _MIX_MOD
     from etl_cnpjs_spark.plans.dedup import _exact_pairs
     from etl_cnpjs_spark.plans.extended import _KEEP, _KNUTH, _MOD
@@ -257,18 +256,12 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    # temperature mixture (alpha = 0.5) on the deduped survivors
+    # temperature mixture (alpha = 0.5) on the deduped survivors —
+    # sample_temperature_mix's rate formula, one shared definition
+    from etl_cnpjs_spark.plans.corpus import temperature_rate_table
+
     nl = kept.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("nl"))
-    mm = nl.agg(F.min("nl").alias("nmin"))
-    rr = nl.crossJoin(F.broadcast(mm)).select(
-        "lang",
-        F.floor(
-            F.sqrt(F.col("nmin").cast("double") / F.col("nl").cast("double"))
-            * F.lit(_MIX_MOD)
-        )
-        .cast("bigint")
-        .alias("thresh"),
-    )
+    rr = temperature_rate_table(nl)
     samp = (
         kept.join(F.broadcast(rr), "lang")
         .filter((F.col("doc_id") * _MIX_KNUTH) % _MIX_MOD < F.col("thresh"))
@@ -281,23 +274,9 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # greedy sharded packing; the report needs only per-shard bin counts
-    budget = GREEDY_PACK_BUDGET
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bins = []
-        b, fill = 0, 0
-        for n in pdf["n_tokens"]:
-            if fill + n > budget and fill > 0:
-                b, fill = b + 1, int(n)
-            else:
-                fill += int(n)
-            bins.append(b)
-        pdf["bin"] = pd.Series(bins, dtype="int64")
-        return pdf
-
     packed = samp.groupBy("lang", "shard").applyInPandas(
-        pack, "doc_id long, lang string, n_tokens int, shard long, bin long"
+        greedy_pack_bins(GREEDY_PACK_BUDGET),
+        "doc_id long, lang string, n_tokens int, shard long, bin long",
     )
     pk = (
         packed.groupBy("lang", "shard")

@@ -41,6 +41,9 @@ def test_seeded_violation_flags(spark):
 def test_every_intercepted_action_fires(spark):
     """Each method in EAGER_ACTIONS is actually intercepted (a rename in
     a future pyspark would silently blind the audit otherwise)."""
+    import tempfile
+
+    spark.sparkContext.setCheckpointDir(tempfile.mkdtemp(prefix="eager_ckpt_"))
     df = spark.range(5)
     calls = {
         "count": lambda: df.count(),
@@ -50,6 +53,12 @@ def test_every_intercepted_action_fires(spark):
         "toPandas": lambda: df.toPandas(),
         "show": lambda: df.show(1),
         "head": lambda: df.head(1),
+        "isEmpty": lambda: df.isEmpty(),
+        "tail": lambda: df.tail(1),
+        "toLocalIterator": lambda: list(df.toLocalIterator()),
+        "foreach": lambda: df.foreach(lambda r: None),
+        "foreachPartition": lambda: df.foreachPartition(lambda it: None),
+        "checkpoint": lambda: df.checkpoint(),
     }
     assert set(calls) == set(EAGER_ACTIONS)
     for name, call in calls.items():

@@ -166,6 +166,10 @@ def main() -> int:
     atexit.register(shutil.rmtree, ref_dir, ignore_errors=True)
     atexit.register(shutil.rmtree, eng_dir, ignore_errors=True)
     ref = baseline_sqlite(paths, ref_dir)
+    # free the reference side's disk (SQLite DB + indexes + its output
+    # CSV — ~2x raw volume at the 20 GB decade) before the engine runs;
+    # every number from that side is already in `ref`
+    shutil.rmtree(ref_dir, ignore_errors=True)
     eng = engine_spark(src, paths, eng_dir)
 
     assert ref["rows"] == eng["rows"], (ref["rows"], eng["rows"])

@@ -44,7 +44,21 @@ sys.path.insert(0, REPO)
 # is deliberately NOT here: it is the adjudicated barrier primitive (plan
 # bodies use it to cut twice-consumed lineage), and writes are the sink
 # keys' staged inputs — both materialize by design.
-EAGER_ACTIONS = ("count", "collect", "first", "take", "toPandas", "show", "head")
+EAGER_ACTIONS = (
+    "count",
+    "collect",
+    "first",
+    "take",
+    "toPandas",
+    "show",
+    "head",
+    "isEmpty",
+    "tail",
+    "toLocalIterator",
+    "foreach",
+    "foreachPartition",
+    "checkpoint",  # the RELIABLE checkpoint writes to the checkpoint dir
+)
 
 # Adjudicated eager call sites: (path suffix, enclosing function). Anything
 # else firing an eager action during plan construction flags.

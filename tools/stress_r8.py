@@ -54,29 +54,14 @@ def mat(df) -> int:
 
 
 def pack_shape(docs, sharded: bool, width: int | None = None):
-    import pandas as pd
-
+    from etl_cnpjs_spark.operators.packing import greedy_pack_bins
     from etl_cnpjs_spark.plans.extended14 import (
         GREEDY_PACK_BUDGET,
         GREEDY_SHARD_WIDTH,
     )
 
     width = width or GREEDY_SHARD_WIDTH
-
-    budget = GREEDY_PACK_BUDGET
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bins = []
-        b, fill = 0, 0
-        for n in pdf["n_tokens"]:
-            if fill + n > budget and fill > 0:
-                b, fill = b + 1, int(n)
-            else:
-                fill += int(n)
-            bins.append(b)
-        pdf["bin"] = pd.Series(bins, dtype="int64")
-        return pdf
+    pack = greedy_pack_bins(GREEDY_PACK_BUDGET)
 
     if sharded:
         d = docs.withColumn(
@@ -204,6 +189,7 @@ def main() -> int:
     )
     # pre-warm the Arrow/pandas pool so neither variant pays it
     pack_shape(d1, sharded=True)
+    docs1, docs10 = d1.count(), d10.count()
     variants = (
         ("pack_global", False, None),
         ("pack_sharded_w64", True, 64),
@@ -212,7 +198,7 @@ def main() -> int:
     for name, sharded, width in variants:
         t1, _ = timed(lambda s=sharded, w=width: pack_shape(d1, s, w))
         t10, _ = timed(lambda s=sharded, w=width: pack_shape(d10, s, w))
-        out[name] = {"t1": t1, "t10": t10, "docs1": d1.count(), "docs10": d10.count()}
+        out[name] = {"t1": t1, "t10": t10, "docs1": docs1, "docs10": docs10}
 
     # 2/3. burstiness + twap at 100x same-user densification
     K2 = 100
