@@ -70,6 +70,11 @@ EAGER_OK_SITES = (
     # message naming the LSH/IVF scale twins
     ("operators/similarity.py", "all_pairs_cosine_blocked"),
     ("operators/similarity.py", "knn_join_blocked"),
+    # executor-side INPUT STAGING for the binaryFile source (memoized
+    # per session; the r1-verdict fix that moved it off the driver) —
+    # the same materialize-by-design class as the sink keys' staged
+    # writes, which go through .write and are not intercepted
+    ("plans/extended.py", "_stage_bin_files"),
 )
 
 
