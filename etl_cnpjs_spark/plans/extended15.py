@@ -191,7 +191,11 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, shard) fold, and because the report needs only per-shard
     BIN COUNTS, the offset stitch (a join back onto doc-grain data)
     drops out entirely. The only doc-grain exchanges are the memoized
-    pair build, the CC label join, and the one applyInPandas pack."""
+    pair build, the CC label join, and the one applyInPandas pack.
+    At 100 TB the exact-Jaccard pair frame is replaced by the banded
+    MinHash-LSH candidate path (the dedup_minhash adjudication — same
+    swap corpus_decontaminate documents); every downstream stage is
+    unchanged because they consume only (i, j) pairs."""
     from etl_cnpjs_spark.functions.text import tokens
     from etl_cnpjs_spark.operators.graph import connected_components
     from etl_cnpjs_spark.operators.packing import greedy_pack_bins

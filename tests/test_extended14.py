@@ -473,3 +473,68 @@ def test_pack_sharded_equals_global_within_one_shard(spark, tmp_path_factory):
         for r in QUERIES["doc_pack_greedy"].fn(spark, str(d)).collect()
     }
     assert got_s == got_g
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(
+        st.integers(min_value=1, max_value=700), min_size=1, max_size=40
+    ),
+    gap=st.integers(min_value=1, max_value=37),
+)
+def test_pack_sharded_matches_independent_fold(
+    spark, tmp_path_factory, sizes, gap
+):
+    """Sharded recurrence + offset stitch vs an INDEPENDENT plain-Python
+    derivation on random doc sizes with random id gaps (so shards split
+    at arbitrary densities, including empty shards). The Python twin
+    re-implements sharding, per-shard fold, and the offset stitch from
+    scratch — any divergence in shard assignment, fold order, or the
+    cumulative-offset arithmetic breaks the equality."""
+    from etl_cnpjs_spark.plans.extended14 import (
+        GREEDY_PACK_BUDGET,
+        GREEDY_SHARD_WIDTH,
+    )
+
+    doc_ids = []
+    i = 0
+    for _ in sizes:
+        doc_ids.append(i)
+        i += gap
+
+    # independent replay
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for did, n in zip(doc_ids, sizes):
+        by_shard.setdefault(did // GREEDY_SHARD_WIDTH, []).append((did, n))
+    expected: dict[int, tuple[int, int]] = {}
+    offset = 0
+    for shard in sorted(by_shard):
+        b, fill = 0, 0
+        for did, n in sorted(by_shard[shard]):
+            if fill + n > GREEDY_PACK_BUDGET and fill > 0:
+                b, fill = b + 1, n
+            else:
+                fill += n
+            nd, nt = expected.get(offset + b, (0, 0))
+            expected[offset + b] = (nd + 1, nt + n)
+        offset += b + 1
+
+    d = tmp_path_factory.mktemp("pack_sharded_prop")
+    pd.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "lang": ["xx"] * len(sizes),
+            "source": ["fix"] * len(sizes),
+            "text": [" ".join(f"w{j}" for j in range(n)) for n in sizes],
+            "n_chars": [n * 3 for n in sizes],
+        }
+    ).to_parquet(d / "documents.parquet", index=False)
+    got = {
+        r.seq_id: (r.n_docs, r.seq_tokens)
+        for r in QUERIES["doc_pack_greedy_sharded"].fn(spark, str(d)).collect()
+    }
+    assert got == expected
