@@ -328,3 +328,142 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("packed_tokens"),
         )
     )
+
+
+# --- corpus_decontaminate_incremental -----------------------------------------
+#
+# The incremental face of decontamination: a NEW benchmark lands (a
+# delta band of eval docs), and the pipeline must answer "which train
+# docs become leaked NOW that weren't before?" without re-running the
+# full cross-split sweep. Membership of both eval generations is a pure
+# doc_id function (base = hash < 10%, delta = the next 5% band), so the
+# delta probe is pair-frame work restricted to delta-eval endpoints —
+# the same delta-restricted-probe discipline as dedup_incremental /
+# graph_cc_incremental. Report per source: new-eval volume, NEWLY
+# leaked train docs (delta partners only, minus docs the base split
+# already leaked), and the pre-existing leak count for reconciliation.
+
+_DELTA_BAND = 214_748_365  # ≈ 5% of 2^32: the new benchmark's band
+
+
+def _decon_inc_oracle() -> str:
+    from etl_cnpjs_spark.plans.dedup import _SQL_PAIRS
+    from etl_cnpjs_spark.plans.extended import _KEEP, _KNUTH, _MOD
+
+    hi = _KEEP + _DELTA_BAND
+    return (
+        _SQL_PAIRS
+        + f"""
+  , ev AS (
+      SELECT doc_id, source,
+             (doc_id * {_KNUTH}) % {_MOD} AS h
+      FROM documents),
+  fl AS (
+      SELECT doc_id, source,
+             h < {_KEEP} AS base_eval,
+             h >= {_KEEP} AND h < {hi} AS delta_eval,
+             h >= {hi} AS is_train
+      FROM ev),
+  sym AS (SELECT i AS a, j AS b FROM pairs
+          UNION ALL SELECT j, i FROM pairs),
+  base_leaked AS (
+      SELECT DISTINCT s.a AS doc_id
+      FROM sym s JOIN fl x ON s.a = x.doc_id JOIN fl y ON s.b = y.doc_id
+      WHERE x.is_train AND y.base_eval),
+  delta_hit AS (
+      SELECT DISTINCT s.a AS doc_id
+      FROM sym s JOIN fl x ON s.a = x.doc_id JOIN fl y ON s.b = y.doc_id
+      WHERE x.is_train AND y.delta_eval),
+  newly AS (
+      SELECT d.doc_id FROM delta_hit d
+      LEFT JOIN base_leaked b ON d.doc_id = b.doc_id
+      WHERE b.doc_id IS NULL)
+  SELECT fl.source,
+         CAST(sum(CASE WHEN fl.is_train THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(sum(CASE WHEN fl.delta_eval THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new_eval,
+         CAST(count(bl.doc_id) AS BIGINT) AS n_already_leaked,
+         CAST(count(nw.doc_id) AS BIGINT) AS n_newly_leaked
+  FROM fl
+  LEFT JOIN base_leaked bl ON fl.doc_id = bl.doc_id
+  LEFT JOIN newly nw ON fl.doc_id = nw.doc_id
+  GROUP BY fl.source
+"""
+    )
+
+
+@register(
+    "corpus_decontaminate_incremental",
+    oracle=_decon_inc_oracle(),
+    tags=("north_star", "dedup", "pipeline", "eval", "incremental"),
+)
+def corpus_decontaminate_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta decontamination report per source: (source, n_train,
+    n_new_eval, n_already_leaked, n_newly_leaked) for a new benchmark
+    band of eval docs (the 5% hash band above the base 10% split).
+
+    Shapes: all three memberships are scan-side doc_id arithmetic on
+    BOTH pair endpoints (no split table, no membership join); the two
+    leak sets are projections+distinct of the memoized pair frame
+    restricted by endpoint flags — each collapses to a broadcast before
+    the one documents rollup. The incremental property: the delta probe
+    touches only pairs whose partner lands in the NEW band — at 100 TB
+    with the banded-LSH pair path, that is one LSH probe of the delta
+    docs against the posting table (dedup_incremental's batch-probe
+    shape), not a corpus re-sweep."""
+    from etl_cnpjs_spark.plans.dedup import _exact_pairs
+    from etl_cnpjs_spark.plans.extended import _KEEP, _KNUTH, _MOD
+
+    hi = _KEEP + _DELTA_BAND
+
+    def h(col):
+        return (col * F.lit(_KNUTH)) % F.lit(_MOD)
+
+    def base_eval(col):
+        return h(col) < F.lit(_KEEP)
+
+    def delta_eval(col):
+        return (h(col) >= F.lit(_KEEP)) & (h(col) < F.lit(hi))
+
+    def is_train(col):
+        return h(col) >= F.lit(hi)
+
+    d = table(spark, sf_dir, "documents")
+    pairs = _exact_pairs(spark, sf_dir).select("i", "j")
+    sym = pairs.select(F.col("i").alias("a"), F.col("j").alias("b")).unionAll(
+        pairs.select(F.col("j").alias("a"), F.col("i").alias("b"))
+    )
+    base_leaked = (
+        sym.filter(is_train(F.col("a")) & base_eval(F.col("b")))
+        .select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("_base", F.lit(1))
+        # two consumers: the anti filter for newly + the report join
+        .localCheckpoint()
+    )
+    newly = (
+        sym.filter(is_train(F.col("a")) & delta_eval(F.col("b")))
+        .select(F.col("a").alias("doc_id"))
+        .distinct()
+        .join(F.broadcast(base_leaked.select("doc_id")), "doc_id", "left_anti")
+        .withColumn("_new", F.lit(1))
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(base_leaked), "doc_id", "left")
+        .join(F.broadcast(newly), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(is_train(F.col("doc_id")), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.when(delta_eval(F.col("doc_id")), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new_eval"),
+            F.count("_base").cast("bigint").alias("n_already_leaked"),
+            F.count("_new").cast("bigint").alias("n_newly_leaked"),
+        )
+    )

@@ -196,3 +196,83 @@ def test_corpus_build_fixture_oracle(build_fixture):
         for r in con.execute(QUERIES["corpus_build"].oracle).fetchall()
     }
     assert got == exp
+
+
+# --- corpus_decontaminate_incremental ----------------------------------------
+
+
+def _h(doc_id: int) -> int:
+    return (doc_id * _KNUTH) % _MOD
+
+
+@pytest.fixture(scope="module")
+def inc_fixture(tmp_path_factory):
+    """Plants every delta-report outcome: a train doc leaked ONLY by the
+    new band (newly), a train doc leaked by base eval AND paired with a
+    delta doc (already, must NOT double-count as newly), a clean train
+    doc, and the delta/base eval docs themselves."""
+    from etl_cnpjs_spark.plans.extended15 import _DELTA_BAND
+
+    hi = _KEEP + _DELTA_BAND
+    taken: set[int] = set()
+
+    def grab(pred):
+        i = 0
+        while i in taken or not pred(i):
+            i += 1
+        taken.add(i)
+        return i
+
+    BASE = grab(lambda i: _h(i) < _KEEP)  # base-eval doc
+    DELTA = grab(lambda i: _KEEP <= _h(i) < hi)  # new-benchmark doc
+    DELTA2 = grab(lambda i: _KEEP <= _h(i) < hi)
+    T_NEW = grab(lambda i: _h(i) >= hi)  # newly leaked (delta partner)
+    T_OLD = grab(lambda i: _h(i) >= hi)  # already leaked (base + delta)
+    T_CLEAN = grab(lambda i: _h(i) >= hi)
+
+    t_new = " ".join(f"n{k}" for k in range(10))
+    t_old = " ".join(f"o{k}" for k in range(10))
+    rows = [
+        (DELTA, t_new),  # pairs with T_NEW
+        (T_NEW, t_new),
+        (BASE, t_old),  # pairs with T_OLD (base leak)
+        (DELTA2, t_old),  # ALSO pairs with T_OLD (must stay 'already')
+        (T_OLD, t_old),
+        (T_CLEAN, " ".join(f"c{k}" for k in range(8))),
+    ]
+    d = tmp_path_factory.mktemp("decon_inc_fix")
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "lang": ["aa"] * len(rows),
+            "source": ["fix"] * len(rows),
+            "text": [r[1] for r in rows],
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+def test_decontaminate_incremental_fixture(spark, inc_fixture):
+    import duckdb
+
+    expected = {"fix": (3, 2, 1, 1)}  # n_train, n_new_eval, already, newly
+    got_s = {
+        r.source: (r.n_train, r.n_new_eval, r.n_already_leaked, r.n_newly_leaked)
+        for r in QUERIES["corpus_decontaminate_incremental"]
+        .fn(spark, inc_fixture)
+        .collect()
+    }
+    assert got_s == expected
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{inc_fixture}/documents.parquet')"
+    )
+    got_o = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            QUERIES["corpus_decontaminate_incremental"].oracle
+        ).fetchall()
+    }
+    assert got_o == expected
