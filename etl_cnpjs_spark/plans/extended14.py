@@ -97,9 +97,12 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     by this detector — the documented blind spot of n-gram-overlap
     decontamination; the fingerprint (exact-text) channel would
     catch them at production.
-    Split-hash caveat: the bigint multiply overflows past ~2^33 keys
-    (SCALE.md honest-list #4) — at that scale swap in xxhash64 on
-    both engines."""
+    Split-hash domain: this key keeps the naive `doc_id * K % 2^32`
+    form under its documented doc_id < 2^33 precondition (SCALE.md
+    honest-list #4); the full-domain exact form is registry.knuth32
+    (bit-identical on this domain — corpus_build and
+    corpus_decontaminate_incremental use it per the r8 ADVICE), and
+    sample_hash_xx is the registered xxhash64 swap for >2^33 keys."""
     from etl_cnpjs_spark.plans.dedup import _exact_pairs
     from etl_cnpjs_spark.plans.extended import _KEEP, _KNUTH, _MOD
 
@@ -413,6 +416,14 @@ def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # measured the tradeoff at 10x: width 64 pays ~6x in per-group
 # applyInPandas overhead, width 4096 is already flat at 1.25 s — group
 # START cost, not the fold, is what a too-small width buys).
+# Shard derivation domain (r8 ADVICE): shard = Spark `doc_id DIV 64`
+# vs the oracle's DuckDB `doc_id // 64` — MEASURED to agree over the
+# full int64 domain because BOTH truncate toward zero on integer
+# operands (DuckDB `//` floors only on floats; `-1 // 64 = 0` on
+# BIGINT). Pinned on negatives/extremes in
+# tests/test_adversarial_r9.py::test_spark_div_matches_duckdb_intdiv;
+# the shipped doc_id domain is non-negative, where trunc == floor
+# anyway.
 GREEDY_SHARD_WIDTH = 64
 
 

@@ -46,6 +46,14 @@ exact integer Jaccard, CC keep is component-min, packing is the
 sharded greedy recurrence — every stage is replayed verbatim by the
 oracle, so the hash check covers the whole chain.
 
+Hash domain (r8 ADVICE): both keys compute the split hash via
+registry.knuth32 / knuth32_sql — the split-multiply form that is exact
+int64 over the FULL doc_id domain (the naive `doc_id * 2654435761`
+overflows past ~3.47e9 keys, INSIDE the 100 TB ~1e10-doc design
+point). Identical values to the naive form on the shipped fixtures;
+the oracles mirror the same arithmetic textually so the hash check
+covers the widened form itself.
+
 Reference trace: none — the reference
 (ETLCNPJFinalEmpresaEstabelecimentos.py) has no corpus surface; this is
 the r7-verdict queue's "one composite worth adding" (item 7).
@@ -63,13 +71,14 @@ from etl_cnpjs_spark.plans.registry import register
 
 
 def _build_oracle() -> str:
-    from etl_cnpjs_spark.plans.corpus import _MIX_KNUTH, _MIX_MOD
     from etl_cnpjs_spark.plans.dedup import _SQL_PAIRS
-    from etl_cnpjs_spark.plans.extended import _KEEP, _KNUTH, _MOD
+    from etl_cnpjs_spark.plans.extended import _KEEP
     from etl_cnpjs_spark.plans.extended14 import (
         GREEDY_PACK_BUDGET,
         GREEDY_SHARD_WIDTH,
     )
+    from etl_cnpjs_spark.plans.registry import MOD32 as _MIX_MOD
+    from etl_cnpjs_spark.plans.registry import knuth32_sql
 
     return (
         "WITH RECURSIVE "
@@ -78,7 +87,7 @@ def _build_oracle() -> str:
   , dd AS (
       SELECT doc_id, lang,
              len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-             ((doc_id * {_KNUTH}) % {_MOD} < {_KEEP}) AS is_eval
+             ({knuth32_sql('doc_id')} < {_KEEP}) AS is_eval
       FROM documents WHERE length(trim(text)) > 0),
   sym AS (SELECT i AS a, j AS b FROM pairs
           UNION ALL SELECT j, i FROM pairs),
@@ -125,7 +134,7 @@ def _build_oracle() -> str:
                                 k.doc_id // {GREEDY_SHARD_WIDTH}
                                 ORDER BY k.doc_id) AS rn
       FROM kept k JOIN rr ON k.lang = rr.lang
-      WHERE (k.doc_id * {_MIX_KNUTH}) % {_MIX_MOD} < rr.thresh),
+      WHERE {knuth32_sql('k.doc_id')} < rr.thresh),
   g AS (
       SELECT lang, shard, rn, doc_id, n_tokens,
              CAST(0 AS BIGINT) AS bin, n_tokens AS fill
@@ -199,16 +208,16 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cnpjs_spark.functions.text import tokens
     from etl_cnpjs_spark.operators.graph import connected_components
     from etl_cnpjs_spark.operators.packing import greedy_pack_bins
-    from etl_cnpjs_spark.plans.corpus import _MIX_KNUTH, _MIX_MOD
     from etl_cnpjs_spark.plans.dedup import _exact_pairs
-    from etl_cnpjs_spark.plans.extended import _KEEP, _KNUTH, _MOD
+    from etl_cnpjs_spark.plans.extended import _KEEP
     from etl_cnpjs_spark.plans.extended14 import (
         GREEDY_PACK_BUDGET,
         GREEDY_SHARD_WIDTH,
     )
+    from etl_cnpjs_spark.plans.registry import knuth32
 
     def is_eval(col):
-        return (col * F.lit(_KNUTH)) % F.lit(_MOD) < F.lit(_KEEP)
+        return knuth32(col) < F.lit(_KEEP)
 
     d = (
         table(spark, sf_dir, "documents")
@@ -268,7 +277,7 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     rr = temperature_rate_table(nl)
     samp = (
         kept.join(F.broadcast(rr), "lang")
-        .filter((F.col("doc_id") * _MIX_KNUTH) % _MIX_MOD < F.col("thresh"))
+        .filter(knuth32(F.col("doc_id")) < F.col("thresh"))
         .select(
             "doc_id",
             "lang",
@@ -348,7 +357,8 @@ _DELTA_BAND = 214_748_365  # ≈ 5% of 2^32: the new benchmark's band
 
 def _decon_inc_oracle() -> str:
     from etl_cnpjs_spark.plans.dedup import _SQL_PAIRS
-    from etl_cnpjs_spark.plans.extended import _KEEP, _KNUTH, _MOD
+    from etl_cnpjs_spark.plans.extended import _KEEP
+    from etl_cnpjs_spark.plans.registry import knuth32_sql
 
     hi = _KEEP + _DELTA_BAND
     return (
@@ -356,7 +366,7 @@ def _decon_inc_oracle() -> str:
         + f"""
   , ev AS (
       SELECT doc_id, source,
-             (doc_id * {_KNUTH}) % {_MOD} AS h
+             {knuth32_sql('doc_id')} AS h
       FROM documents),
   fl AS (
       SELECT doc_id, source,
@@ -415,12 +425,13 @@ def corpus_decontaminate_incremental(
     docs against the posting table (dedup_incremental's batch-probe
     shape), not a corpus re-sweep."""
     from etl_cnpjs_spark.plans.dedup import _exact_pairs
-    from etl_cnpjs_spark.plans.extended import _KEEP, _KNUTH, _MOD
+    from etl_cnpjs_spark.plans.extended import _KEEP
+    from etl_cnpjs_spark.plans.registry import knuth32
 
     hi = _KEEP + _DELTA_BAND
 
     def h(col):
-        return (col * F.lit(_KNUTH)) % F.lit(_MOD)
+        return knuth32(col)
 
     def base_eval(col):
         return h(col) < F.lit(_KEEP)

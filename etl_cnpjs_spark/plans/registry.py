@@ -74,3 +74,52 @@ def quantize_sql(expr: str, digits: int = 6) -> str:
     """DuckDB twin of quantize(): identical arithmetic, textual form."""
     scale = f"1e{digits}"
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+# --- full-domain Knuth multiplicative hash ------------------------------------
+#
+# The naive form `(key * 2654435761) % 2^32` is exact int64 only while
+# key < 2^63 / 2654435761 ≈ 3.47e9 — inside the 100 TB design point
+# (~1e10 docs), the multiply overflows (errors under ANSI mode). These
+# helpers compute the SAME value exactly over the FULL int64 domain by
+# splitting the reduced key into 16-bit halves so no intermediate
+# exceeds ~2^48:
+#
+#   h        = key mod 2^32                  (pmod: non-negative)
+#   (h*K)%M  = (((h>>16)*K mod 2^16) << 16 + (h&0xFFFF)*K) mod 2^32
+#
+# — because (x * 2^16) mod 2^32 = (x mod 2^16) * 2^16. For keys in the
+# naive form's safe domain the two forms agree bit-exactly (pinned in
+# tests/test_adversarial_r9.py against a big-int Python reference), so
+# swapping a plan onto knuth32() never changes shipped-fixture results;
+# oracles mirror knuth32_sql() textually so the hash check covers the
+# widened arithmetic itself.
+
+KNUTH32 = 2654435761  # 2^32 / phi, the classic multiplicative constant
+MOD32 = 4294967296  # 2^32
+
+
+def knuth32(col):
+    """Exact (col * 2654435761) mod 2^32 for ANY bigint col — pure
+    int64 arithmetic (shift/mask/multiply), whole-stage-codegen'd."""
+    from pyspark.sql import functions as F
+
+    h = F.pmod(col, F.lit(MOD32))
+    hi = F.shiftright(h, 16)  # h DIV 2^16 (h is non-negative)
+    lo = h.bitwiseAND(F.lit(65535))
+    return F.pmod(
+        F.pmod(hi * F.lit(KNUTH32), F.lit(65536)) * F.lit(65536)
+        + lo * F.lit(KNUTH32),
+        F.lit(MOD32),
+    )
+
+
+def knuth32_sql(expr: str) -> str:
+    """DuckDB twin of knuth32(): identical split-multiply arithmetic,
+    textual form (DuckDB % follows the dividend sign, so pmod is
+    spelled ((x % m) + m) % m)."""
+    h = f"((({expr}) % {MOD32} + {MOD32}) % {MOD32})"
+    return (
+        f"((((({h} >> 16) * {KNUTH32}) % 65536) * 65536"
+        f" + ({h} & 65535) * {KNUTH32}) % {MOD32})"
+    )
