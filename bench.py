@@ -299,7 +299,16 @@ def main() -> None:
         import subprocess
 
         iso_reps = os.environ.get("SPARK_GRAFT_BENCH_ISOLATED_REPS", "3")
-        for key in ("flagship", "corpus_curate"):
+        # widened r9 (r8 verdict watch item: the committed r8 totals ran
+        # ~10% high one-sided): the five drift-watch keys, so every
+        # BENCH carries their session-age-free numbers
+        for key in (
+            "flagship",
+            "corpus_curate",
+            "graph_pagerank",
+            "tpch_q5",
+            "sim_topk",
+        ):
             try:
                 out = subprocess.run(
                     [

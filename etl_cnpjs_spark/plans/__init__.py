@@ -31,6 +31,7 @@ from etl_cnpjs_spark.plans import extended12  # noqa: E402,F401
 from etl_cnpjs_spark.plans import extended13  # noqa: E402,F401
 from etl_cnpjs_spark.plans import extended14  # noqa: E402,F401
 from etl_cnpjs_spark.plans import extended15  # noqa: E402,F401
+from etl_cnpjs_spark.plans import extended16  # noqa: E402,F401
 from etl_cnpjs_spark.plans import tpch  # noqa: E402,F401
 from etl_cnpjs_spark.plans import corpus  # noqa: E402,F401
 from etl_cnpjs_spark.plans import udtf_plans  # noqa: E402,F401

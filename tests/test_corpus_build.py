@@ -276,3 +276,104 @@ def test_decontaminate_incremental_fixture(spark, inc_fixture):
         ).fetchall()
     }
     assert got_o == expected
+
+
+# --- corpus_ingest_incremental ------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ingest_fixture(tmp_path_factory):
+    """Plants every ingest outcome: a delta doc pairing ONLY an eval
+    corpus doc (leaked), one pairing ONLY a train corpus doc (dup), one
+    pairing BOTH (must attribute to LEAKED — decontamination runs
+    first), two clean 300-token docs in the SAME shard (packing makes
+    2 bins at budget 512), and a shingle-empty 2-token doc in a second
+    lang (too short to pair — must still be ingested and packed)."""
+    from etl_cnpjs_spark.plans.dedup import _INCR_SPLIT
+
+    taken: set[int] = set()
+
+    def grab(pred, lo=0, hi=_INCR_SPLIT):
+        i = lo
+        while i in taken or not _pred_ok(pred, i) or i >= hi:
+            i += 1
+            assert i < hi, "fixture id space exhausted"
+        taken.add(i)
+        return i
+
+    def _pred_ok(pred, i):
+        return pred(i)
+
+    CE = grab(_is_eval)  # corpus eval
+    CE2 = grab(_is_eval)  # corpus eval (the 'both' partner)
+    CT = grab(lambda i: not _is_eval(i))  # corpus train
+    CT2 = grab(lambda i: not _is_eval(i))  # corpus train (the 'both' partner)
+
+    t_leak = " ".join(f"l{k}" for k in range(10))
+    t_dup = " ".join(f"d{k}" for k in range(12))
+    t_both = " ".join(f"b{k}" for k in range(10))
+    S = _INCR_SPLIT
+    rows = [
+        (CE, "aa", t_leak),
+        (CE2, "aa", t_both),
+        (CT, "aa", t_dup),
+        (CT2, "aa", t_both),
+        (S + 0, "aa", t_leak),  # D_LEAK
+        (S + 1, "aa", t_dup),  # D_DUP
+        (S + 2, "aa", t_both),  # D_BOTH -> leaked wins
+        (S + 6, "aa", " ".join(f"p{k}" for k in range(300))),  # clean
+        (S + 7, "aa", " ".join(f"q{k}" for k in range(300))),  # clean, same shard
+        (S + 8, "bb", "y0 y1"),  # shingle-empty, still ingested
+    ]
+    d = tmp_path_factory.mktemp("ingest_fix")
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "lang": [r[1] for r in rows],
+            "source": ["fix"] * len(rows),
+            "text": [r[2] for r in rows],
+            "n_chars": [len(r[2]) for r in rows],
+        }
+    ).to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+def test_corpus_ingest_incremental_fixture(spark, ingest_fixture):
+    """Both engines against the planted design: aa sees 5 delta docs —
+    2 leaked (incl. the both-partner doc: attribution order), 1 dup,
+    2 ingested 300-token docs in one shard -> 2 bins / 600 tokens; bb's
+    2-token doc never enters the posting probe but is ingested and
+    packs into 1 bin of 2 tokens. (S+6/S+7 share shard (S+6) DIV 64
+    because _INCR_SPLIT=250 -> 256,257 sit in shard 4.)"""
+    import duckdb
+
+    expected = {
+        "aa": (5, 2, 1, 2, 2, 600),
+        "bb": (1, 0, 0, 1, 1, 2),
+    }
+    got_s = {
+        r.lang: (
+            r.n_delta,
+            r.n_leaked,
+            r.n_dup,
+            r.n_ingested,
+            r.n_seqs,
+            r.packed_tokens,
+        )
+        for r in QUERIES["corpus_ingest_incremental"]
+        .fn(spark, ingest_fixture)
+        .collect()
+    }
+    assert got_s == expected
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{ingest_fixture}/documents.parquet')"
+    )
+    got_o = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            QUERIES["corpus_ingest_incremental"].oracle
+        ).fetchall()
+    }
+    assert got_o == expected

@@ -1016,3 +1016,197 @@ def test_python_stream_source_restart_from_checkpoint(spark, tmp_path):
     assert got.count() == 1024  # nothing replayed, nothing lost
     rows = {(r.id, r.v, r.chunk) for r in got.collect()}
     assert rows == {(j, j * 7 % 97, j // _PYSTREAM_CHUNK) for j in range(1024)}
+
+
+def test_stream_corpus_ingest_converges_to_batch(spark, sf_dir, tmp_path):
+    """Streaming face of corpus_ingest_incremental (the r8 queue's
+    crawl-ingest shape): the delta documents arrive as a STREAM across
+    two micro-batches; shingles/token counts are computed in-flight
+    (deterministic expressions), each micro-batch is screened inside
+    foreachBatch against the PERSISTED corpus posting + shingle tables
+    (decontaminate-probe vs the eval split, then near-dup probe vs
+    corpus train — at production the bucketed table
+    dedup_minhash_persist maintains), and per-doc outcomes append to a
+    staged table. After the drain the staged survivors flow through the
+    same greedy sharded pack, and the final per-language report must
+    equal the batch key exactly — screen-on-arrival, pack-on-snapshot,
+    proven under readStream."""
+    from etl_cnpjs_spark.functions.text import shingles, tokens
+    from etl_cnpjs_spark.operators.dedup import minhash_band_keys
+    from etl_cnpjs_spark.operators.packing import greedy_pack_bins
+    from etl_cnpjs_spark.plans import QUERIES
+    from etl_cnpjs_spark.plans.dedup import (
+        _INCR_SPLIT,
+        _doc_shingles,
+        JACCARD_THRESHOLD,
+    )
+    from etl_cnpjs_spark.plans.extended import _KEEP
+    from etl_cnpjs_spark.plans.extended14 import (
+        GREEDY_PACK_BUDGET,
+        GREEDY_SHARD_WIDTH,
+    )
+    from etl_cnpjs_spark.plans.registry import knuth32
+
+    batch_expected = {
+        tuple(r)
+        for r in QUERIES["corpus_ingest_incremental"].fn(spark, sf_dir).collect()
+    }
+
+    # persisted static side (written once, read back): banded postings +
+    # shingle arrays + eval flag of the existing corpus
+    corpus = (
+        _doc_shingles(spark, sf_dir)
+        .filter(F.col("doc_id") < _INCR_SPLIT)
+        .select(
+            "doc_id",
+            "sh",
+            minhash_band_keys(F.col("sh"), bands=8, rows=2).alias("bk"),
+        )
+    )
+    posts_dir = str(tmp_path / "corpus_posts")
+    sh_dir = str(tmp_path / "corpus_sh")
+    corpus.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.posexplode("bk").alias("band", "key"),
+    ).write.parquet(posts_dir)
+    corpus.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("sh").alias("sha"),
+        (knuth32(F.col("doc_id")) < F.lit(_KEEP)).alias("vs_eval"),
+    ).write.parquet(sh_dir)
+    static_posts = spark.read.parquet(posts_dir)
+    static_sh = spark.read.parquet(sh_dir)
+
+    # stream side: the delta docs as two time-ordered files -> two
+    # micro-batches under maxFilesPerTrigger=1
+    import os as _o
+    import shutil
+
+    delta = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= _INCR_SPLIT)
+        .select("doc_id", "lang", "text")
+    )
+    mid = delta.approxQuantile("doc_id", [0.5], 0.0)[0]
+    feed = str(tmp_path / "ingest_feed")
+    _o.makedirs(feed)
+    for part, flt in (
+        ("a_batch1", F.col("doc_id") <= mid),
+        ("b_batch2", F.col("doc_id") > mid),
+    ):
+        pdir = str(tmp_path / part)
+        delta.filter(flt).coalesce(1).write.parquet(pdir)
+        pq = next(f for f in _o.listdir(pdir) if f.endswith(".parquet"))
+        shutil.copy(f"{pdir}/{pq}", f"{feed}/{part}.parquet")
+
+    staged = str(tmp_path / "outcomes")
+
+    def screen(bdf, _batch_id: int):
+        meta = bdf.select("doc_id", "lang", "n_tokens", "shb")
+        posts = meta.filter(F.size("shb") > 0).select(
+            "doc_id",
+            F.posexplode(
+                minhash_band_keys(F.col("shb"), bands=8, rows=2)
+            ).alias("band", "key"),
+        )
+        cands = (
+            posts.join(static_posts, ["band", "key"])
+            .select("doc_id", "corpus_id")
+            .distinct()
+        )
+        inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+        union = F.size("sha") + F.size("shb") - inter
+        hits = (
+            cands.join(static_sh, "corpus_id")
+            .join(meta.select("doc_id", "shb"), "doc_id")
+            .filter((inter / union) >= JACCARD_THRESHOLD)
+            .groupBy("doc_id")
+            .agg(F.max("vs_eval").alias("leaked"))
+        )
+        (
+            meta.select("doc_id", "lang", "n_tokens")
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                "lang",
+                "n_tokens",
+                F.when(F.col("leaked"), F.lit("leaked"))
+                .when(F.col("leaked").isNotNull(), F.lit("dup"))
+                .otherwise(F.lit("ingested"))
+                .alias("outcome"),
+            )
+            .write.mode("append")
+            .parquet(staged)
+        )
+
+    src = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    stream = src.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        shingles(tokens(F.col("text"))).alias("shb"),
+    )
+    q = (
+        stream.writeStream.foreachBatch(screen)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # pack-on-snapshot over the streamed-in survivors + final report
+    outcomes = spark.read.parquet(staged)
+    surv = outcomes.filter(F.col("outcome") == "ingested").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(f"doc_id DIV {GREEDY_SHARD_WIDTH}").alias("shard"),
+    )
+    packed = surv.groupBy("lang", "shard").applyInPandas(
+        greedy_pack_bins(GREEDY_PACK_BUDGET),
+        "doc_id long, lang string, n_tokens int, shard long, bin long",
+    )
+    pk = (
+        packed.groupBy("lang", "shard")
+        .agg(
+            (F.max("bin") + 1).cast("bigint").alias("bins"),
+            F.sum("n_tokens").cast("bigint").alias("tok"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("bins").cast("bigint").alias("n_seqs"),
+            F.sum("tok").cast("bigint").alias("packed_tokens"),
+        )
+    )
+    rep = outcomes.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_delta"),
+        F.sum((F.col("outcome") == "leaked").cast("int"))
+        .cast("bigint")
+        .alias("n_leaked"),
+        F.sum((F.col("outcome") == "dup").cast("int"))
+        .cast("bigint")
+        .alias("n_dup"),
+        F.sum((F.col("outcome") == "ingested").cast("int"))
+        .cast("bigint")
+        .alias("n_ingested"),
+    )
+    got = {
+        tuple(r)
+        for r in rep.join(pk, "lang", "left")
+        .select(
+            "lang",
+            "n_delta",
+            "n_leaked",
+            "n_dup",
+            "n_ingested",
+            F.coalesce("n_seqs", F.lit(0)).cast("bigint").alias("n_seqs"),
+            F.coalesce("packed_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("packed_tokens"),
+        )
+        .collect()
+    }
+    assert got == batch_expected
