@@ -255,6 +255,43 @@ def main() -> None:
         else None
     )
 
+    # Box-speed canary (r9, adjudicating the r8 one-sided ~10% drift):
+    # a FIXED Spark-free workload — numpy matmul + DuckDB aggregate —
+    # timed beside every bench so rounds can normalize engine numbers
+    # against box state instead of arguing from the noise envelope.
+    # Identical work every round; cross-round movement here is the box,
+    # not the engine.
+    def box_canary() -> dict[str, float]:
+        import duckdb
+        import numpy as np
+
+        def med3(fn) -> float:
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn()
+                ts.append(time.perf_counter() - t0)
+            return round(sorted(ts)[1], 4)
+
+        rng = np.random.default_rng(42)
+        a = rng.standard_normal((3072, 3072))
+        matmul = med3(lambda: (a @ a).sum())
+        con = duckdb.connect()
+        duck = med3(
+            lambda: con.execute(
+                "SELECT count(DISTINCT i % 1000003), sum(i * 7 % 97) "
+                "FROM range(30000000) t(i)"
+            ).fetchall()
+        )
+        con.close()
+        return {"numpy_matmul_3072": matmul, "duckdb_agg_30m": duck}
+
+    try:
+        canary = box_canary()
+    except Exception as exc:  # canary must never fail the bench line
+        print(f"bench: box canary failed: {exc}", file=sys.stderr)
+        canary = None
+
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -344,6 +381,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": headline,
                 "isolated_fresh_session": isolated or None,
+                "box_canary": canary,
                 "sf": sf,
                 "n_queries": sum(1 for t in timings.values() if t >= 0),
                 "failures": failures,
