@@ -1018,90 +1018,16 @@ def test_python_stream_source_restart_from_checkpoint(spark, tmp_path):
     assert rows == {(j, j * 7 % 97, j // _PYSTREAM_CHUNK) for j in range(1024)}
 
 
-def test_stream_corpus_ingest_converges_to_batch(spark, sf_dir, tmp_path):
-    """Streaming face of corpus_ingest_incremental (the r8 queue's
-    crawl-ingest shape): the delta documents arrive as a STREAM across
-    two micro-batches; shingles/token counts are computed in-flight
-    (deterministic expressions), each micro-batch is screened inside
-    foreachBatch against the PERSISTED corpus posting + shingle tables
-    (decontaminate-probe vs the eval split, then near-dup probe vs
-    corpus train — at production the bucketed table
-    dedup_minhash_persist maintains), and per-doc outcomes append to a
-    staged table. After the drain the staged survivors flow through the
-    same greedy sharded pack, and the final per-language report must
-    equal the batch key exactly — screen-on-arrival, pack-on-snapshot,
-    proven under readStream."""
-    from etl_cnpjs_spark.functions.text import shingles, tokens
+def _ingest_screen_fn(static_posts, static_sh, write_outcomes):
+    """foreachBatch body of the crawl-ingest screen: candidates from the
+    persisted posting table, exact-Jaccard verify against the persisted
+    shingle frame, per-doc outcome attribution (eval partner beats train
+    partner). `write_outcomes(df, batch_id)` owns the sink so tests can
+    choose plain-append or the idempotent per-batch_id layout."""
     from etl_cnpjs_spark.operators.dedup import minhash_band_keys
-    from etl_cnpjs_spark.operators.packing import greedy_pack_bins
-    from etl_cnpjs_spark.plans import QUERIES
-    from etl_cnpjs_spark.plans.dedup import (
-        _INCR_SPLIT,
-        _doc_shingles,
-        JACCARD_THRESHOLD,
-    )
-    from etl_cnpjs_spark.plans.extended import _KEEP
-    from etl_cnpjs_spark.plans.extended14 import (
-        GREEDY_PACK_BUDGET,
-        GREEDY_SHARD_WIDTH,
-    )
-    from etl_cnpjs_spark.plans.registry import knuth32
+    from etl_cnpjs_spark.plans.dedup import JACCARD_THRESHOLD
 
-    batch_expected = {
-        tuple(r)
-        for r in QUERIES["corpus_ingest_incremental"].fn(spark, sf_dir).collect()
-    }
-
-    # persisted static side (written once, read back): banded postings +
-    # shingle arrays + eval flag of the existing corpus
-    corpus = (
-        _doc_shingles(spark, sf_dir)
-        .filter(F.col("doc_id") < _INCR_SPLIT)
-        .select(
-            "doc_id",
-            "sh",
-            minhash_band_keys(F.col("sh"), bands=8, rows=2).alias("bk"),
-        )
-    )
-    posts_dir = str(tmp_path / "corpus_posts")
-    sh_dir = str(tmp_path / "corpus_sh")
-    corpus.select(
-        F.col("doc_id").alias("corpus_id"),
-        F.posexplode("bk").alias("band", "key"),
-    ).write.parquet(posts_dir)
-    corpus.select(
-        F.col("doc_id").alias("corpus_id"),
-        F.col("sh").alias("sha"),
-        (knuth32(F.col("doc_id")) < F.lit(_KEEP)).alias("vs_eval"),
-    ).write.parquet(sh_dir)
-    static_posts = spark.read.parquet(posts_dir)
-    static_sh = spark.read.parquet(sh_dir)
-
-    # stream side: the delta docs as two time-ordered files -> two
-    # micro-batches under maxFilesPerTrigger=1
-    import os as _o
-    import shutil
-
-    delta = (
-        table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") >= _INCR_SPLIT)
-        .select("doc_id", "lang", "text")
-    )
-    mid = delta.approxQuantile("doc_id", [0.5], 0.0)[0]
-    feed = str(tmp_path / "ingest_feed")
-    _o.makedirs(feed)
-    for part, flt in (
-        ("a_batch1", F.col("doc_id") <= mid),
-        ("b_batch2", F.col("doc_id") > mid),
-    ):
-        pdir = str(tmp_path / part)
-        delta.filter(flt).coalesce(1).write.parquet(pdir)
-        pq = next(f for f in _o.listdir(pdir) if f.endswith(".parquet"))
-        shutil.copy(f"{pdir}/{pq}", f"{feed}/{part}.parquet")
-
-    staged = str(tmp_path / "outcomes")
-
-    def screen(bdf, _batch_id: int):
+    def screen(bdf, batch_id: int):
         meta = bdf.select("doc_id", "lang", "n_tokens", "shb")
         posts = meta.filter(F.size("shb") > 0).select(
             "doc_id",
@@ -1123,7 +1049,7 @@ def test_stream_corpus_ingest_converges_to_batch(spark, sf_dir, tmp_path):
             .groupBy("doc_id")
             .agg(F.max("vs_eval").alias("leaked"))
         )
-        (
+        out = (
             meta.select("doc_id", "lang", "n_tokens")
             .join(hits, "doc_id", "left")
             .select(
@@ -1135,30 +1061,52 @@ def test_stream_corpus_ingest_converges_to_batch(spark, sf_dir, tmp_path):
                 .otherwise(F.lit("ingested"))
                 .alias("outcome"),
             )
-            .write.mode("append")
-            .parquet(staged)
         )
+        write_outcomes(out, batch_id)
 
-    src = (
-        spark.readStream.schema("doc_id long, lang string, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(feed)
-    )
-    stream = src.filter(F.length(F.trim("text")) > 0).select(
-        "doc_id",
-        "lang",
-        F.size(tokens(F.col("text"))).alias("n_tokens"),
-        shingles(tokens(F.col("text"))).alias("shb"),
-    )
-    q = (
-        stream.writeStream.foreachBatch(screen)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    return screen
 
-    # pack-on-snapshot over the streamed-in survivors + final report
-    outcomes = spark.read.parquet(staged)
+
+def _ingest_static_side(spark, sf_dir, tmp_path):
+    """Persist (write once, read back) the corpus posting + shingle
+    tables the ingest screen probes — the dedup_minhash_persist role."""
+    from etl_cnpjs_spark.operators.dedup import minhash_band_keys
+    from etl_cnpjs_spark.plans.dedup import _INCR_SPLIT, _doc_shingles
+    from etl_cnpjs_spark.plans.extended import _KEEP
+    from etl_cnpjs_spark.plans.registry import knuth32
+
+    corpus = (
+        _doc_shingles(spark, sf_dir)
+        .filter(F.col("doc_id") < _INCR_SPLIT)
+        .select(
+            "doc_id",
+            "sh",
+            minhash_band_keys(F.col("sh"), bands=8, rows=2).alias("bk"),
+        )
+    )
+    posts_dir = str(tmp_path / "corpus_posts")
+    sh_dir = str(tmp_path / "corpus_sh")
+    corpus.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.posexplode("bk").alias("band", "key"),
+    ).write.parquet(posts_dir)
+    corpus.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("sh").alias("sha"),
+        (knuth32(F.col("doc_id")) < F.lit(_KEEP)).alias("vs_eval"),
+    ).write.parquet(sh_dir)
+    return spark.read.parquet(posts_dir), spark.read.parquet(sh_dir)
+
+
+def _ingest_report(spark, outcomes):
+    """Pack-on-snapshot + per-lang report over staged outcome rows —
+    the closing batch stage both streaming-face tests share."""
+    from etl_cnpjs_spark.operators.packing import greedy_pack_bins
+    from etl_cnpjs_spark.plans.extended14 import (
+        GREEDY_PACK_BUDGET,
+        GREEDY_SHARD_WIDTH,
+    )
+
     surv = outcomes.filter(F.col("outcome") == "ingested").select(
         "doc_id",
         "lang",
@@ -1193,20 +1141,184 @@ def test_stream_corpus_ingest_converges_to_batch(spark, sf_dir, tmp_path):
         .cast("bigint")
         .alias("n_ingested"),
     )
+    return rep.join(pk, "lang", "left").select(
+        "lang",
+        "n_delta",
+        "n_leaked",
+        "n_dup",
+        "n_ingested",
+        F.coalesce("n_seqs", F.lit(0)).cast("bigint").alias("n_seqs"),
+        F.coalesce("packed_tokens", F.lit(0))
+        .cast("bigint")
+        .alias("packed_tokens"),
+    )
+
+
+def test_stream_corpus_ingest_converges_to_batch(spark, sf_dir, tmp_path):
+    """Streaming face of corpus_ingest_incremental (the r8 queue's
+    crawl-ingest shape): the delta documents arrive as a STREAM across
+    two micro-batches; shingles/token counts are computed in-flight
+    (deterministic expressions), each micro-batch is screened inside
+    foreachBatch against the PERSISTED corpus posting + shingle tables
+    (decontaminate-probe vs the eval split, then near-dup probe vs
+    corpus train — at production the bucketed table
+    dedup_minhash_persist maintains), and per-doc outcomes append to a
+    staged table. After the drain the staged survivors flow through the
+    same greedy sharded pack, and the final per-language report must
+    equal the batch key exactly — screen-on-arrival, pack-on-snapshot,
+    proven under readStream."""
+    from etl_cnpjs_spark.functions.text import shingles, tokens
+    from etl_cnpjs_spark.plans import QUERIES
+    from etl_cnpjs_spark.plans.dedup import _INCR_SPLIT
+
+    batch_expected = {
+        tuple(r)
+        for r in QUERIES["corpus_ingest_incremental"].fn(spark, sf_dir).collect()
+    }
+    static_posts, static_sh = _ingest_static_side(spark, sf_dir, tmp_path)
+
+    # stream side: the delta docs as two time-ordered files -> two
+    # micro-batches under maxFilesPerTrigger=1
+    import os as _o
+    import shutil
+
+    delta = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= _INCR_SPLIT)
+        .select("doc_id", "lang", "text")
+    )
+    mid = delta.approxQuantile("doc_id", [0.5], 0.0)[0]
+    feed = str(tmp_path / "ingest_feed")
+    _o.makedirs(feed)
+    for part, flt in (
+        ("a_batch1", F.col("doc_id") <= mid),
+        ("b_batch2", F.col("doc_id") > mid),
+    ):
+        pdir = str(tmp_path / part)
+        delta.filter(flt).coalesce(1).write.parquet(pdir)
+        pq = next(f for f in _o.listdir(pdir) if f.endswith(".parquet"))
+        shutil.copy(f"{pdir}/{pq}", f"{feed}/{part}.parquet")
+
+    staged = str(tmp_path / "outcomes")
+    screen = _ingest_screen_fn(
+        static_posts,
+        static_sh,
+        lambda out, _bid: out.write.mode("append").parquet(staged),
+    )
+
+    src = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    stream = src.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        shingles(tokens(F.col("text"))).alias("shb"),
+    )
+    q = (
+        stream.writeStream.foreachBatch(screen)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
     got = {
         tuple(r)
-        for r in rep.join(pk, "lang", "left")
-        .select(
-            "lang",
-            "n_delta",
-            "n_leaked",
-            "n_dup",
-            "n_ingested",
-            F.coalesce("n_seqs", F.lit(0)).cast("bigint").alias("n_seqs"),
-            F.coalesce("packed_tokens", F.lit(0))
-            .cast("bigint")
-            .alias("packed_tokens"),
-        )
-        .collect()
+        for r in _ingest_report(spark, spark.read.parquet(staged)).collect()
     }
+    assert got == batch_expected
+
+
+def test_stream_corpus_ingest_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Checkpointed RESTART of the crawl-ingest stream: screen the first
+    delta file to completion through a checkpointed foreachBatch, STOP,
+    extend the feed with the second file, restart the SAME checkpoint.
+    Structured Streaming's foreachBatch contract is at-least-once — a
+    batch committed to the sink but not yet to the checkpoint REPLAYS
+    with the same batch_id on restart — so outcomes stage into a
+    per-batch_id subdirectory written with overwrite (the documented
+    idempotent-sink pattern). After the restarted drain the staged table
+    must hold EXACTLY one outcome per delta doc (no replays, no gaps)
+    and the report must still equal the batch key — exactly-once
+    end-to-end across a restart."""
+    from etl_cnpjs_spark.functions.text import shingles, tokens
+    from etl_cnpjs_spark.plans import QUERIES
+    from etl_cnpjs_spark.plans.dedup import _INCR_SPLIT
+
+    batch_expected = {
+        tuple(r)
+        for r in QUERIES["corpus_ingest_incremental"].fn(spark, sf_dir).collect()
+    }
+    static_posts, static_sh = _ingest_static_side(spark, sf_dir, tmp_path)
+
+    import os as _o
+    import shutil
+
+    delta = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= _INCR_SPLIT)
+        .select("doc_id", "lang", "text")
+    )
+    n_delta_docs = delta.filter(F.length(F.trim("text")) > 0).count()
+    mid = delta.approxQuantile("doc_id", [0.5], 0.0)[0]
+    feed = str(tmp_path / "ingest_feed")
+    _o.makedirs(feed)
+    parts = {}
+    for part, flt in (
+        ("a_batch1", F.col("doc_id") <= mid),
+        ("b_batch2", F.col("doc_id") > mid),
+    ):
+        pdir = str(tmp_path / part)
+        delta.filter(flt).coalesce(1).write.parquet(pdir)
+        pq = next(f for f in _o.listdir(pdir) if f.endswith(".parquet"))
+        parts[part] = f"{pdir}/{pq}"
+
+    staged = str(tmp_path / "outcomes")
+    ckpt = str(tmp_path / "ingest_ckpt")
+    screen = _ingest_screen_fn(
+        static_posts,
+        static_sh,
+        # idempotent sink: a replayed batch_id overwrites its own
+        # directory instead of double-appending
+        lambda out, bid: out.write.mode("overwrite").parquet(
+            f"{staged}/batch_id={bid}"
+        ),
+    )
+
+    def run():
+        src = (
+            spark.readStream.schema("doc_id long, lang string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        stream = src.filter(F.length(F.trim("text")) > 0).select(
+            "doc_id",
+            "lang",
+            F.size(tokens(F.col("text"))).alias("n_tokens"),
+            shingles(tokens(F.col("text"))).alias("shb"),
+        )
+        q = (
+            stream.writeStream.foreachBatch(screen)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # leg 1: only the first file exists; drain and stop
+    shutil.copy(parts["a_batch1"], f"{feed}/a_batch1.parquet")
+    run()
+    # leg 2: the second file lands; restart from the SAME checkpoint
+    shutil.copy(parts["b_batch2"], f"{feed}/b_batch2.parquet")
+    run()
+
+    outcomes = spark.read.option("basePath", staged).parquet(staged).select(
+        "doc_id", "lang", "n_tokens", "outcome"
+    )
+    # exactly-once: one outcome row per non-empty delta doc
+    assert outcomes.count() == n_delta_docs
+    assert outcomes.select("doc_id").distinct().count() == n_delta_docs
+    got = {tuple(r) for r in _ingest_report(spark, outcomes).collect()}
     assert got == batch_expected
