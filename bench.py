@@ -62,6 +62,7 @@ HEADLINE = [
     "dedup_cluster",
     "corpus_curate",
     "corpus_training_set",
+    "corpus_ingest_incremental",
     "tpch_q1",
     "graph_pagerank",
     "sim_topk",

@@ -1065,3 +1065,19 @@ def test_map_in_arrow_no_exchange(spark, sf_dir):
     plan = explain_str(QUERIES["udf_map_in_arrow"].fn(spark, sf_dir), "simple")
     assert "Exchange" not in plan, plan[:600]
     assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan[:600]
+
+
+def test_corpus_ingest_incremental_shape(spark, sf_dir):
+    """The crawl-ingest screen's scale promises pinned: no cartesian /
+    nested-loop anywhere (candidates come from the banded posting
+    equi-join), the hit frame re-enters through BROADCAST joins (the
+    anti-join and the report join — hits are ≤|delta| rows, never a
+    doc-grain shuffle side), and the probe itself is an equi-join."""
+    plan = explain_str(QUERIES["corpus_ingest_incremental"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # anti-join + report join both broadcast the collapsed hit frame
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    ), plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
