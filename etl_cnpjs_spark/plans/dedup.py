@@ -514,6 +514,25 @@ def _banded8x2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
+def clear_memos(app_id: str | None = None) -> int:
+    """Evict the session-scoped memo frames (shingles, exact pairs, CC
+    labels, banded signatures) for one applicationId — or all of them —
+    and return how many entries were dropped. The memos never evict on
+    their own (r9 ADVICE low #4): localCheckpoint blocks die with the
+    application, which is the right lifetime for the one-application
+    bench/driver runs, but a LONG-LIVED session that switches sf_dirs
+    accumulates one block set per (app, sf). Dropping the last Python
+    reference lets Spark's ContextCleaner reclaim the checkpoint RDD
+    blocks on its next GC-triggered sweep."""
+    n = 0
+    for cache in (_shingle_cache, _pairs_cache, _label_cache, _banded_cache):
+        for key in list(cache):
+            if app_id is None or key[0] == app_id:
+                del cache[key]
+                n += 1
+    return n
+
+
 @register("dedup_incremental", oracle=_SQL_INCREMENTAL, tags=("north_star", "dedup", "incremental"))
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup screening: MinHash band keys of the INCOMING

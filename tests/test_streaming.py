@@ -1222,7 +1222,7 @@ def test_stream_corpus_ingest_converges_to_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "ingest stream did not drain in 180s"
 
     got = {
         tuple(r)
@@ -1305,7 +1305,7 @@ def test_stream_corpus_ingest_restart_exactly_once(spark, sf_dir, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "ingest stream did not drain in 180s"
 
     # leg 1: only the first file exists; drain and stop
     shutil.copy(parts["a_batch1"], f"{feed}/a_batch1.parquet")

@@ -31,9 +31,10 @@ def main() -> int:
     ca = (a.get("box_canary") or {}).get("duckdb_agg_30m")
     cb = (b.get("box_canary") or {}).get("duckdb_agg_30m")
     box = (cb / ca) if ca and cb else None
+    ta, tb = a.get("total_queries_sec"), b.get("total_queries_sec")
+    tot_raw = f"raw {tb / ta:.2f}x" if ta and tb else "raw n/a"
     print(
-        f"totals: {a.get('total_queries_sec')} -> {b.get('total_queries_sec')} s"
-        f" (raw {b['total_queries_sec'] / a['total_queries_sec']:.2f}x)"
+        f"totals: {ta} -> {tb} s ({tot_raw})"
         + (f"; box canary {ca} -> {cb} s ({box:.2f}x)" if box else
            "; no canary in one side — raw ratios only")
     )
