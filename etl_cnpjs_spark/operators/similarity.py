@@ -315,9 +315,12 @@ def salted_buckets(signed, bucket_cap: int):
 
     Each collected struct carries its member's group so the verifier
     scores a pair only in its owning task (same-group pairs would
-    otherwise be re-scored by every task that sees that group)."""
+    otherwise be re-scored by every task that sees that group), plus the
+    member's full band-key array and the task's band index, so the
+    verifier can apply the first-colliding-band exactly-once rule
+    (score_salted_buckets)."""
     exploded = signed.select(
-        "__id", "__v", F.posexplode("__bk").alias("__band", "__key")
+        "__id", "__v", "__bk", F.posexplode("__bk").alias("__band", "__key")
     )
     hot = (
         exploded.groupBy("__band", "__key")
@@ -333,6 +336,11 @@ def salted_buckets(signed, bucket_cap: int):
         "__key",
         "__id",
         "__v",
+        # only the bands BEFORE this task's band matter for the
+        # first-colliding-band rule — ship that prefix, not the full
+        # signature (empty for band 0, so bucket_cosine_pairs's single
+        # degenerate band adds zero payload)
+        F.slice("__bk", F.lit(1), "__band").alias("__bk"),
         F.pmod(F.xxhash64("__id"), num_groups).cast("int").alias("__g"),
         F.explode(F.sequence(F.lit(0), num_groups - 1)).alias("__x"),
     )
@@ -344,12 +352,13 @@ def salted_buckets(signed, bucket_cap: int):
             F.greatest("__g", "__x").alias("gb"),  # mangles _-prefixes
             "__id",
             "__v",
+            "__bk",
             "__g",
         )
         .groupBy("__band", "__key", "ga", "gb")
-        .agg(F.collect_list(F.struct("__id", "__v", "__g")).alias("vs"))
+        .agg(F.collect_list(F.struct("__id", "__v", "__bk", "__g")).alias("vs"))
         .filter(F.size("vs") > 1)
-        .select("ga", "gb", "vs")
+        .select(F.col("__band").alias("band"), "ga", "gb", "vs")
     )
 
 
@@ -380,9 +389,9 @@ def embedding_lsh_pairs(
     coverage (see salted_buckets) — no single task ever collects an
     unbounded payload, the standard cap-and-salt LSH practice.
 
-    The same pair can surface from several bands — scores are
-    bit-identical everywhere (same sequential dimension-order fold as
-    the Catalyst/DuckDB oracle), so the final distinct collapses them."""
+    A pair colliding in several bands is scored ONCE, in its first
+    colliding band (score_salted_buckets) — scoring cost is the
+    distinct-candidate count, not Σ bucket² across bands."""
     import numpy as np
     import pandas as pd
 
@@ -394,22 +403,31 @@ def embedding_lsh_pairs(
 
 
 def score_salted_buckets(buckets, tau: float):
-    """Exact-cosine verify over salted_buckets output: each task scores
-    its collected (id, vector) payload with the vectorized numpy outer
-    fold (sequential dimension order — bit-identical to the
-    Catalyst/DuckDB expression fold), emits i<j pairs with cos ≥ τ from
-    their owning (ga, gb) task only, and a global distinct collapses
-    multi-band duplicates. Shared by embedding_lsh_pairs (buckets =
-    LSH band keys) and bucket_cosine_pairs (buckets = any coarse
-    cluster id, e.g. dedup_semantic's quantizer cells)."""
+    """Exact-cosine verify over salted_buckets output, each candidate
+    pair scored EXACTLY ONCE: a pair colliding in several bands is
+    scored only in its FIRST colliding band (each member carries its
+    full band-key array, so the task for band b drops any i<j pair that
+    already agreed in some band b' < b — that pair was band b''s job),
+    and only in its owning (ga, gb) salt task within that band. Before
+    the first-band rule, a low-selectivity operating point (e.g. this
+    corpus's τ=0.4, where ~every pair stays a candidate) re-scored each
+    pair once per colliding band — Σ bucket² across ALL bands, 8× the
+    distinct-candidate space at 32 bands (measured, r10) — and a
+    distinct collapsed the duplicates after the fact. Now scoring cost
+    is the distinct-candidate count itself, the number the (bands,
+    rows) operating point actually buys.
+
+    Scores stay bit-identical to the Catalyst/DuckDB expression fold:
+    candidates are selected FIRST, then each surviving pair gets a
+    gathered per-pair sequential-dimension fold (acc += V[i,d]·V[j,d],
+    d ascending — the same FP op order per pair as the previous full
+    outer-product matrix, which burned O(m²·dim) arithmetic and memory
+    traffic on pairs the masks then threw away). Shared by
+    embedding_lsh_pairs (buckets = LSH band keys) and
+    bucket_cosine_pairs (buckets = any coarse cluster id — a single
+    degenerate band, so the first-band rule is vacuous there)."""
     import numpy as np
     import pandas as pd
-
-    def _seq_dot(A, B):
-        acc = np.zeros((A.shape[0], B.shape[0]))
-        for d in range(A.shape[1]):
-            acc += np.multiply.outer(A[:, d], B[:, d])
-        return acc
 
     def _seq_norm(A):
         acc = np.zeros(A.shape[0])
@@ -424,18 +442,35 @@ def score_salted_buckets(buckets, tau: float):
                 ids = np.array([r["__id"] for r in row.vs], dtype=np.int64)
                 V = np.array([r["__v"] for r in row.vs], dtype=np.float64)
                 gs = np.array([r["__g"] for r in row.vs], dtype=np.int64)
-                nrm = _seq_norm(V)
-                cos = _seq_dot(V, V) / np.multiply.outer(nrm, nrm)
                 # score a pair only in its owning task: (min g, max g)
                 # must equal this task's (ga, gb)
                 owns = (np.minimum.outer(gs, gs) == row.ga) & (
                     np.maximum.outer(gs, gs) == row.gb
                 )
-                mask = owns & (cos >= tau) & (ids[:, None] < ids[None, :])
-                ii, jj = np.nonzero(mask)
-                out_i.append(ids[ii])
-                out_j.append(ids[jj])
-                out_c.append(cos[mask])
+                cand = owns & (ids[:, None] < ids[None, :])
+                if row.band > 0 and cand.any():
+                    # first-colliding-band rule: band-by-band to keep
+                    # peak memory at one m×m bool, not m×m×bands
+                    bk = np.array(
+                        [r["__bk"] for r in row.vs], dtype=np.int64
+                    )
+                    for b in range(row.band):
+                        col = bk[:, b]
+                        cand &= col[:, None] != col[None, :]
+                        if not cand.any():
+                            break
+                ii, jj = np.nonzero(cand)
+                if len(ii) == 0:
+                    continue
+                nrm = _seq_norm(V)
+                acc = np.zeros(len(ii))
+                for d in range(V.shape[1]):
+                    acc += V[ii, d] * V[jj, d]
+                cos = acc / (nrm[ii] * nrm[jj])
+                keep = cos >= tau
+                out_i.append(ids[ii][keep])
+                out_j.append(ids[jj][keep])
+                out_c.append(cos[keep])
             yield pd.DataFrame(
                 {
                     "i": np.concatenate(out_i) if out_i else np.array([], dtype=np.int64),
@@ -445,6 +480,8 @@ def score_salted_buckets(buckets, tau: float):
             )
 
     pairs = buckets.mapInPandas(score_bucket, "i bigint, j bigint, cos_sim double")
+    # exactly-once by construction now; the distinct stays as a cheap
+    # safety net (it collapses nothing) and keeps the plan contract
     return pairs.distinct()
 
 
