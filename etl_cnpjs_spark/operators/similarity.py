@@ -426,6 +426,15 @@ def score_salted_buckets(buckets, tau: float):
     embedding_lsh_pairs (buckets = LSH band keys) and
     bucket_cosine_pairs (buckets = any coarse cluster id — a single
     degenerate band, so the first-band rule is vacuous there)."""
+    return _score_salted_buckets_raw(buckets, tau).distinct()
+
+
+def _score_salted_buckets_raw(buckets, tau: float):
+    """score_salted_buckets before its final distinct — exposed so tests
+    can pin the exactly-once emission invariant (raw count == distinct
+    count even on a corpus that collides in every band; losing the
+    first-colliding-band mask would silently multiply verify work by
+    the band-collision multiplicity while staying correct)."""
     import numpy as np
     import pandas as pd
 
@@ -479,10 +488,9 @@ def score_salted_buckets(buckets, tau: float):
                 }
             )
 
-    pairs = buckets.mapInPandas(score_bucket, "i bigint, j bigint, cos_sim double")
-    # exactly-once by construction now; the distinct stays as a cheap
-    # safety net (it collapses nothing) and keeps the plan contract
-    return pairs.distinct()
+    return buckets.mapInPandas(
+        score_bucket, "i bigint, j bigint, cos_sim double"
+    )
 
 
 def bucket_cosine_pairs(

@@ -268,3 +268,51 @@ def test_semantic_dedup_sound_and_measured_vs_exact(spark, sf_dir):
         # clustered corpora — SemDeDup's target — near-dups co-cluster
         # by construction and recall approaches 1.
         assert recall >= 0.10, f"semantic recall {recall:.2f} over exact pairs"
+
+
+def test_lsh_scores_each_pair_exactly_once(spark):
+    """Exactly-once emission pin (r10): a tight cluster collides in
+    EVERY band, so before the first-colliding-band rule each near-dup
+    pair was scored and emitted once per band (bands× duplicated work,
+    collapsed only by the trailing distinct). The raw pre-distinct
+    frame must already be duplicate-free — losing the mask would stay
+    correct (distinct hides it) while silently multiplying verify work
+    by the band-collision multiplicity."""
+    import itertools
+
+    import numpy as np
+
+    from etl_cnpjs_spark.operators.similarity import (
+        _score_salted_buckets_raw,
+        hyperplane_signatures,
+        salted_buckets,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal(16)
+    cluster = base + 0.001 * rng.standard_normal((40, 16))
+    background = rng.standard_normal((60, 16))
+    V = np.vstack([cluster, background])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(len(V))],
+        "id bigint, v array<double>",
+    )
+
+    signed = hyperplane_signatures(df, "id", "v", bands=8, rows=2).localCheckpoint()
+    raw = _score_salted_buckets_raw(salted_buckets(signed, 1024), 0.9)
+    rows = raw.collect()
+    got = {(r.i, r.j) for r in rows}
+    assert len(rows) == len(got), (
+        f"{len(rows) - len(got)} duplicate emissions — first-band rule lost"
+    )
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    want = {
+        (i, j)
+        for i, j in itertools.combinations(range(len(V)), 2)
+        if cos(V[i], V[j]) >= 0.9
+    }
+    assert len(want) >= 100, "planted cluster should produce many pairs"
+    assert got == want, f"missed {want - got} / invented {got - want}"
