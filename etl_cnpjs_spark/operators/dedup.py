@@ -221,6 +221,69 @@ def simhash(tokens_col_sql: str, token_hash: str = "md5") -> Column:
     )
 
 
+def simhash_signatures(df: DataFrame, id_col: str, toks_col: str) -> DataFrame:
+    """(id, sig) — the 64-bit frequency-weighted SimHash of a token
+    array, computed as an Arrow-batched numpy vote fold. Bit-identical
+    to the ``simhash()`` SQL expression (same md5-half token hash, same
+    vote rule, pinned on the real corpus in
+    tests/test_dedup_recall.py::test_simhash_arrow_equals_sql_fold) but
+    ~5× faster: the SQL form is a higher-order ``aggregate`` that
+    interprets a 64-element array fold per token outside codegen
+    (~9 µs/token measured at sf0.1), while this path runs one
+    (tokens × 64) bit matrix per document in numpy with a per-batch
+    digest memo (corpora are low-vocabulary — most tokens repeat).
+
+    md5 only: it is the conformance hash the DuckDB oracle recomputes,
+    and the only 64-bit-capable digest available to BOTH engines and
+    Python here (no xxhash module in this env). The Column-form
+    ``simhash(..., token_hash=...)`` stays as the swappable surface.
+
+    Null token arrays yield a null signature, matching the SQL fold."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def sign_batches(batches):
+        memo: dict[str, int] = {}
+        shifts = np.arange(64, dtype=np.uint64)
+
+        def one_sig(toks):
+            if toks is None:
+                return None
+            vals = []
+            for t in toks:
+                v = memo.get(t)
+                if v is None:
+                    hx = hashlib.md5(t.encode("utf-8")).hexdigest()
+                    v = (int(hx[:8], 16) << 32) | int(hx[8:16], 16)
+                    memo[t] = v
+                vals.append(v)
+            h64 = np.array(vals, dtype=np.uint64)
+            bits = ((h64[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = int(
+                ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            )
+            return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "__sid": pdf["__sid"],
+                    "sig": pd.array(
+                        [one_sig(t) for t in pdf["__stoks"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("__sid"), F.col(toks_col).alias("__stoks")
+    ).mapInPandas(sign_batches, "__sid bigint, sig bigint").select(
+        F.col("__sid").alias(id_col), "sig"
+    )
+
+
 def simhash_band_keys(sim_col: Column, bands: int = 4) -> Column:
     """Split the 64-bit signature into ``bands`` equal bit-slices. Docs at
     hamming distance ≤ bands-1 share at least one identical slice."""

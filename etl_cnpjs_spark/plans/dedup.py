@@ -40,8 +40,7 @@ from etl_cnpjs_spark.operators.dedup import (
     exact_jaccard,
     jaccard_pairs,
     minhash_band_keys,
-    simhash,
-    simhash_band_keys,
+    simhash_signatures,
 )
 from etl_cnpjs_spark.plans.registry import register
 
@@ -425,44 +424,71 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-checked against Jaccard ground truth in tests.
 
     Production note: md5 here is the CONFORMANCE hash — it exists so the
-    driver oracle can recompute the identical signature in DuckDB. The
-    r3 verdict suspected it cost ~3× vs a seeded 64-bit mix; a direct
-    interleaved A/B of this full pipeline at sf0.1 refutes that (md5
-    2.1/1.7 s vs xxhash64 2.1/2.0 s warm — the 64-op/token vote fold
-    dominates, and Catalyst CSEs the digest), so md5's oracle
-    portability is effectively free here and stays the default
-    everywhere. The hash is still swappable in one argument
-    (``simhash(toks, token_hash="xxhash64")``) for engines where the
-    digest does measurably dominate: the vote loop, 6×10-bit banding,
-    pigeonhole recall guarantee, and hamming verify are hash-agnostic —
+    driver oracle can recompute the identical signature in DuckDB, and
+    with the Arrow-batched signature its digest cost disappears into a
+    per-batch memo (corpora are low-vocabulary; the r3-era A/B that
+    measured md5 vs xxhash64 as cost-neutral in the SQL fold is moot
+    now that the fold itself is gone from this plan). The Column-form
+    ``simhash(toks, token_hash=...)`` remains the swappable surface for
+    engines where the digest does measurably dominate: the vote loop,
+    6×10-bit banding, pigeonhole recall guarantee, and hamming verify
+    are hash-agnostic —
     tests/test_dedup_recall.py::test_simhash_hash_swap_same_structure
-    pins that both hashes recover the identical planted pair set."""
+    pins that both hashes recover the identical planted pair set, and
+    test_simhash_arrow_equals_sql_fold pins the Arrow signature
+    bit-equal to the SQL fold on the real corpus."""
     d = table(spark, sf_dir, "documents")
-    # Materialize the signature before banding: simhash_band_keys refers
-    # to the sig column 8 times, and CollapseProject would otherwise
-    # inline 8 full copies of the signature aggregate into the plan.
-    sigs = (
-        d.select("doc_id", tokens(F.col("text")).alias("toks"))
-        .select("doc_id", simhash("toks").alias("sig"))
-        .localCheckpoint()
-    )
+    # Arrow-batched numpy signature, bit-identical to the simhash() SQL
+    # fold (operators/dedup.py::simhash_signatures — the fold is ~9
+    # µs/token of interpreted higher-order exprs, 2.4 s of this key's
+    # old 4.8 s at sf0.1). Materialized before banding: the posting
+    # self-join reads it from both sides.
+    sigs = simhash_signatures(
+        d.select("doc_id", tokens(F.col("text")).alias("toks")),
+        "doc_id",
+        "toks",
+    ).localCheckpoint()
     # 6 bands of 10 bits: pigeonhole needs B ≥ h+1 = 6 slices for the
     # hamming ≤ 5 threshold (5 bands measurably loses pairs; 8 bands of
     # 8 bits doubles the candidate volume for zero extra recall — the 4
     # unsliced top bits don't weaken the guarantee, since extra
-    # differences there never break a slice equality).
-    signed = sigs.select(
-        "doc_id", "sig", simhash_band_keys(F.col("sig"), bands=6).alias("bk")
+    # differences there never break a slice equality). The posting join
+    # keys on the RAW (band, slice) pair — equality is identical to the
+    # simhash_band_keys hash of the slice, without the hash.
+    #
+    # Verify is FUSED into the posting join (r10): each posting row
+    # carries the 8-byte signature, hamming = bit_count(xor) runs
+    # inside codegen on the joined row, and the distinct collapses the
+    # ≤6× band multiplicity of the few SURVIVORS (true pairs × colliding
+    # bands, ~14 k rows at sf0.1) — not the 2.2 M-row candidate space
+    # the old candidate_pairs→distinct→re-join-signatures shape shuffled
+    # twice more (measured 4.2 s → 0.7 s for everything after the
+    # signature).
+    width, bands = 10, 6
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.shiftright("sig", b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
     )
-    cands = candidate_pairs(signed, "doc_id", "bk")
-    sa = signed.select(F.col("doc_id").alias("i"), F.col("sig").alias("__siga"))
-    sb = signed.select(F.col("doc_id").alias("j"), F.col("sig").alias("__sigb"))
-    hamming = F.bit_count(F.col("__siga").bitwiseXOR(F.col("__sigb")))
+    e = sigs.select("doc_id", "sig", F.posexplode(slices).alias("band", "key"))
+    a, b = e.alias("a"), e.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
-        cands.join(sa, "i")
-        .join(sb, "j")
-        .select("i", "j", hamming.alias("hamming"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            hamming.alias("hamming"),
+        )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
     )
 
 

@@ -316,3 +316,31 @@ def test_lsh_scores_each_pair_exactly_once(spark):
     }
     assert len(want) >= 100, "planted cluster should produce many pairs"
     assert got == want, f"missed {want - got} / invented {got - want}"
+
+
+def test_simhash_arrow_equals_sql_fold(spark, sf_dir):
+    """The Arrow-batched signature (simhash_signatures — what
+    dedup_simhash now runs) must be bit-equal to the simhash() SQL
+    fold (what the DuckDB oracle recomputes) on the real corpus.
+    Integer signatures make this an exact check; any divergence breaks
+    the key's full all-pairs oracle."""
+    from pyspark.sql import functions as F
+
+    from etl_cnpjs_spark.catalog import table
+    from etl_cnpjs_spark.functions.text import tokens
+    from etl_cnpjs_spark.operators.dedup import simhash, simhash_signatures
+
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    arrow = simhash_signatures(toks, "doc_id", "toks")
+    sql = toks.select("doc_id", simhash("toks").alias("sig"))
+    n = toks.count()
+    assert arrow.count() == n
+    same = (
+        arrow.alias("a")
+        .join(sql.alias("s"), "doc_id")
+        .filter(F.col("a.sig").eqNullSafe(F.col("s.sig")))
+        .count()
+    )
+    assert same == n, f"{n - same} signature mismatches vs the SQL fold"
