@@ -319,9 +319,15 @@ def main() -> None:
     # the two >3 s dedup keys, dedup_embedding_lsh being the open r9
     # watch item), each measured in TWO fresh processes x five reps so
     # every committed isolated number is a distribution, not a draw.
-    # Reported per key as [median, min, max] over the pooled reps; the
-    # full per-process rep lists go to BENCH_DETAIL.json.
-    isolated: dict[str, list[float]] = {}
+    # r11 (r10 ADVICE low #2): the per-key shape is now a DICT
+    # {"median": m, "min": lo, "max": hi} (failure {"median": -1.0}) —
+    # self-describing across rounds; tools/bench_compare.py parses all
+    # three historical shapes (scalar <= r09, [med,min,max] list = r10,
+    # dict >= r11). Full per-process rep lists go to BENCH_DETAIL.json.
+    # r11 (r10 verdict item 3): sim_topk_ivf + sim_knn_join join the
+    # watch list — the only >1.25x normalized r10 movers without a
+    # per-process distribution (code untouched; suspected box).
+    isolated: dict[str, dict[str, float]] = {}
     isolated_reps: dict[str, list[list[float]]] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
         import statistics
@@ -337,6 +343,8 @@ def main() -> None:
             "sim_topk",
             "dedup_embedding_lsh",
             "dedup_simhash",
+            "sim_topk_ivf",
+            "sim_knn_join",
         ):
             pooled: list[float] = []
             isolated_reps[key] = []
@@ -368,13 +376,13 @@ def main() -> None:
                         f"bench: isolated {key} failed: {exc}", file=sys.stderr
                     )
             isolated[key] = (
-                [
-                    round(statistics.median(pooled), 3),
-                    round(min(pooled), 3),
-                    round(max(pooled), 3),
-                ]
+                {
+                    "median": round(statistics.median(pooled), 3),
+                    "min": round(min(pooled), 3),
+                    "max": round(max(pooled), 3),
+                }
                 if pooled
-                else [-1.0]
+                else {"median": -1.0}
             )
 
     detail_path = os.path.join(
@@ -405,6 +413,11 @@ def main() -> None:
         print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
 
     headline = {k: timings[k] for k in HEADLINE if k in timings}
+    # Per-entry infra timings in the one-line output (r10 ADVICE low
+    # #1): banded_posting_build moved a cost OUT of total_queries_sec in
+    # r10, so cross-round total comparisons against pre-r10 lines need
+    # it re-added — tools/bench_compare.py does that from this field.
+    infra = {k: t for k, t in timings.items() if k not in QUERIES and t >= 0}
     print(
         json.dumps(
             {
@@ -414,6 +427,7 @@ def main() -> None:
                 "total_infra_sec": total_infra,
                 "unit": "sec",
                 "queries": headline,
+                "infra": infra,
                 "isolated_fresh_session": isolated or None,
                 "box_canary": canary,
                 "sf": sf,

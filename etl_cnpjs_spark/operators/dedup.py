@@ -245,7 +245,15 @@ def simhash_signatures(df: DataFrame, id_col: str, toks_col: str) -> DataFrame:
     import pandas as pd
 
     def sign_batches(batches):
+        # Digest memo capped at 1M distinct tokens (~100 MB) so a
+        # high-vocabulary corpus (ids, hashes, numeric tokens) cannot
+        # grow it with partition size (r10 ADVICE low #3) — the SQL
+        # fold this replaced was stateless. On overflow the memo is
+        # cleared, not evicted: the speedup only needs the common case
+        # (low-vocabulary corpora / within-batch repetition), and a
+        # full clear keeps the hot path a plain dict.get.
         memo: dict[str, int] = {}
+        memo_cap = 1 << 20
         shifts = np.arange(64, dtype=np.uint64)
 
         def one_sig(toks):
@@ -257,6 +265,8 @@ def simhash_signatures(df: DataFrame, id_col: str, toks_col: str) -> DataFrame:
                 if v is None:
                     hx = hashlib.md5(t.encode("utf-8")).hexdigest()
                     v = (int(hx[:8], 16) << 32) | int(hx[8:16], 16)
+                    if len(memo) >= memo_cap:
+                        memo.clear()
                     memo[t] = v
                 vals.append(v)
             h64 = np.array(vals, dtype=np.uint64)

@@ -316,9 +316,22 @@ def salted_buckets(signed, bucket_cap: int):
     Each collected struct carries its member's group so the verifier
     scores a pair only in its owning task (same-group pairs would
     otherwise be re-scored by every task that sees that group), plus the
-    member's full band-key array and the task's band index, so the
-    verifier can apply the first-colliding-band exactly-once rule
-    (score_salted_buckets)."""
+    member's band-key PREFIX (the keys of bands before this task's
+    band) and the task's band index, so the verifier can apply the
+    first-colliding-band exactly-once rule (score_salted_buckets).
+
+    Payload cost of that rule (r10 ADVICE low #4): the prefix adds
+    ~band/2 bigints per exploded member row on average, so the one data
+    shuffle's key payload grows O(bands²/2) — ~128 bytes/row at
+    32 bands, ~25% on top of a 64-dim float vector. That is the price
+    of exactly-once scoring and it is the right trade everywhere
+    measured (the removed re-scoring was 8× the distinct-candidate
+    space at 32 bands, the payload is a constant factor on one
+    shuffle); if bands grow much past 32, ship a per-band fixed-width
+    hash of each earlier key instead — but note both sides of the
+    equality must then use the SAME hashed comparison, and a hash
+    collision silently drops a true pair, so this variant trades a
+    recall epsilon for payload and is deliberately NOT the default."""
     exploded = signed.select(
         "__id", "__v", "__bk", F.posexplode("__bk").alias("__band", "__key")
     )
@@ -406,8 +419,10 @@ def score_salted_buckets(buckets, tau: float):
     """Exact-cosine verify over salted_buckets output, each candidate
     pair scored EXACTLY ONCE: a pair colliding in several bands is
     scored only in its FIRST colliding band (each member carries its
-    full band-key array, so the task for band b drops any i<j pair that
-    already agreed in some band b' < b — that pair was band b''s job),
+    band-key PREFIX — the keys of bands before b, ~band/2 bigints per
+    member on average, the payload cost documented in salted_buckets —
+    so the task for band b drops any i<j pair that already agreed in
+    some band b' < b: that pair was band b''s job),
     and only in its owning (ga, gb) salt task within that band. Before
     the first-band rule, a low-selectivity operating point (e.g. this
     corpus's τ=0.4, where ~every pair stays a candidate) re-scored each
