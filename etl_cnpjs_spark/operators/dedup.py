@@ -193,6 +193,12 @@ aggregate(
 # dominates, and md5's conformance portability is effectively free.
 # Same vote loop, same banding structure, same hamming guarantee under
 # either hash; swap is one argument: simhash(toks, token_hash=...).
+# Executor-side cap on simhash_signatures' per-partition digest memo
+# (distinct tokens; ~100 MB at the default). Module-level so tests can
+# shrink it and pin that signatures are cap-invariant; captured on the
+# driver at plan-build time, so a monkeypatch applies to the next call.
+SIMHASH_MEMO_CAP = 1 << 20
+
 _SIMHASH_TOKEN_HASH = {
     "md5": (
         "md5(t)",
@@ -244,16 +250,19 @@ def simhash_signatures(df: DataFrame, id_col: str, toks_col: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    memo_cap = SIMHASH_MEMO_CAP
+
     def sign_batches(batches):
-        # Digest memo capped at 1M distinct tokens (~100 MB) so a
-        # high-vocabulary corpus (ids, hashes, numeric tokens) cannot
-        # grow it with partition size (r10 ADVICE low #3) — the SQL
-        # fold this replaced was stateless. On overflow the memo is
-        # cleared, not evicted: the speedup only needs the common case
-        # (low-vocabulary corpora / within-batch repetition), and a
-        # full clear keeps the hot path a plain dict.get.
+        # Digest memo capped at SIMHASH_MEMO_CAP distinct tokens
+        # (~100 MB at the 1M default) so a high-vocabulary corpus (ids,
+        # hashes, numeric tokens) cannot grow it with partition size
+        # (r10 ADVICE low #3) — the SQL fold this replaced was
+        # stateless. On overflow the memo is cleared, not evicted: the
+        # speedup only needs the common case (low-vocabulary corpora /
+        # within-batch repetition), and a full clear keeps the hot path
+        # a plain dict.get. Signatures are cap-invariant (pinned in
+        # tests/test_dedup_recall.py with a cap of 2).
         memo: dict[str, int] = {}
-        memo_cap = 1 << 20
         shifts = np.arange(64, dtype=np.uint64)
 
         def one_sig(toks):

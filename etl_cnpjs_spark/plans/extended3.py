@@ -923,47 +923,72 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     repr, DuckDB rounds the true binary value, so they disagree on
     nearly every term at scale 18); bigint sums are exact and
     order-insensitive, every other op is the same IEEE double sequence
-    in both engines, and the output quantizes at 1e-12. Distributed shape per iteration: the
-    rank vector is node-sized (small) and BROADCASTS to the edge list;
-    one shuffle per iteration on the destination key for the partial-
-    aggregated contribution sum — at 100 TB edges dominate and never
-    move; only (dst, partial sum) rows cross the wire. Lineage: each
-    iteration's frame is localCheckpointed so the plan tree stays flat
+    in both engines, and the output quantizes at 1e-12.
+
+    Distributed shape per iteration (r11 profile-driven rework, all
+    three changes oracle-identical by construction):
+    - the fwd/rev keyspaces are disjoint (supplier ids are offset), so
+      distinct(fwd ∪ rev) = distinct(fwd) ∪ mirror(distinct(fwd)) —
+      lineitem is scanned ONCE and the edge-distinct shuffle carries
+      half the rows; the mirror is a narrow projection of the
+      checkpointed half.
+    - node count = the degree frame's row count (one row per node), a
+      node-scale count instead of an edge-scale count_distinct.
+    - each edge's contribution floor(r/od·1e15+0.5) depends only on the
+      SOURCE node, so it is computed once per node inside the broadcast
+      subtree and the edges probe a broadcast (node, c) map — no
+      per-edge divide/floor, no per-iteration edge-scale deg join; at
+      100 TB the per-edge hot path is hash-probe + emit, and the only
+      per-iteration shuffle is the (dst, partial-bigint-sum) exchange.
+    Loop invariants (pairs, deg, nn) materialize once; each iteration's
+    node-sized frame is localCheckpointed so the plan tree stays flat
     (operators/graph.py discipline)."""
     li = table(spark, sf_dir, "lineitem")
-    fwd = li.select(
-        F.col("l_partkey").alias("u"),
-        (F.lit(_PR_SUPP_OFFSET) + F.col("l_suppkey")).alias("v"),
+    pairs = (
+        li.select(
+            F.col("l_partkey").alias("u"),
+            (F.lit(_PR_SUPP_OFFSET) + F.col("l_suppkey")).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
     )
-    rev = fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ed = fwd.unionByName(rev).distinct().localCheckpoint()
-    # Loop invariants materialize ONCE (r10): without the checkpoints,
-    # each iteration's job re-aggregated the edge list for deg and nn
-    # inside its own subtree — three extra edge-scale aggregations that
-    # at 100 TB are three extra passes over the (never-moving) edges.
-    # deg is node-sized, nn is one row; both broadcast from blocks.
-    deg = ed.groupBy("u").agg(F.count(F.lit(1)).alias("od")).localCheckpoint()
+    ed = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    # out-degree per node: parts appear only as pairs.u, suppliers only
+    # as pairs.v, so the two half-aggregations are the bipartite split
+    # of groupBy(u) over the mirrored edge list. Node-sized; broadcast.
+    deg = (
+        pairs.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .unionByName(
+            pairs.groupBy(F.col("v").alias("u")).agg(
+                F.count(F.lit(1)).alias("od")
+            )
+        )
+        .localCheckpoint()
+    )
     # node count as a broadcast 1-row frame, not a driver count() action
     # (the r2 verdict flagged the extra job/scan of a collect'd scalar).
-    nn = ed.agg(F.count_distinct("u").alias("nn")).localCheckpoint()
+    nn = deg.agg(F.count(F.lit(1)).alias("nn")).localCheckpoint()
     r = (
         deg.select(F.col("u").alias("node"))
         .crossJoin(F.broadcast(nn))
         .select("node", (F.lit(1.0) / F.col("nn")).alias("r"))
     )
     for _ in range(_PR_ITERS):
-        contrib = (
-            ed.join(F.broadcast(r), ed.u == F.col("node"))
-            .join(F.broadcast(deg), "u")
+        rc = (
+            r.join(F.broadcast(deg), r.node == deg.u)
             .select(
-                "v",
+                "node",
                 F.floor(F.col("r") / F.col("od") * 1e15 + 0.5)
                 .cast("bigint")
                 .alias("c"),
             )
         )
         r = (
-            contrib.groupBy(F.col("v").alias("node"))
+            ed.join(F.broadcast(rc), ed.u == F.col("node"))
+            .groupBy(F.col("v").alias("node"))
             .agg((F.sum("c").cast("double") / F.lit(1e15)).alias("s"))
             .crossJoin(F.broadcast(nn))
             .select(

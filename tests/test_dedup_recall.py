@@ -344,3 +344,33 @@ def test_simhash_arrow_equals_sql_fold(spark, sf_dir):
         .count()
     )
     assert same == n, f"{n - same} signature mismatches vs the SQL fold"
+
+
+def test_simhash_memo_cap_invariant(spark, sf_dir, monkeypatch):
+    """Signatures are invariant to the digest-memo cap (r10 ADVICE low
+    #3): with the cap shrunk to 2 the memo clears on ~every token, so
+    every digest recomputes — the output must stay bit-equal to the
+    uncapped run. Guards the eviction branch from ever changing values
+    (an eviction bug would silently corrupt signatures, not crash)."""
+    from pyspark.sql import functions as F
+
+    from etl_cnpjs_spark.catalog import table
+    from etl_cnpjs_spark.functions.text import tokens
+    from etl_cnpjs_spark.operators import dedup as D
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .limit(50)
+        .localCheckpoint()
+    )
+    base = {
+        r["doc_id"]: r["sig"]
+        for r in D.simhash_signatures(toks, "doc_id", "toks").collect()
+    }
+    monkeypatch.setattr(D, "SIMHASH_MEMO_CAP", 2)
+    capped = {
+        r["doc_id"]: r["sig"]
+        for r in D.simhash_signatures(toks, "doc_id", "toks").collect()
+    }
+    assert capped == base and len(base) == 50
