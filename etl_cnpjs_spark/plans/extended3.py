@@ -1593,16 +1593,31 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB with a label vector too big to broadcast, the two
     broadcast hints become a hash(u) co-partitioning of ed and labels
     reused across iterations — the join keys never change, so the edge
-    exchange still happens ONCE, not per iteration."""
+    exchange still happens ONCE, not per iteration.
+
+    Edge build (r11, same rework as graph_pagerank): the fwd/rev
+    keyspaces are disjoint (offset supplier ids), so the mirrored edge
+    set is distinct(fwd) ∪ mirror(distinct(fwd)) — lineitem scanned
+    once, the edge-distinct shuffle halved, and the initial label
+    vector comes from two node-scale distincts over the checkpointed
+    half instead of an edge-scale distinct over the mirror."""
     li = table(spark, sf_dir, "lineitem")
-    fwd = li.select(
-        F.col("l_partkey").alias("u"),
-        (F.lit(_PR_SUPP_OFFSET) + F.col("l_suppkey")).alias("v"),
+    pairs = (
+        li.select(
+            F.col("l_partkey").alias("u"),
+            (F.lit(_PR_SUPP_OFFSET) + F.col("l_suppkey")).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
     )
-    rev = fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ed = fwd.unionByName(rev).distinct().localCheckpoint()
-    labels = ed.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    ed = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = (
+        pairs.select(F.col("u").alias("node"))
+        .distinct()
+        .unionByName(pairs.select(F.col("v").alias("node")).distinct())
+        .select("node", F.col("node").alias("label"))
     )
     for _ in range(_LPA_ITERS):
         cnt = (
