@@ -1753,13 +1753,23 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphs. Input graph derives deterministically from orders (mixed
     congruential edge ends over {_TRI_N} nodes — dense enough to carry
     real triangles), so the three-way join is bit-exact against the SQL
-    oracle. Physical: two equi-join shuffles on node keys + one
-    explode-rollup; no driver loop, no iteration. The oriented edge
-    subtree appears in all three join branches (3× scan+distinct): an
-    interleaved A/B at sf0.1 measured a localCheckpoint barrier a
-    wash-to-slower (7.6 vs 7.2 s median — the 12.3 M-triangle 2-path
-    output dominates), so the recompute stays locally; at cluster scale
-    the edge frame is the thing you persist() once instead."""
+    oracle. Physical: two BROADCAST joins probed by the 2-path stream
+    (the edge list is the small side twice; nothing 2-path-sized ever
+    shuffles) + one explode-rollup; no driver loop, no iteration. Two
+    r11 profile wins, both value-identical (A/B'd):
+    - the closing join probes on ONE packed bigint (a·N + c, N > max
+      node id) instead of the (a, c) two-key tuple — Spark builds a
+      LongHashedRelation for single-bigint keys vs generic unsafe-row
+      hashing for composite keys, and at 14.6 M probes that is the
+      key's hot loop (measured 6.1 → 2.5 s at sf0.1);
+    - corners explode once via explode(array(a,b,c)) instead of a
+      3-branch unionAll over the join subtree (exchange reuse covers
+      the scans but each branch re-probed the closing join).
+    The oriented edge subtree appears in all three join branches
+    (3× scan+distinct): an interleaved A/B at sf0.1 measured a
+    localCheckpoint barrier a wash-to-slower (the 2-path stream
+    dominates), so the recompute stays locally; at cluster scale the
+    edge frame is the thing you persist() once instead."""
     o = table(spark, sf_dir, "orders")
     raw = o.select(
         (F.col("o_orderkey") % _TRI_N).alias("a"),
@@ -1773,17 +1783,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
-    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    e3 = e.select((F.col("u") * _TRI_N + F.col("v")).alias("ac3"))
     tri = (
         e1.join(e2, F.col("b") == F.col("b2"))
-        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .withColumn("ac", F.col("a") * _TRI_N + F.col("c"))
+        .join(e3, F.col("ac") == F.col("ac3"))
         .select("a", "b", "c")
     )
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-    )
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
