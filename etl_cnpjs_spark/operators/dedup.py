@@ -327,7 +327,9 @@ def containment_pairs(
     misses because the size imbalance crushes |∩|/|∪|. Same single
     posting-list shuffle as jaccard_pairs (intersections are symmetric,
     so the i<j join computes each |∩| once); the direction split is a
-    post-aggregation union of two projections — no second shuffle."""
+    single explode over the aggregate output (r11 — a 2-branch union
+    re-ran the aggregate's final phase per branch), no second
+    shuffle."""
     d = docs.select(F.col(id_col).alias("__id"), F.col(set_col).alias("__sh")).filter(
         F.size("__sh") > 0
     )
@@ -341,10 +343,17 @@ def containment_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     directed = pairs.select(
-        F.col("i").alias("src"), F.col("j").alias("dst"), "inter"
-    ).unionByName(
-        pairs.select(F.col("j").alias("src"), F.col("i").alias("dst"), "inter")
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("i").alias("src"), F.col("j").alias("dst"), F.col("inter")
+                ),
+                F.struct(
+                    F.col("j").alias("src"), F.col("i").alias("dst"), F.col("inter")
+                ),
+            )
+        ).alias("__r")
+    ).select("__r.*")
     sz = d.select(F.col("__id").alias("src"), F.size("__sh").alias("n"))
     return (
         directed.join(sz, "src")

@@ -632,8 +632,8 @@ def dedup_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     while recall is lost only for pairs whose ENTIRE overlap is
     stop-shingles (boilerplate-only matches — the pairs a curation
     pipeline wants to drop anyway). Shuffles: one posting join keyed by
-    shingle (now bounded), one candidate-verify join. The df count is a
-    window over the SAME partitioning the self-join needs (not a
+    shingle (now bounded), one candidate-grain aggregate. The df count
+    is a window over the SAME partitioning the self-join needs (not a
     groupBy + re-join, which would shuffle the posting list by s
     twice); the self-join then reuses that exchange on both sides.
     Postings deliberately carry the raw shingle, not xxhash64(shingle)
@@ -641,7 +641,25 @@ def dedup_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hashed variant slightly SLOWER warm (5.2 vs 4.8 s — the extra
     array-transform pass costs more than the ~3× smaller keys save
     here). On a real cluster where the posting shuffle is
-    network-bound, hashing the key is the first knob to revisit."""
+    network-bound, hashing the key is the first knob to revisit.
+
+    Verify (r11 rework, value-identical): the posting self-join already
+    YIELDS each pair's kept-shingle intersection as its row count, so
+    the old distinct + two full-array joins + array_intersect over
+    every candidate (the measured hot stage: 1.1 M pairs × two ~52-
+    element arrays ≈ 4 s of the key's 5.2 s at sf0.1) collapses to a
+    count aggregate on the join output. Exactness against FULL sets is
+    preserved through a per-doc stop-count bound: with
+    stop_d = |full_d| − |kept_d| and m = min(stop_i, stop_j), the true
+    intersection x satisfies ic ≤ x ≤ ic + m, so when m = 0 (at least
+    one doc has no stop-shingles) ic IS x — jaccard computes exactly
+    from counts, same integer operands, same IEEE double division as
+    the oracle. Only pairs with m > 0 whose UPPER bound clears τ (both
+    docs carry stop-shingles AND the bound is ambiguous — empty on this
+    corpus, rare anywhere) fall back to the full-array verify; pairs
+    whose upper bound misses τ are dropped exactly (true J ≤ bound <
+    τ). Equivalence is pinned against a stop-shingle-heavy synthetic in
+    tests/test_dedup_recall.py::test_stopshingle_bound_verify."""
     sh = _doc_shingles(spark, sf_dir)
     e = sh.select("doc_id", F.explode("sh").alias("s"))
     ek = e.withColumn(
@@ -650,12 +668,66 @@ def dedup_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = ek.alias("a"), ek.alias("b")
     cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count(F.lit(1)).alias("__ic"))
     )
-    return exact_jaccard(cand, sh, "doc_id", "sh").filter(
+    # node-scale stats: full size and stop-shingle count per doc
+    kept_n = ek.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__kn"))
+    stats = (
+        sh.select("doc_id", F.size("sh").alias("__n"))
+        .join(kept_n, "doc_id", "left")
+        .select(
+            "doc_id",
+            "__n",
+            (F.col("__n") - F.coalesce(F.col("__kn"), F.lit(0))).alias("__st"),
+        )
+    )
+    c = (
+        cand.join(
+            F.broadcast(
+                stats.select(
+                    F.col("doc_id").alias("i"),
+                    F.col("__n").alias("__ni"),
+                    F.col("__st").alias("__sti"),
+                )
+            ),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                stats.select(
+                    F.col("doc_id").alias("j"),
+                    F.col("__n").alias("__nj"),
+                    F.col("__st").alias("__stj"),
+                )
+            ),
+            "j",
+        )
+        .withColumn("__m", F.least("__sti", "__stj"))
+    )
+    exact = (
+        c.filter(F.col("__m") == 0)
+        .select(
+            "i",
+            "j",
+            (F.col("__ic") / (F.col("__ni") + F.col("__nj") - F.col("__ic"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    ambiguous = c.filter(
+        (F.col("__m") > 0)
+        & (
+            (F.col("__ic") + F.col("__m"))
+            / (F.col("__ni") + F.col("__nj") - F.col("__ic") - F.col("__m"))
+            >= JACCARD_THRESHOLD
+        )
+    ).select("i", "j")
+    verified = exact_jaccard(ambiguous, sh, "doc_id", "sh").filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
+    return exact.unionByName(verified)
 
 
 # --- text_dup_span_frac ----------------------------------------------------
@@ -987,7 +1059,18 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation pipeline drops anyway); every surviving candidate's
     containment is computed on uncapped sets, bit-exact vs the oracle.
     Same two bounded shuffles as dedup_stopshingle; the direction
-    split is post-aggregate (dedup_containment's shape)."""
+    split is post-aggregate (dedup_containment's shape).
+
+    Verify (r11, the dedup_stopshingle bound-verify rework applied to
+    the containment metric): the posting self-join's row count per
+    (i, j) is the kept-shingle intersection ic, and with
+    m = min(stop_i, stop_j) the true intersection x is bounded by
+    ic ≤ x ≤ ic + m — so m = 0 pairs compute BOTH directed
+    containments exactly from counts (same integer operands, same
+    double division as the oracle), and only m > 0 pairs whose upper
+    bound (ic+m)/min(na,nb) clears τ in SOME direction fall back to
+    the full-array intersect. Pinned on a stop-shingle-heavy synthetic
+    in tests/test_dedup_recall.py::test_containment_capped_bound_verify."""
     sh = _doc_shingles(spark, sf_dir)
     e = sh.select("doc_id", F.explode("sh").alias("s"))
     ek = e.withColumn(
@@ -996,29 +1079,83 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = ek.alias("a"), ek.alias("b")
     cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count(F.lit(1)).alias("__ic"))
     )
+    kept_n = ek.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__kn"))
+    stats = (
+        sh.select("doc_id", F.size("sh").alias("__n"))
+        .join(kept_n, "doc_id", "left")
+        .select(
+            "doc_id",
+            "__n",
+            (F.col("__n") - F.coalesce(F.col("__kn"), F.lit(0))).alias("__st"),
+        )
+    )
+    c = (
+        cand.join(
+            F.broadcast(
+                stats.select(
+                    F.col("doc_id").alias("i"),
+                    F.col("__n").alias("na"),
+                    F.col("__st").alias("__sti"),
+                )
+            ),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                stats.select(
+                    F.col("doc_id").alias("j"),
+                    F.col("__n").alias("nb"),
+                    F.col("__st").alias("__stj"),
+                )
+            ),
+            "j",
+        )
+        .withColumn("__m", F.least("__sti", "__stj"))
+    )
+    exact = c.filter(F.col("__m") == 0).select(
+        "i", "j", F.col("__ic").alias("x"), "na", "nb"
+    )
+    ambiguous = c.filter(
+        (F.col("__m") > 0)
+        & (
+            (F.col("__ic") + F.col("__m"))
+            / F.least(F.col("na"), F.col("nb"))
+            >= CONTAINMENT_THRESHOLD
+        )
+    ).select("i", "j")
     la = sh.select(F.col("doc_id").alias("i"), F.col("sh").alias("__sa"))
     lb = sh.select(F.col("doc_id").alias("j"), F.col("sh").alias("__sb"))
-    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
-    pairs = (
-        cand.join(la, "i")
+    verified = (
+        ambiguous.join(la, "i")
         .join(lb, "j")
         .select(
             "i", "j",
-            inter.alias("x"),
+            F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).alias("x"),
             F.size("__sa").alias("na"),
             F.size("__sb").alias("nb"),
         )
     )
+    pairs = exact.unionByName(verified)
+    # both directions from ONE pass over the pair frame (the
+    # graph_triangle_count explode lesson: a 2-branch union re-probes
+    # the whole subtree per branch; explode emits both rows in place)
     directed = pairs.select(
-        F.col("i").alias("src"), F.col("j").alias("dst"),
-        (F.col("x") / F.col("na")).alias("containment"),
-    ).unionByName(
-        pairs.select(
-            F.col("j").alias("src"), F.col("i").alias("dst"),
-            (F.col("x") / F.col("nb")).alias("containment"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("i").alias("src"),
+                    F.col("j").alias("dst"),
+                    (F.col("x") / F.col("na")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("j").alias("src"),
+                    F.col("i").alias("dst"),
+                    (F.col("x") / F.col("nb")).alias("containment"),
+                ),
+            )
+        ).alias("__r")
+    ).select("__r.*")
     return directed.filter(F.col("containment") >= CONTAINMENT_THRESHOLD)

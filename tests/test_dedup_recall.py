@@ -346,6 +346,110 @@ def test_simhash_arrow_equals_sql_fold(spark, sf_dir):
     assert same == n, f"{n - same} signature mismatches vs the SQL fold"
 
 
+def test_stopshingle_bound_verify(spark, tmp_path):
+    """dedup_stopshingle's r11 count-based verify must equal the full
+    DuckDB oracle on a corpus that actually HAS stop-shingles (df > 64),
+    exercising all three paths: m=0 exact-from-counts, m>0 upper-bound
+    drop (true J < τ, no array verify), and m>0 array verify (bound
+    ambiguous, both above and below τ after exact scoring). The
+    testdata corpora have no stop-shingles at small SF, so without this
+    fixture the bound logic would be dead code under the driver."""
+    import duckdb
+    import pandas as pd
+
+    from compare import assert_frames_match
+    from etl_cnpjs_spark.plans import QUERIES
+
+    boiler = " ".join(f"x{k}" for k in range(8))  # 6 boiler shingles
+    texts = {}
+    # 70 filler docs carrying the boilerplate -> df(boiler shingles)=74>64
+    for d in range(70):
+        texts[d] = f"f{d}a f{d}b f{d}c f{d}d " + boiler
+    # identical near-dup pair sharing boiler: m>0, exact J=1 >= τ
+    common = " ".join(f"c{k}" for k in range(10))
+    texts[100] = common + " " + boiler
+    texts[101] = common + " " + boiler
+    # partial-overlap pair sharing boiler: bound ambiguous, exact J < τ
+    half = " ".join(f"h{k}" for k in range(6))
+    texts[110] = half + " p0 p1 p2 p3 " + boiler
+    texts[111] = half + " q0 q1 q2 q3 " + boiler
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * len(texts),
+            "source": ["fix"] * len(texts),
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    q = QUERIES["dedup_stopshingle"]
+    got = q.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(q.oracle).fetchdf()
+    con.close()
+    assert_frames_match(got, want, "dedup_stopshingle synthetic")
+    # the fixture must really exercise the stop regime and the verify
+    ids = set(map(tuple, got[["i", "j"]].values.tolist()))
+    assert (100, 101) in ids          # m>0 pair, exact J=1 kept
+    assert (110, 111) not in ids      # m>0 pair, verified then dropped
+    assert len(want) == len(got)
+
+
+def test_containment_capped_bound_verify(spark, tmp_path):
+    """dedup_containment_capped's r11 bound verify must equal the full
+    DuckDB oracle on a stop-shingle-heavy corpus — the containment twin
+    of test_stopshingle_bound_verify, including an asymmetric pair
+    where only the SHORT doc's direction clears τ (the case the
+    min(na, nb) upper bound exists for)."""
+    import duckdb
+    import pandas as pd
+
+    from compare import assert_frames_match
+    from etl_cnpjs_spark.plans import QUERIES
+
+    boiler = " ".join(f"x{k}" for k in range(8))
+    texts = {}
+    for d in range(70):
+        texts[d] = f"f{d}a f{d}b f{d}c f{d}d " + boiler
+    # short doc fully contained in a long doc, both carrying boiler:
+    # m>0 and only short->long clears τ after exact verify
+    short = " ".join(f"c{k}" for k in range(8))
+    texts[100] = short + " " + boiler
+    texts[101] = short + " " + boiler + " extra0 extra1 extra2 extra3 extra4"
+    # m>0 pair whose exact containment misses τ in both directions
+    texts[110] = "h0 h1 h2 h3 h4 h5 p0 p1 p2 p3 " + boiler
+    texts[111] = "h0 h1 h2 h3 h4 h5 q0 q1 q2 q3 " + boiler
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * len(texts),
+            "source": ["fix"] * len(texts),
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    q = QUERIES["dedup_containment_capped"]
+    got = q.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(q.oracle).fetchdf()
+    con.close()
+    assert_frames_match(got, want, "dedup_containment_capped synthetic")
+    directed = set(map(tuple, got[["src", "dst"]].values.tolist()))
+    assert (100, 101) in directed      # short contained in long
+    assert (101, 100) not in directed  # long not contained in short
+    assert (110, 111) not in directed  # verified then dropped
+
+
 def test_simhash_memo_cap_invariant(spark, sf_dir, monkeypatch):
     """Signatures are invariant to the digest-memo cap (r10 ADVICE low
     #3): with the cap shrunk to 2 the memo clears on ~every token, so

@@ -405,11 +405,21 @@ def test_stopshingle_df_filter_shares_posting_shuffle(spark, sf_dir):
     """The stop-shingle df cap computes as a count window over hash(s) —
     the SAME partitioning the candidate self-join needs — not as a
     groupBy + re-join (which would shuffle the exploded posting list by
-    shingle twice). Static plan: at most 3 exchanges total (postings by
-    s, candidate distinct, verify); AQE additionally reuses the posting
-    exchange across the self-join's two sides at runtime."""
-    plan = explain_str(QUERIES["dedup_stopshingle"].fn(spark, sf_dir), "simple")
-    assert plan.count("Exchange hashpartitioning") <= 3
+    shingle twice). r11 bound-verify shape: the plan is a UNION of the
+    count-exact branch and the array-verify fallback, so identical
+    subtrees (kept postings, candidate aggregate) repeat statically —
+    ceiling pinned at 14 hash exchanges (plan_audit's adjudication) —
+    but the EXECUTED AQE plan must dedupe them: ≥4 ReusedExchange
+    nodes, ≤6 real shuffle stages (verified 6+6 on 2026-08-16)."""
+    df = QUERIES["dedup_stopshingle"].fn(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert plan.count("Exchange hashpartitioning") <= 14
+    assert "Union" in plan
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert final.count("ReusedExchange") >= 4
+    assert final.count("ShuffleQueryStage") <= 6
 
 
 def test_interval_overlap_join_is_not_cartesian(spark, sf_dir):

@@ -211,9 +211,23 @@ EXCHANGES_OK = {
     # groupBy — AQE reuses the join exchange for the aggregate at
     # runtime) = 6 static exchanges, fixed by _RW_STEPS, not by data.
     "graph_random_walk": 6,
-    # df window on shingle + both self-join sides (AQE ReusedExchange at
-    # runtime, pinned for the stopshingle twin) + doc-grain verify joins.
-    "dedup_containment_capped": 8,
+    # r11 bound-verify rework (the stopshingle shape plus the directed
+    # explode): the candidate aggregate and kept-postings subtrees
+    # repeat across the exact/ambiguous union branches — 26 static, but
+    # the executed AQE plan carries 6 ReusedExchange / 6 real shuffle
+    # stages (verified 2026-08-16), so nothing recomputes; a checkpoint
+    # barrier would materialize candidate-grain rows instead, the wrong
+    # trade at 100 TB (same family as dedup_stopshingle below).
+    "dedup_containment_capped": 26,
+    # r11 bound-verify rework: the candidate aggregate (posting
+    # self-join + groupBy count) appears in BOTH union branches (exact
+    # path + ambiguous array-verify path) and the kept-postings subtree
+    # feeds three consumers — 14 static, but the executed AQE plan
+    # carries 6 ReusedExchange nodes (verified 2026-08-16: 6 shuffle
+    # stages total at runtime), so nothing recomputes; a localCheckpoint
+    # barrier would materialize the candidate-grain frame instead, the
+    # wrong trade at 100 TB (same reasoning as graph_triangle_count).
+    "dedup_stopshingle": 14,
     # capstone: exact window + CC-label join + survivor-restricted
     # containment + per-source report (shared frames pre-warmed below).
     "corpus_dedup_sweep": 14,
