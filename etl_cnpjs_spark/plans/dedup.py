@@ -682,24 +682,25 @@ def dedup_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__n") - F.coalesce(F.col("__kn"), F.lit(0))).alias("__st"),
         )
     )
+    # stats is doc-count-scale (one row per document): NO broadcast
+    # hint — at test SF AQE broadcasts it anyway (it is tiny), and at
+    # the 100 TB regime a corpus-wide per-doc broadcast would OOM the
+    # executors, so the hint must not force it; the shuffle-join
+    # fallback is the correct plan there (r11 ADVICE low #2).
     c = (
         cand.join(
-            F.broadcast(
-                stats.select(
-                    F.col("doc_id").alias("i"),
-                    F.col("__n").alias("__ni"),
-                    F.col("__st").alias("__sti"),
-                )
+            stats.select(
+                F.col("doc_id").alias("i"),
+                F.col("__n").alias("__ni"),
+                F.col("__st").alias("__sti"),
             ),
             "i",
         )
         .join(
-            F.broadcast(
-                stats.select(
-                    F.col("doc_id").alias("j"),
-                    F.col("__n").alias("__nj"),
-                    F.col("__st").alias("__stj"),
-                )
+            stats.select(
+                F.col("doc_id").alias("j"),
+                F.col("__n").alias("__nj"),
+                F.col("__st").alias("__stj"),
             ),
             "j",
         )
@@ -1092,24 +1093,23 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__n") - F.coalesce(F.col("__kn"), F.lit(0))).alias("__st"),
         )
     )
+    # doc-count-scale stats: unhinted, same reasoning as
+    # dedup_stopshingle above (AQE broadcasts when small; forcing it
+    # would OOM at corpus scale).
     c = (
         cand.join(
-            F.broadcast(
-                stats.select(
-                    F.col("doc_id").alias("i"),
-                    F.col("__n").alias("na"),
-                    F.col("__st").alias("__sti"),
-                )
+            stats.select(
+                F.col("doc_id").alias("i"),
+                F.col("__n").alias("na"),
+                F.col("__st").alias("__sti"),
             ),
             "i",
         )
         .join(
-            F.broadcast(
-                stats.select(
-                    F.col("doc_id").alias("j"),
-                    F.col("__n").alias("nb"),
-                    F.col("__st").alias("__stj"),
-                )
+            stats.select(
+                F.col("doc_id").alias("j"),
+                F.col("__n").alias("nb"),
+                F.col("__st").alias("__stj"),
             ),
             "j",
         )

@@ -874,15 +874,22 @@ def cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_D = 0.85  # damping
 _PR_ITERS = 3
-_PR_SUPP_OFFSET = 1_000_000
+# Node-id encoding for the bipartite part↔supplier graph: parts map to
+# 2*partkey (even), suppliers to 2*suppkey+1 (odd). Disjointness is
+# STRUCTURAL — it holds at any scale factor — unlike the r11 additive
+# offset (+1e6), whose disjointness premise silently broke once
+# partkeys passed the constant (SF>5: 200000*SF ids collide with
+# offset supplier ids, duplicating edges/degree rows vs the oracle's
+# UNION-distinct). Even/odd needs no data-derived bound and no
+# plan-build assertion; overflow would require partkey > 2^62.
 
 
 def _pr_oracle() -> str:
     ed = f"""
     WITH ed AS (
-      SELECT DISTINCT l_partkey AS u, {_PR_SUPP_OFFSET} + l_suppkey AS v FROM lineitem
+      SELECT DISTINCT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v FROM lineitem
       UNION
-      SELECT DISTINCT {_PR_SUPP_OFFSET} + l_suppkey AS u, l_partkey AS v FROM lineitem
+      SELECT DISTINCT 2 * l_suppkey + 1 AS u, 2 * l_partkey AS v FROM lineitem
     ),
     deg AS (SELECT u, count(*) AS od FROM ed GROUP BY u),
     n AS (SELECT CAST(count(DISTINCT u) AS DOUBLE) AS nn FROM ed),
@@ -927,7 +934,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distributed shape per iteration (r11 profile-driven rework, all
     three changes oracle-identical by construction):
-    - the fwd/rev keyspaces are disjoint (supplier ids are offset), so
+    - the fwd/rev keyspaces are disjoint AT ANY SCALE (even/odd node
+      encoding: parts 2k, suppliers 2k+1 — see the module comment; the
+      r11 additive offset broke this premise past SF 5), so
       distinct(fwd ∪ rev) = distinct(fwd) ∪ mirror(distinct(fwd)) —
       lineitem is scanned ONCE and the edge-distinct shuffle carries
       half the rows; the mirror is a narrow projection of the
@@ -946,8 +955,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     pairs = (
         li.select(
-            F.col("l_partkey").alias("u"),
-            (F.lit(_PR_SUPP_OFFSET) + F.col("l_suppkey")).alias("v"),
+            (F.lit(2) * F.col("l_partkey")).alias("u"),
+            (F.lit(2) * F.col("l_suppkey") + F.lit(1)).alias("v"),
         )
         .distinct()
         .localCheckpoint()
@@ -955,9 +964,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    # out-degree per node: parts appear only as pairs.u, suppliers only
-    # as pairs.v, so the two half-aggregations are the bipartite split
-    # of groupBy(u) over the mirrored edge list. Node-sized; broadcast.
+    # out-degree per node: parts (even ids) appear only as pairs.u,
+    # suppliers (odd ids) only as pairs.v, so the two half-aggregations
+    # are the bipartite split of groupBy(u) over the mirrored edge
+    # list. Node-sized; broadcast.
     deg = (
         pairs.groupBy("u")
         .agg(F.count(F.lit(1)).alias("od"))
@@ -1538,18 +1548,14 @@ def dq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- graph_label_propagation -----------------------------------------------
 
 _LPA_ITERS = 2
-# composite-score multiplier: must exceed the max node id (part keys +
-# the 1e6 supplier offset), so (cnt, label) orders lexicographically
-# inside one BIGINT and max_by/arg_max need no float or struct compare
-_LPA_C = 10_000_000
 
 
 def _lpa_oracle() -> str:
-    sql = f"""
+    sql = """
     WITH ed AS (
-      SELECT DISTINCT l_partkey AS u, {_PR_SUPP_OFFSET} + l_suppkey AS v FROM lineitem
+      SELECT DISTINCT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v FROM lineitem
       UNION
-      SELECT DISTINCT {_PR_SUPP_OFFSET} + l_suppkey AS u, l_partkey AS v FROM lineitem
+      SELECT DISTINCT 2 * l_suppkey + 1 AS u, 2 * l_partkey AS v FROM lineitem
     ),
     l0 AS (SELECT DISTINCT u AS node, u AS label FROM ed)
     """
@@ -1561,7 +1567,7 @@ def _lpa_oracle() -> str:
       FROM ed JOIN {prev} p ON ed.u = p.node
       GROUP BY 1, 2),
     l{i} AS (
-      SELECT node, arg_max(label, cnt * {_LPA_C} - label) AS label
+      SELECT node, -(max({{'c': cnt, 'nl': -label}})).nl AS label
       FROM c{i} GROUP BY node)
     """
         prev = f"l{i}"
@@ -1579,33 +1585,40 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-iteration oracle pattern graph_pagerank established, applied
     to the OTHER standard Pregel workload. Update rule: each node adopts
     its neighbors' MODE label; ties break to the smallest label, made
-    total-order deterministic by packing (count, label) into one bigint
-    score cnt*C - label and taking max_by (Spark) / arg_max (DuckDB) —
-    no floats, no struct comparisons, so both engines pick the identical
-    label and the key is hash-green despite LPA's notorious tie
+    total-order deterministic by max over the integer pair
+    (cnt, -label) — lexicographic struct ordering in Spark
+    (F.max(F.struct(...))), named-struct max in DuckDB, identical
+    semantics, all-integer so no float drift. Exact at ANY scale: the
+    r11 packed-bigint form (cnt*C - label) required C to exceed the max
+    node id, a bound that silently broke past SF 25, the same class of
+    fixed-constant bug as the pagerank offset. The struct form has no
+    bound, so the key stays hash-green despite LPA's notorious tie
     nondeterminism (asynchronous/random-order variants aren't
     reproducible even against themselves).
 
     Distributed shape per iteration — same discipline as pagerank: the
     label vector is node-sized and BROADCASTS to the (checkpointed) edge
     list; edges never move; one shuffle on the destination key for the
-    partial-aggregated (node, label) counts, then a node-grain max_by.
+    partial-aggregated (node, label) counts, then a node-grain
+    struct-max.
     At 100 TB with a label vector too big to broadcast, the two
     broadcast hints become a hash(u) co-partitioning of ed and labels
     reused across iterations — the join keys never change, so the edge
     exchange still happens ONCE, not per iteration.
 
-    Edge build (r11, same rework as graph_pagerank): the fwd/rev
-    keyspaces are disjoint (offset supplier ids), so the mirrored edge
-    set is distinct(fwd) ∪ mirror(distinct(fwd)) — lineitem scanned
-    once, the edge-distinct shuffle halved, and the initial label
-    vector comes from two node-scale distincts over the checkpointed
-    half instead of an edge-scale distinct over the mirror."""
+    Edge build (r11 rework, r12 scale fix — same as graph_pagerank):
+    the fwd/rev keyspaces are disjoint at any SF via the even/odd node
+    encoding (parts 2k, suppliers 2k+1; the r11 +1e6 offset broke past
+    SF 5), so the mirrored edge set is distinct(fwd) ∪
+    mirror(distinct(fwd)) — lineitem scanned once, the edge-distinct
+    shuffle halved, and the initial label vector comes from two
+    node-scale distincts over the checkpointed half instead of an
+    edge-scale distinct over the mirror."""
     li = table(spark, sf_dir, "lineitem")
     pairs = (
         li.select(
-            F.col("l_partkey").alias("u"),
-            (F.lit(_PR_SUPP_OFFSET) + F.col("l_suppkey")).alias("v"),
+            (F.lit(2) * F.col("l_partkey")).alias("u"),
+            (F.lit(2) * F.col("l_suppkey") + F.lit(1)).alias("v"),
         )
         .distinct()
         .localCheckpoint()
@@ -1628,8 +1641,13 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = (
             cnt.groupBy(F.col("v").alias("node"))
             .agg(
-                F.max_by(
-                    F.col("label"), F.col("cnt") * _LPA_C - F.col("label")
+                (
+                    -F.max(
+                        F.struct(
+                            F.col("cnt").alias("c"),
+                            (-F.col("label")).alias("nl"),
+                        )
+                    ).getField("nl")
                 ).alias("label")
             )
             .localCheckpoint()

@@ -322,6 +322,13 @@ def _undirected(memb, offset):
     return e | {(v, u) for u, v in e}
 
 
+def _undirected_evenodd(memb):
+    # the r12 scale-safe node encoding: parts 2k (even), suppliers
+    # 2k+1 (odd) — structurally disjoint at any SF
+    e = {(2 * p, 2 * s + 1) for p, s in memb}
+    return e | {(v, u) for u, v in e}
+
+
 def test_bfs_bounded_matches_python(spark, li_graph_dir):
     from etl_cnpjs_spark.plans.extended7 import _BFS_HOPS, _BFS_SUPP_OFFSET
 
@@ -351,14 +358,10 @@ def test_pagerank_matches_python(spark, li_graph_dir):
     """Replays the exact arithmetic: per-edge contribution quantized to
     1e-15 bigints (floor), exact integer sums, double finish, final
     quantize at 1e-12 — identical op order, so equality is exact."""
-    from etl_cnpjs_spark.plans.extended3 import (
-        _PR_D,
-        _PR_ITERS,
-        _PR_SUPP_OFFSET,
-    )
+    from etl_cnpjs_spark.plans.extended3 import _PR_D, _PR_ITERS
 
     d, memb = li_graph_dir
-    e = sorted(_undirected(memb, _PR_SUPP_OFFSET))
+    e = sorted(_undirected_evenodd(memb))
     nodes = sorted({u for u, _ in e})
     od = {n: sum(1 for u, _ in e if u == n) for n in nodes}
     nn = len(nodes)
@@ -379,16 +382,12 @@ def test_pagerank_matches_python(spark, li_graph_dir):
 
 def test_label_propagation_matches_python(spark, li_graph_dir):
     """Two synchronous LPA iterations replayed in Python with the same
-    deterministic (count, smallest-label) mode rule (score = cnt*C -
-    label, max wins)."""
-    from etl_cnpjs_spark.plans.extended3 import (
-        _LPA_C,
-        _LPA_ITERS,
-        _PR_SUPP_OFFSET,
-    )
+    deterministic (count, smallest-label) mode rule (lexicographic max
+    over (cnt, -label) — the r12 scale-exact tie-break)."""
+    from etl_cnpjs_spark.plans.extended3 import _LPA_ITERS
 
     d, memb = li_graph_dir
-    e = sorted(_undirected(memb, _PR_SUPP_OFFSET))
+    e = sorted(_undirected_evenodd(memb))
     nodes = sorted({u for u, _ in e})
     lab = {n: n for n in nodes}
     for _ in range(_LPA_ITERS):
@@ -397,7 +396,7 @@ def test_label_propagation_matches_python(spark, li_graph_dir):
             cnt[(v, lab[u])] = cnt.get((v, lab[u]), 0) + 1
         nxt = {}
         for (v, label), c in cnt.items():
-            score = c * _LPA_C - label
+            score = (c, -label)
             if v not in nxt or score > nxt[v][0]:
                 nxt[v] = (score, label)
         lab = {n: nxt[n][1] for n in nodes}
@@ -407,6 +406,57 @@ def test_label_propagation_matches_python(spark, li_graph_dir):
         for r in QUERIES["graph_label_propagation"].fn(spark, d).collect()
     }
     assert got == lab
+
+
+def test_graph_keys_exact_under_offset_aliasing(spark, tmp_path):
+    """Regression fence for the r11 node-id collision bug (r12 ADVICE
+    high): graph_pagerank/LPA's halved-shuffle edge build —
+    distinct(fwd) ∪ mirror(distinct(fwd)) — is only exact if the two
+    node keyspaces are disjoint. The r11 additive supplier offset
+    (+1e6) broke that silently once partkeys passed the constant
+    (SF>5): the fixture below has memberships (1_000_001, 5) and
+    (1_000_005, 1), so under the old encoding the forward edges were
+    (1000001, 1000005) and (1000005, 1000001) — each the mirror of the
+    other — duplicating edge and degree rows in the plan's union-all
+    vs the oracle's UNION-distinct. The r12 even/odd encoding (parts 2k,
+    suppliers 2k+1) is structurally disjoint at any id magnitude; this
+    test pins plan ≡ full DuckDB oracle on the adversarial fixture for
+    both keys, exact to the value hash."""
+    import duckdb
+
+    from compare import assert_frames_match
+    from etl_cnpjs_spark.plans import QUERIES
+
+    memb = [
+        # the old-offset aliasing pair: part ids above 1e6 that mirror
+        # onto each other's forward edges under p <-> 1e6 + s
+        (1_000_001, 5),
+        (1_000_005, 1),
+        # a normal low-id neighborhood so degrees and labels mix
+        (1, 1), (1, 2), (2, 2), (2, 3), (3, 3),
+        (97, 1),
+        (1_000_001, 2),  # bridges the high-id pair into the low block
+    ]
+    pd.DataFrame(
+        {
+            "l_partkey": [p for p, _ in memb],
+            "l_suppkey": [s for _, s in memb],
+            "l_orderkey": range(len(memb)),
+            "l_linenumber": [1] * len(memb),
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet", index=False)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    for key in ("graph_pagerank", "graph_label_propagation"):
+        q = QUERIES[key]
+        got = q.fn(spark, str(tmp_path)).toPandas()
+        want = con.execute(q.oracle).fetchdf()
+        assert_frames_match(got, want, f"{key} offset-aliasing fixture")
+    con.close()
 
 
 def test_kcore_matches_python(spark, tmp_path):

@@ -409,8 +409,14 @@ def test_stopshingle_df_filter_shares_posting_shuffle(spark, sf_dir):
     count-exact branch and the array-verify fallback, so identical
     subtrees (kept postings, candidate aggregate) repeat statically —
     ceiling pinned at 14 hash exchanges (plan_audit's adjudication) —
-    but the EXECUTED AQE plan must dedupe them: ≥4 ReusedExchange
-    nodes, ≤6 real shuffle stages (verified 6+6 on 2026-08-16)."""
+    and the EXECUTED AQE plan must dedupe them. Invariant kept LOOSE on
+    purpose (r11 ADVICE low #3): exact ReusedExchange/stage counts are
+    Spark-version- and AQE-config-sensitive, so assert only that reuse
+    HAPPENS and executed shuffle stages land strictly below the
+    14-exchange static ceiling — a real regression (reuse lost, the
+    repeated subtrees re-shuffled) still fails, an engine upgrade does
+    not. (For the record: 6 reuses + 6 stages on Spark 4.1.2,
+    2026-08-16.)"""
     df = QUERIES["dedup_stopshingle"].fn(spark, sf_dir)
     plan = explain_str(df, "simple")
     assert plan.count("Exchange hashpartitioning") <= 14
@@ -418,8 +424,8 @@ def test_stopshingle_df_filter_shares_posting_shuffle(spark, sf_dir):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
-    assert final.count("ReusedExchange") >= 4
-    assert final.count("ShuffleQueryStage") <= 6
+    assert "ReusedExchange" in final, "AQE must dedupe the repeated subtrees"
+    assert final.count("ShuffleQueryStage") < 14, final[:800]
 
 
 def test_interval_overlap_join_is_not_cartesian(spark, sf_dir):
