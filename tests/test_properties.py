@@ -990,3 +990,113 @@ def test_exact_substr_spans_match_bruteforce(spark, docs):
         for r in exact_substr_spans(df, k=k).collect()
     }
     assert got == _py_substr_spans(docs, k)
+
+
+# --- graph keys on arbitrary graphs at arbitrary id magnitudes ---------------
+#
+# The r12 even/odd node encoding (parts 2k, suppliers 2k+1) claims
+# exactness at ANY id magnitude — the property the r11 additive offset
+# silently lost past its constant. These two tests replay the full
+# plans against independent Python references on hypothesis-generated
+# memberships whose ids span 11 orders of magnitude (1 .. 2^40),
+# including ids straddling every power-of-ten boundary an additive
+# offset could sit at. Plans read a generated lineitem parquet, same
+# driver path as production.
+
+_geo_ids = st.integers(min_value=1, max_value=2**40)
+_memberships = st.lists(
+    st.tuples(_geo_ids, _geo_ids), min_size=1, max_size=12
+)
+
+
+def _write_lineitem(tmpdir, memb):
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "l_partkey": [p for p, _ in memb],
+            "l_suppkey": [s for _, s in memb],
+            "l_orderkey": range(len(memb)),
+            "l_linenumber": [1] * len(memb),
+        }
+    ).to_parquet(f"{tmpdir}/lineitem.parquet", index=False)
+
+
+def _evenodd_edges(memb):
+    e = {(2 * p, 2 * s + 1) for p, s in memb}
+    return sorted(e | {(v, u) for u, v in e})
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(memb=_memberships)
+def test_pagerank_matches_python_at_any_id_magnitude(spark, memb, tmp_path_factory):
+    """graph_pagerank == the sequential replay (exact 1e-15 bigint
+    quantization arithmetic) on arbitrary bipartite memberships with
+    ids up to 2^40."""
+    import math
+
+    from etl_cnpjs_spark.plans import QUERIES
+    from etl_cnpjs_spark.plans.extended3 import _PR_D, _PR_ITERS
+
+    d = tmp_path_factory.mktemp("prprop")
+    _write_lineitem(d, memb)
+    e = _evenodd_edges(memb)
+    nodes = sorted({u for u, _ in e})
+    od = {n: sum(1 for u, _ in e if u == n) for n in nodes}
+    nn = len(nodes)
+    r = {n: 1.0 / nn for n in nodes}
+    for _ in range(_PR_ITERS):
+        s = {n: 0 for n in nodes}
+        for u, v in e:
+            s[v] += math.floor(r[u] / od[u] * 1e15 + 0.5)
+        r = {n: 0.15 / nn + _PR_D * (float(s[n]) / 1e15) for n in nodes}
+    expected = {n: math.floor(r[n] * 1e12 + 0.5) / 1e12 for n in nodes}
+
+    got = {
+        row.node: row.rank
+        for row in QUERIES["graph_pagerank"].fn(spark, str(d)).collect()
+    }
+    assert got == expected
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(memb=_memberships)
+def test_label_propagation_matches_python_at_any_id_magnitude(
+    spark, memb, tmp_path_factory
+):
+    """graph_label_propagation == the sequential replay of the
+    struct-max (cnt, -label) tie-break on arbitrary memberships with
+    ids up to 2^40 — the magnitude regime where both the old additive
+    offset AND the old packed-bigint score were silently wrong."""
+    from etl_cnpjs_spark.plans import QUERIES
+    from etl_cnpjs_spark.plans.extended3 import _LPA_ITERS
+
+    d = tmp_path_factory.mktemp("lpaprop")
+    _write_lineitem(d, memb)
+    e = _evenodd_edges(memb)
+    nodes = sorted({u for u, _ in e})
+    lab = {n: n for n in nodes}
+    for _ in range(_LPA_ITERS):
+        cnt: dict[tuple, int] = {}
+        for u, v in e:
+            cnt[(v, lab[u])] = cnt.get((v, lab[u]), 0) + 1
+        nxt = {}
+        for (v, label), c in cnt.items():
+            score = (c, -label)
+            if v not in nxt or score > nxt[v][0]:
+                nxt[v] = (score, label)
+        lab = {n: nxt[n][1] for n in nodes}
+
+    got = {
+        r.node: r.label
+        for r in QUERIES["graph_label_propagation"].fn(spark, str(d)).collect()
+    }
+    assert got == lab
