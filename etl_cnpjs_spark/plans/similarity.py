@@ -278,8 +278,19 @@ _SQL_ASSIGN_CTES = f"""
 def _label_centroid_assignment(n: DataFrame):
     """Spark twin of _SQL_ASSIGN_CTES: returns (centroids c[cid, cv],
     assignment[vec_id, label, v, cid]). Centroid build is one
-    (label,pos) partial-agg shuffle; assignment is a broadcast-centroid
-    map pass — no shuffle of the vectors."""
+    (label,pos) partial-agg shuffle; assignment is a TRUE
+    broadcast-centroid map pass (r12): the k centroids collect into a
+    single broadcast array row and each vector picks
+    array_max over (cosine, -cid) — the identical selection the
+    oracle's ROW_NUMBER(ORDER BY cosine DESC, cid) makes (same cosine
+    doubles, ties to the smallest cid), with NO k-fold row explosion
+    and NO vec_id window shuffle. The previous form crossJoined
+    vectors × centroids then sorted that frame per vec_id — at 100 TB
+    that shuffles k copies of the vector table to rank rows a map-side
+    argmax folds in place; pinned value-identical by the tie-heavy
+    synthetic in tests/test_plans.py::test_centroid_assignment_argmax
+    and the four consumer keys' oracles (sim_topk_kmeans,
+    dedup_semantic, sim_recall_report, corpus_dedup_funnel)."""
     cent_long = (
         n.select("label", F.posexplode("v").alias("pos0", "x"))
         .groupBy("label", "pos0")
@@ -290,14 +301,24 @@ def _label_centroid_assignment(n: DataFrame):
             F.array_sort(F.collect_list(F.struct("pos0", "cx"))), lambda s: s.cx
         ).alias("cv")
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc(cosine(F.col("v"), F.col("cv"))), F.asc("cid")
+    call = c.agg(F.collect_list(F.struct("cid", "cv")).alias("__cs"))
+    best = F.array_max(
+        F.transform(
+            F.col("__cs"),
+            lambda s: F.struct(
+                cosine(F.col("v"), s.cv).alias("cos"),
+                (-s.cid).alias("ncid"),
+            ),
+        )
     )
     assign = (
-        n.crossJoin(F.broadcast(c))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "v", "cid")
+        n.crossJoin(F.broadcast(call))
+        .select(
+            "vec_id",
+            "label",
+            "v",
+            (-best.getField("ncid")).alias("cid"),
+        )
     )
     return c, assign
 

@@ -1097,3 +1097,60 @@ def test_corpus_ingest_incremental_shape(spark, sf_dir):
         "BroadcastHashJoin" in plan and "LeftAnti" in plan
     ), plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_centroid_assignment_argmax(spark, tmp_path):
+    """The r12 map-side argmax assignment (array_max over
+    (cosine, -cid)) must make the IDENTICAL pick the oracle's
+    ROW_NUMBER(ORDER BY cosine DESC, cid) makes — including exact
+    cosine TIES, which this fixture forces: labels 1 and 2 hold the
+    SAME vectors, so their centroids are identical and every vector's
+    top-1 cosine ties across both; the rule must break to the smaller
+    cid. Pinned as plan ≡ full DuckDB oracle on the dedup_semantic key
+    (one of the four _label_centroid_assignment consumers), plus a
+    direct shape assertion: no window/sort and no k-fold explosion in
+    the assignment subtree."""
+    import duckdb
+    import pandas as pd
+
+    from compare import assert_frames_match
+    from etl_cnpjs_spark.plans import QUERIES
+
+    rows = []
+    vid = 0
+    for lab in (1, 2):  # identical vector sets -> identical centroids
+        for k in range(6):
+            rows.append((vid, [float(k % 3), float((k + 1) % 3), 1.0], lab))
+            vid += 1
+    for k in range(4):  # a distinct third cluster
+        rows.append((vid, [10.0 + k, 0.5, -3.0], 3))
+        vid += 1
+    pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [r[1] for r in rows],
+            "label": [r[2] for r in rows],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+
+    q = QUERIES["dedup_semantic"]
+    got = q.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    want = con.execute(q.oracle).fetchdf()
+    con.close()
+    assert_frames_match(got, want, "dedup_semantic centroid-tie fixture")
+
+    # shape: assignment is a map pass — no Window, no per-vector
+    # k-row explosion feeding a sort
+    from etl_cnpjs_spark.plans.similarity import (
+        _label_centroid_assignment,
+        _vecs,
+    )
+
+    _, assign = _label_centroid_assignment(_vecs(spark, str(tmp_path)))
+    plan = assign._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:800]
