@@ -455,24 +455,40 @@ _SQL_IVF = f"""
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: deterministic coarse centroids
     (vec_id % CENTROID_MOD == 0), nearest-centroid assignment (broadcast
-    centroids — no shuffle), probe the query's N_PROBE nearest buckets.
+    centroids — a TRUE map pass since r12), probe the query's N_PROBE
+    nearest buckets.
 
-    The scale path for ANN: assignment is one broadcast-join pass; a probe
-    touches |corpus|·nprobe/|centroids| vectors instead of all. The oracle
+    The scale path for ANN: the centroids collect into one broadcast
+    array row and each vector folds array_max over (cosine, −cid) — the
+    identical pick ROW_NUMBER(ORDER BY cosine DESC, cid) makes, with no
+    k-fold crossJoin explosion and no vec_id window shuffle (the
+    pre-r12 form shuffled k copies of the corpus to rank them — the
+    same defect _label_centroid_assignment carried). A probe touches
+    |corpus|·nprobe/|centroids| vectors instead of all. The oracle
     re-derives the same algorithm, so this approximate plan still
     hash-matches exactly."""
     n = _vecs(spark, sf_dir)
     c = n.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc(cosine(F.col("v"), F.col("cv"))), F.asc("cid")
+    call = c.agg(F.collect_list(F.struct("cid", "cv")).alias("__cs"))
+    best = F.array_max(
+        F.transform(
+            F.col("__cs"),
+            lambda s: F.struct(
+                cosine(F.col("v"), s.cv).alias("cos"),
+                (-s.cid).alias("ncid"),
+            ),
+        )
     )
     assign = (
-        n.crossJoin(F.broadcast(c))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "v", "cid")
+        n.crossJoin(F.broadcast(call))
+        .select(
+            "vec_id",
+            "label",
+            "v",
+            (-best.getField("ncid")).alias("cid"),
+        )
     )
     q = (
         n.orderBy("vec_id")

@@ -1154,3 +1154,41 @@ def test_centroid_assignment_argmax(spark, tmp_path):
     _, assign = _label_centroid_assignment(_vecs(spark, str(tmp_path)))
     plan = assign._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan[:800]
+
+
+def test_ivf_assignment_argmax_ties(spark, tmp_path):
+    """sim_topk_ivf's r12 map-side argmax assignment under exact
+    centroid ties: vec_ids 0 and 97 are both coarse centroids
+    (vec_id % 97 == 0) and carry the SAME vector, so every vector's
+    nearest-centroid cosine ties across cid 0 and 97 — the pick must
+    break to cid 0, exactly as the oracle's ROW_NUMBER(ORDER BY cosine
+    DESC, cid). Pinned plan ≡ DuckDB oracle, plus a Window-free
+    assertion on the assignment subtree (the probe top-k keeps its
+    tiny global window)."""
+    import duckdb
+    import pandas as pd
+
+    from compare import assert_frames_match
+    from etl_cnpjs_spark.plans import QUERIES
+
+    rows = [(0, [1.0, 0.0, 0.0], 1), (97, [1.0, 0.0, 0.0], 1)]
+    for k in range(1, 20):
+        rows.append((k, [float(k % 5), float((k + 2) % 7), 1.0], 2))
+    pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [r[1] for r in rows],
+            "label": [r[2] for r in rows],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+
+    q = QUERIES["sim_topk_ivf"]
+    got = q.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    want = con.execute(q.oracle).fetchdf()
+    con.close()
+    assert_frames_match(got, want, "sim_topk_ivf centroid-tie fixture")
