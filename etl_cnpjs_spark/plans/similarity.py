@@ -458,36 +458,36 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids — a TRUE map pass since r12), probe the query's N_PROBE
     nearest buckets.
 
-    The scale path for ANN: the centroids collect into one broadcast
-    array row and each vector folds array_max over (cosine, −cid) — the
-    identical pick ROW_NUMBER(ORDER BY cosine DESC, cid) makes, with no
-    k-fold crossJoin explosion and no vec_id window shuffle (the
-    pre-r12 form shuffled k copies of the corpus to rank them — the
-    same defect _label_centroid_assignment carried). A probe touches
-    |corpus|·nprobe/|centroids| vectors instead of all. The oracle
-    re-derives the same algorithm, so this approximate plan still
-    hash-matches exactly."""
+    The scale path for ANN: assignment is a broadcast crossJoin
+    streamed straight into groupBy(vec_id).max_by(…, (cosine, −cid)) —
+    the identical pick ROW_NUMBER(ORDER BY cosine DESC, cid) makes, and
+    the per-vector argmax collapses MAP-SIDE in the partial aggregate,
+    so the exchange carries ONE row per vector (the pre-r12 window form
+    shuffled k copies of the corpus and sorted them). Chosen over the
+    zero-exchange array_max-lambda form (_label_centroid_assignment's
+    shape) per the r12 A/B: at this k the lambda's interpreted
+    per-row struct array costs more than the agg's one thin exchange
+    (grids in NOTES; both forms are value-identical, the tie fence
+    pins this one). A probe touches |corpus|·nprobe/|centroids|
+    vectors instead of all. The oracle re-derives the same algorithm,
+    so this approximate plan still hash-matches exactly."""
     n = _vecs(spark, sf_dir)
     c = n.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    call = c.agg(F.collect_list(F.struct("cid", "cv")).alias("__cs"))
-    best = F.array_max(
-        F.transform(
-            F.col("__cs"),
-            lambda s: F.struct(
-                cosine(F.col("v"), s.cv).alias("cos"),
-                (-s.cid).alias("ncid"),
-            ),
-        )
+    score = F.struct(
+        cosine(F.col("v"), F.col("cv")).alias("cos"),
+        (-F.col("cid")).alias("ncid"),
     )
     assign = (
-        n.crossJoin(F.broadcast(call))
+        n.crossJoin(F.broadcast(c))
+        .groupBy("vec_id")
+        .agg(F.max_by(F.struct("label", "v", "cid"), score).alias("b"))
         .select(
             "vec_id",
-            "label",
-            "v",
-            (-best.getField("ncid")).alias("cid"),
+            F.col("b.label").alias("label"),
+            F.col("b.v").alias("v"),
+            F.col("b.cid").alias("cid"),
         )
     )
     q = (
