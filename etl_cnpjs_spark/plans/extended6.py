@@ -59,10 +59,13 @@ from etl_cnpjs_spark.plans.registry import register
 def events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix. Shapes: distinct (user, week)
     collapses the event volume first (the same reducer
-    events_retention uses); per-user min is one shuffle on user_id and
-    the activity join REUSES that partitioning; the matrix rollup then
-    shuffles only (cohort_week, user) pairs; cohort_size re-joins the
-    matrix to its own age-0 slice — a broadcast (one row per cohort).
+    events_retention uses); the per-user cohort min is a window over
+    user_id whose partitioning AQE chains off distinct's (no
+    groupBy+self-join back, see the inline note); the matrix rollup
+    then shuffles only (cohort_week, user) pairs; cohort_size is the age-0 cell
+    read back via a max-when window over the tiny matrix itself — no
+    join at all (the self-join form clones the whole upstream subtree;
+    measured 6 exchanges vs 4, see the inline note).
     All-integer output: week indices, counts, bigint-DIV ppm."""
     from pyspark.sql import Window as W
 
