@@ -122,14 +122,19 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KCORE_K = 8
 _KCORE_ROUNDS = 4
-_KC_SUPP_OFFSET = 10_000_000
+# Node encoding: the r12 scale-safe even/odd scheme (parts 2k,
+# suppliers 2k+1) — structurally disjoint at ANY SF. The pre-r13
+# additive 1e7 offset silently aliased suppliers into parts once
+# partkey > 1e7 (SF > 50), changing computed core membership while the
+# oracle aliased identically (ADVICE r12 low #1).
 
 
 def _kcore_sql() -> str:
-    k, off = _KCORE_K, _KC_SUPP_OFFSET
-    sql = f"""
+    k = _KCORE_K
+    sql = """
     WITH e0 AS (
-      SELECT DISTINCT l_partkey AS u, l_suppkey + {off} AS v FROM lineitem),
+      SELECT DISTINCT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v
+      FROM lineitem),
     b0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)
     """
     prev = "b0"
@@ -166,8 +171,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard distributed peel (Quick-SQL k-core) shape."""
     li = table(spark, sf_dir, "lineitem")
     e0 = li.select(
-        F.col("l_partkey").alias("u"),
-        (F.col("l_suppkey") + F.lit(_KC_SUPP_OFFSET)).alias("v"),
+        (F.lit(2) * F.col("l_partkey")).alias("u"),
+        (F.lit(2) * F.col("l_suppkey") + F.lit(1)).alias("v"),
     ).distinct()
     edges = e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
     edges = edges.localCheckpoint()

@@ -479,21 +479,28 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — the neighborhood-expansion primitive behind abuse-ring discovery
 # and feature extraction on entity graphs. The graph is the undirected
 # part-supplier bipartite graph from lineitem (same derivation as
-# graph_label_propagation); seeds are part nodes with id % 97 == 0.
-# Three unrolled frontier expansions, each a distinct-project join with
-# an anti-join against the visited set — EXACTLY what an iterative BFS
-# does per step, so the fixed unroll is the loop body under test, and
-# the oracle can mirror it without recursion.
+# graph_label_propagation); seeds are part nodes with partkey % 97 == 0
+# (the encoded predicate u % 97 = 0 selects exactly those parts:
+# 2k ≡ 0 mod 97 ⟺ k ≡ 0 mod 97 since gcd(2, 97) = 1, and supplier
+# nodes are odd so never ≡ 0 mod 2·anything even — they can match
+# u % 97 = 0 only via the shared u-column which at seed time is e0.u,
+# parts only). Node encoding is the r12 scale-safe even/odd scheme
+# (parts 2k, suppliers 2k+1 — structurally disjoint at ANY SF; the
+# pre-r13 additive 1e6 offset silently aliased suppliers into parts
+# once partkey > 1e6, i.e. SF > 5). Three unrolled frontier
+# expansions, each a distinct-project join with an anti-join against
+# the visited set — EXACTLY what an iterative BFS does per step, so
+# the fixed unroll is the loop body under test, and the oracle can
+# mirror it without recursion.
 
 _BFS_HOPS = 3
-_BFS_SUPP_OFFSET = 1_000_000
 
 
 @register(
     "graph_bfs_bounded",
-    oracle=f"""
+    oracle="""
     WITH e0 AS (
-      SELECT DISTINCT l_partkey AS u, {_BFS_SUPP_OFFSET} + l_suppkey AS v
+      SELECT DISTINCT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v
       FROM lineitem),
     e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
     l0 AS (SELECT DISTINCT u AS node FROM e0 WHERE u % 97 = 0),
@@ -527,8 +534,8 @@ def graph_bfs_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     are not — AQE's call, not ours."""
     li = table(spark, sf_dir, "lineitem")
     e0 = li.select(
-        F.col("l_partkey").cast("bigint").alias("u"),
-        (F.lit(_BFS_SUPP_OFFSET) + F.col("l_suppkey")).cast("bigint").alias("v"),
+        (F.lit(2) * F.col("l_partkey")).cast("bigint").alias("u"),
+        (F.lit(2) * F.col("l_suppkey") + F.lit(1)).cast("bigint").alias("v"),
     ).distinct()
     # the undirected edge frame feeds every hop's join — materialize it
     # ONCE (localCheckpoint; persist(DISK_ONLY) on a cluster) instead of

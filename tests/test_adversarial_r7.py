@@ -330,14 +330,16 @@ def _undirected_evenodd(memb):
 
 
 def test_bfs_bounded_matches_python(spark, li_graph_dir):
-    from etl_cnpjs_spark.plans.extended7 import _BFS_HOPS, _BFS_SUPP_OFFSET
+    from etl_cnpjs_spark.plans.extended7 import _BFS_HOPS
 
     d, memb = li_graph_dir
-    e = _undirected(memb, _BFS_SUPP_OFFSET)
+    e = _undirected_evenodd(memb)
     adj: dict[int, set] = {}
     for u, v in e:
         adj.setdefault(u, set()).add(v)
-    seeds = {p for p, _ in memb if p % 97 == 0}
+    # seed predicate is on the ENCODED id (u % 97 == 0, u = 2*partkey);
+    # 2k ≡ 0 mod 97 ⟺ k ≡ 0 mod 97, so the same parts seed
+    seeds = {2 * p for p, _ in memb if (2 * p) % 97 == 0}
     levels = {n: 0 for n in seeds}
     frontier = set(seeds)
     for lvl in range(1, _BFS_HOPS + 1):
@@ -466,7 +468,6 @@ def test_kcore_matches_python(spark, tmp_path):
     import itertools
 
     from etl_cnpjs_spark.plans.extended10 import (
-        _KC_SUPP_OFFSET,
         _KCORE_K,
         _KCORE_ROUNDS,
     )
@@ -486,7 +487,7 @@ def test_kcore_matches_python(spark, tmp_path):
         }
     ).to_parquet(tmp_path / "lineitem.parquet", index=False)
 
-    e = _undirected(memb, _KC_SUPP_OFFSET)
+    e = _undirected_evenodd(memb)
     for _ in range(_KCORE_ROUNDS):
         deg: dict[int, int] = {}
         for u, _v in e:

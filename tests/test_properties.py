@@ -1100,3 +1100,97 @@ def test_label_propagation_matches_python_at_any_id_magnitude(
         for r in QUERIES["graph_label_propagation"].fn(spark, str(d)).collect()
     }
     assert got == lab
+
+
+# r13 (ADVICE r12 low #1): BFS and k-core adopted the same even/odd
+# encoding — extend the id-magnitude fence to them so all four graph
+# keys carry the property, not just pagerank/LPA.
+
+# parts drawn with a bias toward multiples of 97 so the BFS seed set
+# (encoded predicate u % 97 == 0, u = 2*partkey ⟺ partkey % 97 == 0)
+# is usually non-empty — an always-empty seed set would fence nothing.
+_bfs_parts = st.one_of(
+    _geo_ids, st.integers(min_value=1, max_value=2**33).map(lambda x: x * 97)
+)
+_bfs_memberships = st.lists(
+    st.tuples(_bfs_parts, _geo_ids), min_size=1, max_size=12
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(memb=_bfs_memberships)
+def test_bfs_bounded_matches_python_at_any_id_magnitude(
+    spark, memb, tmp_path_factory
+):
+    """graph_bfs_bounded == the sequential BFS replay on arbitrary
+    bipartite memberships with ids up to ~2^40 — including ids past
+    every power-of-ten boundary the pre-r13 additive 1e6 offset could
+    alias at."""
+    from etl_cnpjs_spark.plans import QUERIES
+    from etl_cnpjs_spark.plans.extended7 import _BFS_HOPS
+
+    d = tmp_path_factory.mktemp("bfsprop")
+    _write_lineitem(d, memb)
+    e = _evenodd_edges(memb)
+    adj: dict[int, set] = {}
+    for u, v in e:
+        adj.setdefault(u, set()).add(v)
+    seeds = {2 * p for p, _ in memb if (2 * p) % 97 == 0}
+    levels = {n: 0 for n in seeds}
+    frontier = set(seeds)
+    for lvl in range(1, _BFS_HOPS + 1):
+        frontier = {
+            v for u in frontier for v in adj.get(u, ()) if v not in levels
+        }
+        for v in frontier:
+            levels[v] = lvl
+
+    got = {
+        r.node: r.level
+        for r in QUERIES["graph_bfs_bounded"].fn(spark, str(d)).collect()
+    }
+    assert got == levels
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(memb=_memberships)
+def test_kcore_matches_python_at_any_id_magnitude(
+    spark, memb, tmp_path_factory
+):
+    """graph_kcore (k patched to 2 so sparse hypothesis graphs keep a
+    non-empty core — the registered k=8 would peel everything and
+    fence nothing) == the sequential peel replay at ids up to 2^40."""
+    import etl_cnpjs_spark.plans.extended10 as x10
+
+    d = tmp_path_factory.mktemp("kcoreprop")
+    _write_lineitem(d, memb)
+    e = set(_evenodd_edges(memb))
+    k_test = 2
+    for _ in range(x10._KCORE_ROUNDS):
+        deg: dict[int, int] = {}
+        for u, _v in e:
+            deg[u] = deg.get(u, 0) + 1
+        surv = {n for n, c in deg.items() if c >= k_test}
+        e = {(u, v) for u, v in e if u in surv and v in surv}
+    expected: dict[int, int] = {}
+    for u, _v in e:
+        expected[u] = expected.get(u, 0) + 1
+
+    orig = x10._KCORE_K
+    x10._KCORE_K = k_test
+    try:
+        got = {
+            r.node: r.core_degree
+            for r in x10.graph_kcore(spark, str(d)).collect()
+        }
+    finally:
+        x10._KCORE_K = orig
+    assert got == expected
