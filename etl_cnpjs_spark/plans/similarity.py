@@ -275,6 +275,14 @@ _SQL_ASSIGN_CTES = f"""
 """
 
 
+# Single-row broadcast bound for _label_centroid_assignment: k=4096
+# centroids × dim≤1024 doubles ≈ 33 MB in one row — comfortably inside
+# Spark's per-row and broadcast limits; past it the k-row broadcast
+# join is the right shape anyway (per-row cost grows with k while the
+# join's stays flat).
+_CENTROID_BROADCAST_MAX_K = 4096
+
+
 def _label_centroid_assignment(n: DataFrame):
     """Spark twin of _SQL_ASSIGN_CTES: returns (centroids c[cid, cv],
     assignment[vec_id, label, v, cid]). Centroid build is one
@@ -301,7 +309,31 @@ def _label_centroid_assignment(n: DataFrame):
             F.array_sort(F.collect_list(F.struct("pos0", "cx"))), lambda s: s.cx
         ).alias("cv")
     )
-    call = c.agg(F.collect_list(F.struct("cid", "cv")).alias("__cs"))
+    # r13 guard (ADVICE r12 low #2): the k centroids collapse into ONE
+    # row holding k×dim doubles — fine for the small label alphabets
+    # this form exists for, but a single row hits Spark's per-row /
+    # collect_list limits far sooner than a k-row broadcast would. The
+    # bound is enforced at EXECUTION time through a filter on the
+    # collapsed row itself (assert_true returns NULL when the bound
+    # holds, so the filter passes; a driver-side count() would re-run
+    # the centroid aggregate as a second job). Above the bound, route
+    # through sim_topk_ivf's k-row broadcast-join assignment instead.
+    call = c.agg(F.collect_list(F.struct("cid", "cv")).alias("__cs")).filter(
+        F.assert_true(
+            F.size("__cs") <= _CENTROID_BROADCAST_MAX_K,
+            F.concat(
+                F.lit(
+                    "_label_centroid_assignment: centroid count "
+                ),
+                F.size("__cs").cast("string"),
+                F.lit(
+                    f" exceeds the {_CENTROID_BROADCAST_MAX_K} single-row "
+                    "broadcast bound; use a k-row broadcast join "
+                    "(sim_topk_ivf's assignment shape) for large k."
+                ),
+            ),
+        ).isNull()
+    )
     best = F.array_max(
         F.transform(
             F.col("__cs"),

@@ -415,8 +415,12 @@ def test_stopshingle_df_filter_shares_posting_shuffle(spark, sf_dir):
     HAPPENS and executed shuffle stages land strictly below the
     14-exchange static ceiling — a real regression (reuse lost, the
     repeated subtrees re-shuffled) still fails, an engine upgrade does
-    not. (For the record: 6 reuses + 6 stages on Spark 4.1.2,
-    2026-08-16.)"""
+    not. r13 (ADVICE r12 low #3): the all-the-way-loose bound (< 14
+    with one surviving reuse) would also have passed a 6→13-stage
+    degradation — tightened to a MID bound, executed stages <= 9:
+    ~50% headroom over the observed value for version drift, while a
+    gross reuse loss (each repeated subtree re-shuffling) still fails.
+    (For the record: 6 reuses + 6 stages on Spark 4.1.2, 2026-08-16.)"""
     df = QUERIES["dedup_stopshingle"].fn(spark, sf_dir)
     plan = explain_str(df, "simple")
     assert plan.count("Exchange hashpartitioning") <= 14
@@ -425,7 +429,7 @@ def test_stopshingle_df_filter_shares_posting_shuffle(spark, sf_dir):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
     assert "ReusedExchange" in final, "AQE must dedupe the repeated subtrees"
-    assert final.count("ShuffleQueryStage") < 14, final[:800]
+    assert final.count("ShuffleQueryStage") <= 9, final[:800]
 
 
 def test_interval_overlap_join_is_not_cartesian(spark, sf_dir):
@@ -1154,6 +1158,47 @@ def test_centroid_assignment_argmax(spark, tmp_path):
     _, assign = _label_centroid_assignment(_vecs(spark, str(tmp_path)))
     plan = assign._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan[:800]
+
+
+def test_centroid_assignment_guard_fires_above_bound(spark, tmp_path):
+    """r13 (ADVICE r12 low #2): _label_centroid_assignment collapses
+    all k centroids into ONE broadcast row, a form bounded to small
+    label alphabets — the execution-time assert_true guard must FAIL
+    the job (naming the k-row alternative) when the centroid count
+    exceeds _CENTROID_BROADCAST_MAX_K, instead of silently building an
+    oversized row. Threshold patched to 2 against a 3-label fixture so
+    the test stays tiny; the constant is read at plan-build time."""
+    import pandas as pd
+    import pytest
+
+    import etl_cnpjs_spark.plans.similarity as sim
+
+    rows = []
+    for lab in (1, 2, 3):
+        for k in range(3):
+            rows.append((lab * 10 + k, [float(k), 1.0, float(lab)], lab))
+    pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [r[1] for r in rows],
+            "label": [r[2] for r in rows],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+
+    orig = sim._CENTROID_BROADCAST_MAX_K
+    sim._CENTROID_BROADCAST_MAX_K = 2
+    try:
+        _, assign = sim._label_centroid_assignment(
+            sim._vecs(spark, str(tmp_path))
+        )
+        with pytest.raises(Exception, match="single-row broadcast bound"):
+            assign.write.format("noop").mode("overwrite").save()
+    finally:
+        sim._CENTROID_BROADCAST_MAX_K = orig
+
+    # and at the real threshold the same fixture passes untouched
+    _, ok = sim._label_centroid_assignment(sim._vecs(spark, str(tmp_path)))
+    assert ok.count() == len(rows)
 
 
 def test_ivf_assignment_argmax_ties(spark, tmp_path):
