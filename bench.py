@@ -327,6 +327,14 @@ def main() -> None:
     # r11 (r10 verdict item 3): sim_topk_ivf + sim_knn_join join the
     # watch list — the only >1.25x normalized r10 movers without a
     # per-process distribution (code untouched; suspected box).
+    # r13 (r12 verdict item 1): dedup_minhash + dedup_stopshingle join
+    # — the r12 battery's flagged movers (4.92 s / 2.5 s driver-side vs
+    # ~1.0 / 1.2-1.9 s in every same-tree isolated measurement). With
+    # these in the list, the DRIVER's own bench line carries the
+    # fresh-process distribution on the driver's box beside the
+    # in-suite number, so a battery-window transient can never again
+    # sit unadjudicated for a round (DRIFT_r13 mechanism note in
+    # NOTES.md).
     isolated: dict[str, dict[str, float]] = {}
     isolated_reps: dict[str, list[list[float]]] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
@@ -345,6 +353,8 @@ def main() -> None:
             "dedup_simhash",
             "sim_topk_ivf",
             "sim_knn_join",
+            "dedup_minhash",
+            "dedup_stopshingle",
         ):
             pooled: list[float] = []
             isolated_reps[key] = []
