@@ -40,7 +40,90 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# --- adaptive scan parallelization (r13, guide §2.5/§6) ----------------------
+#
+# Parquet scans split at ROW-GROUP granularity: a file written as one row
+# group is one scan task no matter how many byte-range splits Spark packs,
+# and every fixture table here ships as a single-row-group file (checked
+# via footer metadata below). That serializes ALL scan-side work — parquet
+# decode, tokenization, shingling, per-row hashing, decimal casts — onto
+# one core, and a localCheckpoint of such a frame freezes the 1-partition
+# layout into every consumer. The guide's fix for an unsplittable input is
+# one round-robin repartition immediately after the read (§2.5 "input
+# skew"), so scan-side compute runs at session parallelism.
+#
+# The repartition is (a) OPT-IN PER CALL SITE and (b) GATED ON THE
+# INPUT'S OWN LAYOUT, not a local constant:
+#
+# (a) Only scans whose downstream per-row work is heavy (tokenization,
+#     shingling, per-row digests, wide decimal aggregation, codec work)
+#     ask for it via ``table(..., parallel=True)``. A fleet-wide A/B at
+#     sf0.1 measured the blanket form: the ~50 scan-compute-bound keys
+#     won 30 s total (e.g. dedup_minhash_estimate 3.96→0.88 s, tpch_q1
+#     2.33→1.10 s), but ~250 shuffle-light keys each paid +0.2-0.5 s for
+#     the extra exchange + stage (+73 s total) — so the default stays
+#     off and the win is taken only where the compute justifies it.
+# (b) It fires only when the table's splittable units (row groups summed
+#     across files) cannot feed the session's default parallelism AND the
+#     table is big enough for a shuffle to pay for itself (env-tunable
+#     floor, default 512 KiB). At cluster scale, real tables have many
+#     files × many row groups, the gate is false, and plans are
+#     byte-identical to the ungated form — input-derived partitioning,
+#     not a local[32] tune.
+#
+# Results are partition-independent by the registry's determinism rules
+# (decimal accumulation, order-insensitive hashes), which twelve rounds
+# of cross-core-count driver runs already exercise; every opted-in key is
+# additionally re-proven against its DuckDB oracle this round.
+
+_SCAN_UNITS_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _scan_units(path: str) -> tuple[int, int]:
+    """(splittable row groups, total bytes) for a parquet file or dir of
+    files — one footer read per path per process, memoized."""
+    cached = _SCAN_UNITS_CACHE.get(path)
+    if cached is not None:
+        return cached
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(path)
+            else [path]
+        )
+        groups = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+        nbytes = sum(os.path.getsize(f) for f in files)
+    except Exception:  # unreadable/foreign layout: never block the read
+        groups, nbytes = 1 << 30, 0  # gate stays closed
+    _SCAN_UNITS_CACHE[path] = (groups, nbytes)
+    return (groups, nbytes)
+
+
+def _scan_parallelize_min_bytes() -> int:
+    return int(os.environ.get("SPARK_GRAFT_SCAN_PARALLELIZE_MIN_BYTES", str(512 * 1024)))
+
+
+def maybe_parallelize_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Round-robin repartition to session parallelism iff the parquet
+    layout cannot (row groups < parallelism) and the bytes floor passes."""
+    if os.environ.get("SPARK_GRAFT_SCAN_PARALLELIZE", "1") == "0":
+        return df
+    n = spark.sparkContext.defaultParallelism
+    groups, nbytes = _scan_units(path)
+    if groups < n and nbytes >= _scan_parallelize_min_bytes():
+        return df.repartition(n)
+    return df
+
+
+def table(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
+) -> DataFrame:
     """Read one catalog table. Schema comes from the parquet footer —
     declared at write time, never re-inferred (SURVEY.md §1.2).
 
@@ -69,6 +152,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    if parallel:
+        df = maybe_parallelize_scan(spark, df, table_path(sf_dir, name))
     return df
 
 

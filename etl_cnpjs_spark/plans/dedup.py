@@ -114,7 +114,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _shingle_cache.get(key)
     if cached is not None:
         return cached
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", parallel=True)
     out = (
         d.select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
         .filter(F.size("sh") > 0)

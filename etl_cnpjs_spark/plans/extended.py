@@ -49,7 +49,7 @@ def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     `approx_percentile` sketch already covered by agg_approx_distinct's
     family. At 100 TB exact percentiles of a numeric column are still
     feasible (single shuffle on the group key); per-key sorts spill."""
-    l = table(spark, sf_dir, "lineitem")
+    l = table(spark, sf_dir, "lineitem", parallel=True)
     return l.groupBy("l_returnflag").agg(
         *[
             F.round(F.percentile("l_quantity", F.lit(q)), 6).alias(f"qty_p{int(q * 100)}")
@@ -195,7 +195,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform_values, map_concat. The oracle states the semantically
     equal scalar results directly — map construction is Spark-side
     machinery; ground truth is the values. All JVM built-ins."""
-    l = table(spark, sf_dir, "lineitem")
+    l = table(spark, sf_dir, "lineitem", parallel=True)
     mp = F.map_from_arrays(
         F.array(F.lit("qty"), F.lit("price")),
         F.array(F.col("l_quantity"), F.col("l_extendedprice")),
@@ -535,7 +535,7 @@ def agg_stats_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined pass, order-insensitive — and every derived
     statistic is the same IEEE double sequence in both engines
     (the events_anomaly discipline, extended to the bivariate case)."""
-    l = table(spark, sf_dir, "lineitem")
+    l = table(spark, sf_dir, "lineitem", parallel=True)
     dec = "decimal(27,6)"
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     m = l.groupBy("l_returnflag").agg(
@@ -1140,7 +1140,7 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed eval-set draw. md5-of-key-string is bit-identical in both
     engines, and the (digest, key) order is total, so the k-set — not
     just its size — carries a full hash oracle."""
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders", parallel=True)
     return (
         o.select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy(F.md5(F.col("o_orderkey").cast("string")), "o_orderkey")

@@ -256,7 +256,7 @@ def mm_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         bmp_channel_stats_map_in_pandas,
     )
 
-    d = table(spark, sf_dir, "documents").select(
+    d = table(spark, sf_dir, "documents", parallel=True).select(
         "doc_id",
         (8 + F.col("doc_id") % 9).cast("int").alias("width"),
         (8 + F.col("doc_id") % 7).cast("int").alias("height"),

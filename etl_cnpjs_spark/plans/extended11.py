@@ -995,7 +995,7 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     via length-difference, digit counts via one regexp strip. The
     20 000 ppm (2%) symbol threshold is the conventional first-pass
     cut; downstream pipelines calibrate it per corpus."""
-    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    d = table(spark, sf_dir, "documents", parallel=True).filter(F.length("text") > 0)
     sym = None
     for c in _CODE_SYMS:
         term = F.length("text") - F.length(F.regexp_replace("text", "\\" + c, ""))
@@ -1329,7 +1329,7 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel, exactly this plan with a trained codebook."""
     from etl_cnpjs_spark.operators.similarity import dot, vec_double
 
-    e = table(spark, sf_dir, "embeddings").select(
+    e = table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", vec_double(F.col("embedding")).alias("v")
     )
     seeds = e.filter(F.col("vec_id") < _PQ_K).select(
@@ -2004,7 +2004,7 @@ def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         bmp_tile_stats_map_in_pandas,
     )
 
-    d = table(spark, sf_dir, "documents").select(
+    d = table(spark, sf_dir, "documents", parallel=True).select(
         "doc_id",
         (8 + F.col("doc_id") % 9).cast("int").alias("width"),
         (8 + F.col("doc_id") % 7).cast("int").alias("height"),

@@ -111,7 +111,7 @@ def text_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied because dropping hot grams would split true spans —
     instead hot grams stay cheap by never being joined, only counted.
     """
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = table(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
     return exact_substr_spans(docs, k=_SUBSTR_K)
 
 
@@ -1120,7 +1120,7 @@ def corpus_substr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.col("start_tok"), F.col("end_tok"))
         ).alias("pos"),
     )
-    docs = table(spark, sf_dir, "documents").select(
+    docs = table(spark, sf_dir, "documents", parallel=True).select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
     )
     tok = docs.select(
@@ -1397,7 +1397,7 @@ def agg_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression over exact integers, quantized 1e-6. The sample
     variance/covariance terms use the n·Σ−ΣΣ form so nothing subtracts
     means rowwise."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events", parallel=True)
     u = (
         ev.groupBy(
             "user_id", (F.col("user_id") % 2).cast("bigint").alias("variant")

@@ -504,7 +504,11 @@ def doc_pack_greedy_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = d.groupBy("lang", "shard").applyInPandas(
         greedy_pack_bins(GREEDY_PACK_BUDGET),
         "doc_id long, lang string, n_tokens int, shard long, bin long",
-    )
+        # TWO consumers (the offset rollup below and the stitch join) —
+        # without a barrier the pandas fold and the whole tokenize+shard
+        # subtree under it execute once per consumer (the plan showed two
+        # FlatMapGroupsInPandas nodes; r13 guide §1.2/§2.4).
+    ).localCheckpoint()
     sb = packed.groupBy("lang", "shard").agg(
         (F.max("bin") + 1).cast("bigint").alias("bins")
     )

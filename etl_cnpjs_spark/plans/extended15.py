@@ -220,7 +220,7 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         return knuth32(col) < F.lit(_KEEP)
 
     d = (
-        table(spark, sf_dir, "documents")
+        table(spark, sf_dir, "documents", parallel=True)
         .filter(F.length(F.trim("text")) > 0)
         .select(
             "doc_id",

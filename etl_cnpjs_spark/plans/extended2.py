@@ -143,7 +143,7 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     host-level dedup, blocklists, per-domain caps. The oracle mirrors
     each part with anchored regexes, proving the extraction semantics
     rather than echoing the same builtin."""
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders", parallel=True)
     url = F.concat(
         F.lit("https://shop.example.com/"),
         F.lower(F.regexp_replace(F.col("o_orderpriority"), " ", "-")),
@@ -187,7 +187,7 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     One hash aggregate with map-side partials; numerator and denominator
     accumulate in decimal so the result is order-insensitive and
     bit-identical to the oracle."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", parallel=True)
     wsum = F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast(_DEC))
     qsum = F.sum(F.col("l_quantity").cast(_DEC))
     dsum = F.sum((F.col("l_discount") * F.col("l_extendedprice")).cast(_DEC))
@@ -330,7 +330,7 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     read. try_variant_get on a missing path yields NULL instead of
     failing: the schema-drift posture a 100 TB event log needs. Oracle
     mirrors with DuckDB's JSON operators."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events", parallel=True)
     v = ev.select("event_id", F.parse_json("props").alias("v"))
     return v.select(
         "event_id",

@@ -1354,7 +1354,7 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     kurtosis() are single-pass central-update aggregates whose
     partition order leaks below the grid — same reason stddev/corr were
     rewritten."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", parallel=True)
     dec = "decimal(27,6)"
     x = F.col("l_quantity")
     m = li.groupBy("l_returnflag").agg(

@@ -589,7 +589,7 @@ def agg_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect, and sketch-mergeable across days the way agg_countmin_merge
     verifies (Σcnt² of merged counts ≠ Σ of daily Σcnt², so true
     rollups re-merge counts first — documented for the rollup user)."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events", parallel=True)
     c = (
         ev.select((F.col("user_id") % _DIV_COHORTS).alias("cohort"), "event_type")
         .groupBy("cohort", "event_type")

@@ -721,7 +721,7 @@ def join_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB you'd bound it by capping escalation (emit radius-limited
     kNN for the tail, the standard ANN contract). Rank ties break on
     neighbor id — a total order, so the output is deterministic."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", parallel=True)
     cell = F.lit(_KNN_CELL)
     p = emb.select(
         "vec_id",

@@ -476,7 +476,7 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cnpjs_spark.operators.multimodal import vad_segments_map_in_pandas
 
     d = (
-        table(spark, sf_dir, "documents")
+        table(spark, sf_dir, "documents", parallel=True)
         .select("doc_id", (F.col("n_chars") * 10).alias("n_samples"))
         .filter(F.col("n_samples") > 0)
     )

@@ -424,7 +424,7 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cnpjs_spark.functions.text import tokens
 
     d = (
-        table(spark, sf_dir, "documents")
+        table(spark, sf_dir, "documents", parallel=True)
         .filter(F.length(F.trim("text")) > 0)
         .select("doc_id", tokens(F.col("text")).alias("t"))
     )
@@ -528,8 +528,11 @@ def graph_bfs_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     body graph_pagerank/LPA iterate; bounded hops make it
     oracle-expressible without recursion — sql_recursive_closure covers
     the unbounded case). The frontier frames are localCheckpointed per
-    hop at scale to cut the lineage (here 3 hops is shallow enough not
-    to need it); visited stays (node)-narrow so the anti-join
+    hop at scale to cut the lineage; here 3 hops is shallow enough not
+    to need it — MEASURED r13: per-hop checkpoints made it 2.15→3.03 s
+    (the 4 materialization jobs cost more than the duplicated-subtree
+    planning they save; ReusedExchange already dedups the repeated
+    exchanges at runtime). visited stays (node)-narrow so the anti-join
     broadcast-ables while frontiers are small and shuffles when they
     are not — AQE's call, not ours."""
     li = table(spark, sf_dir, "lineitem")
@@ -1169,7 +1172,7 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mm_image_channel_stats, mm_image_tiles)."""
     from etl_cnpjs_spark.operators.multimodal import bmp_ahash_map_in_pandas
 
-    d = table(spark, sf_dir, "documents").select(
+    d = table(spark, sf_dir, "documents", parallel=True).select(
         "doc_id",
         (F.col("doc_id") % 64).alias("seed"),
         (8 + (F.col("doc_id") % 64) % 9).cast("int").alias("width"),

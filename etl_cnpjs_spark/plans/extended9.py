@@ -90,7 +90,7 @@ def text_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cnpjs_spark.functions.text import tokens
 
     d = (
-        table(spark, sf_dir, "documents")
+        table(spark, sf_dir, "documents", parallel=True)
         .filter(F.length(F.trim("text")) > 0)
         .select(tokens(F.col("text")).alias("t"))
         .filter(F.size("t") >= 2)
@@ -383,7 +383,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's generate_series bound (documents.n_chars ≤ 800 in
     the testdata; a production corpus raises the constant or chunks)."""
     d = (
-        table(spark, sf_dir, "documents")
+        table(spark, sf_dir, "documents", parallel=True)
         .filter(F.length("text") > 0)
         .select("doc_id", "text")
     )

@@ -208,7 +208,7 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over events.props (JSON text column). Scalar
     get_json_object — no parse-to-struct materialization; at scale prefer
     from_json with a declared schema once per pipeline stage."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events", parallel=True)
     k = F.get_json_object("props", "$.k")
     return ev.select(
         "event_id",

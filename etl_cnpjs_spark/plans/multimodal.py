@@ -178,7 +178,7 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cnpjs_spark.operators.multimodal import audio_features_map_in_pandas
 
     d = (
-        table(spark, sf_dir, "documents")
+        table(spark, sf_dir, "documents", parallel=True)
         .select("doc_id", (F.col("n_chars") * 10).alias("n_samples"))
         .filter(F.col("n_samples") > 0)
     )
@@ -286,7 +286,7 @@ def mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     form from the pixel pattern, fully independent of the bytes."""
     from etl_cnpjs_spark.operators.multimodal import bmp_features_map_in_pandas
 
-    d = table(spark, sf_dir, "documents").select(
+    d = table(spark, sf_dir, "documents", parallel=True).select(
         "doc_id",
         (8 + F.col("doc_id") % 9).cast("int").alias("width"),
         (8 + F.col("doc_id") % 7).cast("int").alias("height"),
@@ -356,7 +356,7 @@ def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the verified one)."""
     from etl_cnpjs_spark.operators.multimodal import bmp_fingerprint_map_in_pandas
 
-    d = table(spark, sf_dir, "documents").select(
+    d = table(spark, sf_dir, "documents", parallel=True).select(
         "doc_id",
         (F.col("doc_id") % 64).alias("seed"),
         (8 + (F.col("doc_id") % 64) % 9).cast("int").alias("width"),

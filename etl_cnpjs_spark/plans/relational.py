@@ -420,7 +420,7 @@ def agg_count_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-style stats block. SUM/AVG via decimal accumulation —
     see module note on determinism."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", parallel=True)
     sum_qty_dec = F.sum(F.col("l_quantity").cast(_DEC))
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),

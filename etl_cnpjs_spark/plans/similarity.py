@@ -31,6 +31,10 @@ N_PROBE = 2
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT parallel=True: _vecs feeds the mapInPandas numpy scorers
+    # (hyperplane signatures, blocked k-NN) whose per-batch vectorization
+    # wants few LARGE Arrow batches — a 32-way repartition of 2k vectors
+    # measured dedup_embedding_lsh +1.24 s / sim_knn_join +0.58 s (r13 A/B).
     e = table(spark, sf_dir, "embeddings")
     return e.select("vec_id", "label", vec_double(F.col("embedding")).alias("v"))
 

@@ -167,7 +167,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID (CJK-script check + per-language stopword
     hit counts, fixed precedence on ties). Deterministic by construction —
     the oracle re-derives the identical decision procedure."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", parallel=True)
     toks = tokens(F.col("text"))
     hits = {lang: token_overlap_count(toks, vocab) for lang, vocab in _LANG_MARKERS.items()}
     predicted = (
@@ -261,7 +261,7 @@ def text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     split + explode of reject_reasons + count for the rule report.
     reject_reasons is array_join'ed to a csv scalar at the output
     boundary (driver canonicalizer can't sort raw array columns)."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", parallel=True)
     toks = tokens(F.col("text"))
     n = F.size(toks)
     safe_n = F.greatest(n, F.lit(1))
@@ -534,7 +534,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w_ntok long, w_dist long, w_stop long, w_mlen long",
         )
     )
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", parallel=True)
     toks = tokens(F.col("text"))
     n = F.size(toks).cast("long")
     charsum = F.aggregate(

@@ -445,7 +445,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum (cast to double) by the group count so both engines perform the
     same single IEEE division; sum_charge keeps the oracle's left-assoc
     product order so the double multiplies are bit-identical."""
-    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
+    li = table(spark, sf_dir, "lineitem", parallel=True).filter(F.col("l_shipdate") <= "2001-09-02")
 
     def _sdec(c: F.Column) -> F.Column:
         return F.sum(c.cast(_DEC))
