@@ -165,10 +165,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined) over the current edge frame, then the survivor filter
     applied to BOTH endpoints as two joins — the survivor set is
     node-sized and broadcasts, so edges are filtered in place and
-    never reshuffled. localCheckpoint between rounds keeps the plan
-    tree flat (operators/graph.py lineage discipline). At 100 TB:
-    R scans of a shrinking edge list, each with one small exchange;
-    the standard distributed peel (Quick-SQL k-core) shape."""
+    never reshuffled. No per-round localCheckpoint: at R=4 unrolled
+    rounds ReusedExchange dedups the repeated subtrees at runtime and
+    the four materialization jobs cost more than they save (measured
+    r13: 2.82 → 2.46 s isolated median without them — the same result
+    as graph_bfs_bounded's A/B); an ITERATIVE peel to convergence
+    (unknown R) still needs the operators/graph.py lineage discipline.
+    At 100 TB: R scans of a shrinking edge list, each with one small
+    exchange; the standard distributed peel (Quick-SQL k-core) shape."""
     li = table(spark, sf_dir, "lineitem")
     e0 = li.select(
         (F.lit(2) * F.col("l_partkey")).alias("u"),
@@ -187,7 +191,6 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .join(F.broadcast(surv.select(F.col("node").alias("v"))), "v")
             .select("u", "v")
-            .localCheckpoint()
         )
     return edges.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")

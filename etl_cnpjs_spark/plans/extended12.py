@@ -133,13 +133,21 @@ def exact_substr_spans(docs: DataFrame, k: int, min_grams: int = 2) -> DataFrame
         F.sequence(F.lit(1), F.size("toks") - (k - 1)),
         lambda i: F.array_join(F.slice(F.col("toks"), i, k), " "),
     )
+    # count duplicates over xxhash64(gram), not the gram STRING: the
+    # gram exchange is this plan's dominant cost and only the count is
+    # needed downstream, so shuffle (doc_id, pos, 8-byte hash) instead
+    # of (doc_id, pos, ~50-byte 8-gram) — ~2.5× fewer shuffle bytes and
+    # long-vs-string sort keys (guide §2.3; same hashed-key discipline
+    # and collision argument as dedup_ngram_jaccard's postings:
+    # P(any collision) ≈ n_grams²/2⁶⁴ ≈ 3e-7 at sf0.1, and the STRING
+    # oracle would catch one).
     g = (
         d.filter(F.size("toks") >= k)
         .select("doc_id", F.posexplode(ngrams).alias("pos0", "gram"))
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), F.xxhash64("gram").alias("gh"))
     )
     dup = (
-        g.withColumn("c", F.count(F.lit(1)).over(W.partitionBy("gram")))
+        g.withColumn("c", F.count(F.lit(1)).over(W.partitionBy("gh")))
         .filter(F.col("c") >= 2)
         .select("doc_id", "pos")
     )
@@ -1103,38 +1111,58 @@ def corpus_substr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated span disappear (nothing kept) — the full-duplicate
     case degenerates to exact dedup, as the paper notes.
 
-    Shapes: spans come from the text_exact_substr_spans program (two
-    natural-key exchanges); the cut positions explode from span ranges
-    (output bounded by duplicated-token volume, NOT corpus size); the
-    removal is one left-ANTI join on (doc_id, pos) and reassembly is
-    an ordered string_agg riding the same doc-keyed exchange. No pair
-    enumeration anywhere — end to end, the pipeline is linear in
-    corpus tokens plus duplicated-token volume."""
-    k = _SUBSTR_K
+    Shapes (r13 rework): spans come from the text_exact_substr_spans
+    program (two natural-key exchanges); spans aggregate to ONE
+    doc-grain row of (start, end) structs — span-scale, bounded by
+    duplicated-span count, NOT corpus tokens — and left-join onto the
+    doc-grain corpus; the cut itself is a per-row higher-order filter
+    (token index ∉ any span), so the corpus is never exploded to token
+    grain. The previous shape posexploded every token (corpus × tokens
+    rows), anti-joined on (doc_id, pos) and re-grouped with
+    collect_list + array_sort — TWO token-grain shuffles of the whole
+    corpus that this form does not pay at any scale (measured at
+    sf0.1: 2.2 → 0.7 s as the funnel's stage 1; plan diff in
+    plans/r13/corpus_substr_clean_*.txt). Join strategy is left to
+    AQE: the span frame broadcasts when small; at 100 TB it is a
+    doc-keyed shuffle of span-scale rows vs the old token-grain
+    corpus shuffle. Per-row cut cost is tokens × spans-of-doc
+    (spans are few maximal ranges), vs the old per-token join rows.
+    Value-identical: same kept tokens in document order, same
+    single-space rejoin, docs cut to nothing still vanish (size > 0
+    filter replaces the groupBy-over-kept-rows semantics)."""
     spans = text_exact_substr_spans(spark, sf_dir).select(
         "doc_id", "start_tok", "end_tok"
     )
-    cut = spans.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("start_tok"), F.col("end_tok"))
-        ).alias("pos"),
+    cuts = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("__cuts")
     )
     docs = table(spark, sf_dir, "documents", parallel=True).select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
     )
-    tok = docs.select(
-        "doc_id", F.posexplode("toks").alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
-    kept = tok.join(cut, ["doc_id", "pos"], "left_anti")
-    return kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "tok"))
-            ).getField("tok"),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens_kept"),
+    j = docs.join(cuts, "doc_id", "left")
+    no_cuts = F.coalesce(
+        F.col("__cuts"),
+        F.array().cast("array<struct<start_tok:bigint,end_tok:bigint>>"),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            no_cuts,
+            lambda c: ((i + 1) >= c["start_tok"]) & ((i + 1) <= c["end_tok"]),
+        ),
+    )
+    return (
+        # two-step Project: `kept` is a non-cheap higher-order filter
+        # consumed twice below; CollapseProject leaves non-cheap
+        # multi-referenced aliases in their own Project (SPARK-36718),
+        # so the cut runs once per row, not once per consumer.
+        j.select("doc_id", kept.alias("__kept"))
+        .select(
+            "doc_id",
+            F.array_join("__kept", " ").alias("clean_text"),
+            F.size("__kept").cast("bigint").alias("n_tokens_kept"),
+        )
+        .filter(F.col("n_tokens_kept") > 0)
     )
 
 

@@ -725,9 +725,17 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lineitem_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lineitem + derived l_receiptdate / l_commitdate / l_shipmode."""
-    return table(spark, sf_dir, "lineitem").select(
+def _lineitem_dated(
+    spark: SparkSession, sf_dir: str, parallel: bool = False
+) -> DataFrame:
+    """lineitem + derived l_receiptdate / l_commitdate / l_shipmode.
+
+    ``parallel`` (r13): q21 opts in — its order-grain count_distinct
+    aggregate does heavy map-side work before the first exchange, and
+    the scan is single-row-group-serial (catalog.maybe_parallelize_scan);
+    q12's first op is a join exchange with a trivial map side, where the
+    extra repartition measured +0.1 s, so it stays off by default."""
+    return table(spark, sf_dir, "lineitem", parallel=parallel).select(
         "*",
         F.expr(f"l_shipdate + make_dt_interval({_REC_OFF}, 0, 0, 0)").alias(
             "l_receiptdate"
@@ -1185,7 +1193,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_shipdate, so the late comparison cancels the base date.
     Total order for the LIMIT: (numwait DESC, s_name) — s_name is
     supplier-unique."""
-    li = _lineitem_dated(spark, sf_dir)
+    li = _lineitem_dated(spark, sf_dir, parallel=True)
     late = F.col("l_receiptdate") > F.col("l_commitdate")
     og = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
         F.count_distinct("l_suppkey").alias("n_supp"),

@@ -1063,10 +1063,18 @@ def test_cogrouped_map_single_cogroup_exchange(spark, sf_dir):
 
 
 def test_substr_clean_anti_join_no_pairs(spark, sf_dir):
-    """corpus_substr_clean: removal is a left-anti join on (doc, pos);
-    no SortMergeJoin-of-documents pair shape anywhere."""
+    """corpus_substr_clean (r13 rework): the cut is a per-row
+    higher-order filter against a doc-grain span array attached by ONE
+    left join — the corpus is never exploded to token grain for the
+    removal (the pre-r13 shape posexploded every token, anti-joined on
+    (doc, pos) and re-grouped: two token-grain corpus shuffles). Pin:
+    the span attach is a LeftOuter join, the removal lambda is present,
+    no LeftAnti and no token-regroup collect_list over (pos, tok)."""
     plan = explain_str(QUERIES["corpus_substr_clean"].fn(spark, sf_dir), "simple")
-    assert "LeftAnti" in plan, plan[:800]
+    assert "LeftOuter" in plan, plan[:800]
+    assert "lambdafunction" in plan, plan[:800]
+    assert "LeftAnti" not in plan, plan[:800]
+    assert "collect_list(struct(pos" not in plan, plan[:800]
 
 
 def test_nested_parquet_prunes_and_pushes(spark, sf_dir):
