@@ -215,6 +215,12 @@ def corpus_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
+    # dm has two consumers (survivor pack + report aggregate) but is
+    # deliberately NOT barriered: a localCheckpoint here measured
+    # 1.98 → 2.39 s isolated (r13) — the materialization job costs more
+    # than the duplicated scan+tokenize it saves (unlike
+    # doc_pack_greedy_sharded, where the duplicated subtree includes a
+    # pandas fold).
     dm = (
         table(spark, sf_dir, "documents")
         .filter(
