@@ -1207,21 +1207,24 @@ def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULLS over the per-user time order) — the hypertable
     continuous-aggregate / downsample shape every metrics store ships.
     Empty hours are visible as n_events=0 with a NULL raw sum and a
-    carried filled_value. Distributed shape: hourly partial-aggregates
-    map-side and shuffles (user, hour) partial sums; the grid explodes
-    from a per-user bounds aggregate (2 timestamps/user); the
-    gap-fill window is one shuffle on user_id. Hour sums accumulate in
-    decimal (order-insensitive), and forward-fill copies values, so
-    every filled cell is bit-identical in both engines."""
+    carried filled_value.
+
+    Distributed shape (r14 rework, guide §2.4 — measured vs the old
+    grid-join form, value-identical at 3 SFs): the dense grid is
+    DERIVED from the hourly aggregate itself, not joined onto it. One
+    scan feeds one (user, hour) aggregate (map-side combined); a
+    user-keyed window pair over the HOURLY grain computes the next
+    observed hour (lead) and the running forward-fill (last ignore
+    nulls — carried per OBSERVED row so an all-null-value hour fills
+    from its predecessor exactly as the old grid window did); each
+    observed row then explodes sequence(hour, next-1h) — its own cell
+    plus the empty cells it owns. The old shape scanned events TWICE
+    (bounds aggregate + hourly aggregate), joined grid onto hourly,
+    and ran the fill window at GRID grain; this shape is one scan, the
+    same two exchanges, one hourly-grain sort, no join. Hour sums
+    accumulate in decimal (order-insensitive), and forward-fill copies
+    values, so every filled cell is bit-identical in both engines."""
     ev = table(spark, sf_dir, "events")
-    b = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    grid = b.select(
-        "user_id",
-        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour_ts"),
-    )
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("hour_ts")
     ).agg(
@@ -1230,20 +1233,37 @@ def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("hour_ts")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = W.partitionBy("user_id").orderBy("hour_ts")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    g = hourly.select(
+        "user_id",
+        "hour_ts",
+        "n",
+        "sv",
+        F.lead("hour_ts").over(w).alias("__next"),
+        F.last("sv", ignorenulls=True).over(wrun).alias("__ff"),
     )
-    return (
-        grid.join(hourly, ["user_id", "hour_ts"], "left")
-        .select(
-            "user_id",
-            "hour_ts",
-            F.coalesce("n", F.lit(0)).alias("n_events"),
-            F.col("sv").alias("sum_value"),
-            F.last("sv", ignorenulls=True).over(w).alias("filled_value"),
-        )
+    cells = g.select(
+        "user_id",
+        F.col("hour_ts").alias("__obs"),
+        "n",
+        "sv",
+        "__ff",
+        F.explode(
+            F.when(
+                F.col("__next").isNull(), F.array(F.col("hour_ts"))
+            ).otherwise(
+                F.expr("sequence(hour_ts, __next - interval 1 hour, interval 1 hour)")
+            )
+        ).alias("hour_ts"),
+    )
+    at_obs = F.col("hour_ts") == F.col("__obs")
+    return cells.select(
+        "user_id",
+        "hour_ts",
+        F.when(at_obs, F.col("n")).otherwise(F.lit(0).cast("long")).alias("n_events"),
+        F.when(at_obs, F.col("sv")).alias("sum_value"),
+        F.col("__ff").alias("filled_value"),
     )
 
 

@@ -913,66 +913,77 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     value (quantization applies only to genuinely interpolated cells,
     so the key never perturbs real data).
 
-    Scale story: the SAME envelope as events_resample — hour-grain
-    map-side aggregate, derived grid explode, one user-keyed exchange.
-    The forward pass is DELIBERATELY written as a running frame over
-    DESCENDING time (last_value ignore-nulls, unbounded-preceding →
-    current), not as a [current, unbounded-following) frame: Spark's
-    UnboundedFollowingWindowFunctionFrame re-scans to the partition end
-    for EVERY row — O(n²) per partition — while running frames are
-    incremental. Measured on full materialization at sf0.1 (interleaved
-    A/B, identical output): 9.0-9.6 s forward-frame vs 1.3-1.5 s
-    reversed-running — 7×; the cost is a second sort inside the same
-    exchange. The interpolation weight is an exact integer µs ratio in
-    one mirrored double expression; output quantizes to 1e-6 (floor
-    form, never round())."""
+    Scale story (r14 rework, guide §2.4 — the events_resample envelope):
+    the dense grid is DERIVED from the hourly aggregate itself, not
+    joined onto it. One scan feeds one (user, hour) aggregate; the
+    neighbor carries run at HOURLY grain inside one user-keyed
+    exchange — an ascending running frame for (pv, pt) plus lead(next
+    observed hour), and a descending running frame ENDING AT -1 for
+    (nv, nt) strictly after the row (so an all-null-value hour looks
+    through itself exactly as the old grid windows did); each observed
+    row then explodes sequence(hour, next-1h), and every cell it owns
+    shares its carries (no observation sits between two consecutive
+    observed hours, so the per-cell prev/next ARE the row's). The old
+    shape scanned events twice, joined the grid onto hourly, and
+    sorted twice at GRID grain; this is one scan, one exchange, two
+    hourly-grain sorts, no join — value-identical at 3 SFs. The
+    descending pass stays a RUNNING frame (a [current, +inf) frame is
+    Spark-quadratic — the r12 measured 7× note). The interpolation
+    weight is an exact integer µs ratio in one mirrored double
+    expression; output quantizes to 1e-6 (floor form, never round())."""
     ev = table(spark, sf_dir, "events")
     from pyspark.sql import Window as W
 
-    b = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    grid = b.select(
-        "user_id",
-        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour_ts"),
-    )
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("hour_ts")
     ).agg(F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("sv"))
-    wb = (
-        W.partitionBy("user_id")
-        .orderBy("hour_ts")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    # forward pass as a RUNNING frame over reversed order (see docstring:
-    # a [current, +inf) frame is quadratic in Spark; this is incremental)
+    w = W.partitionBy("user_id").orderBy("hour_ts")
+    wb = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    # next-side carries over reversed order, frame ending 1 BEFORE the
+    # current row: the nearest LATER observed hour with a non-null sum
     wfd = (
         W.partitionBy("user_id")
         .orderBy(F.desc("hour_ts"))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+        .rowsBetween(W.unboundedPreceding, -1)
     )
     obs_ts = F.when(F.col("sv").isNotNull(), F.col("hour_ts"))
-    g = (
-        grid.join(hourly, ["user_id", "hour_ts"], "left")
-        .select(
-            "user_id",
-            "hour_ts",
-            "sv",
-            F.last("sv", ignorenulls=True).over(wb).alias("pv"),
-            F.last(obs_ts, ignorenulls=True).over(wb).alias("pt"),
-            F.last("sv", ignorenulls=True).over(wfd).alias("nv"),
-            F.last(obs_ts, ignorenulls=True).over(wfd).alias("nt"),
-        )
+    g = hourly.select(
+        "user_id",
+        F.col("hour_ts").alias("__obs"),
+        "sv",
+        F.lead("hour_ts").over(w).alias("__next"),
+        F.last("sv", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_ts, ignorenulls=True).over(wb).alias("pt"),
+        F.last("sv", ignorenulls=True).over(wfd).alias("nv"),
+        F.last(obs_ts, ignorenulls=True).over(wfd).alias("nt"),
     )
+    cells = g.select(
+        "user_id",
+        "__obs",
+        "sv",
+        "pv",
+        "pt",
+        "nv",
+        "nt",
+        F.explode(
+            F.when(
+                F.col("__next").isNull(), F.array(F.col("__obs"))
+            ).otherwise(
+                F.expr("sequence(__obs, __next - interval 1 hour, interval 1 hour)")
+            )
+        ).alias("hour_ts"),
+    )
+    # the cell's own observation: the owning row's sum at the observed
+    # hour, NULL at the gap cells it owns
+    sv_c = F.when(F.col("hour_ts") == F.col("__obs"), F.col("sv"))
     num = (F.unix_micros(F.col("hour_ts")) - F.unix_micros(F.col("pt"))).cast("double")
     den = (F.unix_micros(F.col("nt")) - F.unix_micros(F.col("pt"))).cast("double")
     interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (num / den)
-    return g.select(
+    return cells.select(
         "user_id",
         "hour_ts",
-        F.col("sv").alias("observed"),
-        F.when(F.col("sv").isNotNull(), F.col("sv"))
+        sv_c.alias("observed"),
+        F.when(sv_c.isNotNull(), sv_c)
         .when(F.col("pv").isNull(), F.col("nv"))
         .when(F.col("nv").isNull(), F.col("pv"))
         .otherwise(F.floor(interp * 1e6 + 0.5) / 1e6)
