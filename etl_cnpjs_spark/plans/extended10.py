@@ -169,8 +169,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds ReusedExchange dedups the repeated subtrees at runtime and
     the four materialization jobs cost more than they save (measured
     r13: 2.82 → 2.46 s isolated median without them — the same result
-    as graph_bfs_bounded's A/B); an ITERATIVE peel to convergence
-    (unknown R) still needs the operators/graph.py lineage discipline.
+    as graph_bfs_bounded's A/B). R-THRESHOLD (r14 sweep, VERDICT r13
+    #8): the barrier-free form is measured safe ONLY at R ≤ 4 — at
+    R=6 runtime exchange reuse stops covering the doubled-per-round
+    subtree growth and the same peel measures 12.7-19.8 s vs
+    2.5-3.3 s with a localCheckpoint every 2 rounds (interleaved
+    same-session A/B, sf0.1). Anyone raising _KCORE_ROUNDS past 4, or
+    writing an iterative-to-convergence peel (unknown R), must barrier
+    every ≤ 2 rounds (the operators/graph.py lineage discipline);
+    SCALE.md "Iterative lineage" records the sweep.
     At 100 TB: R scans of a shrinking edge list, each with one small
     exchange; the standard distributed peel (Quick-SQL k-core) shape."""
     li = table(spark, sf_dir, "lineitem")
