@@ -258,6 +258,17 @@ EXCHANGES_OK = {
     # alphabet-sized rollup exchanges. The only full-data move is the
     # map-side-deduped (user, partial-set) shuffle.
     "agg_cooccurrence": 7,
+    # r13 checkpoint-removal trade (VERDICT r13 "document, don't
+    # revert"): dropping the per-round localCheckpoint at the
+    # registered R=4 doubles the static edge subtree per peel round —
+    # 81 static exchanges — but the EXECUTED AQE plan dedups them via
+    # ReusedExchange and measured FASTER (2.82 → 2.46 s isolated, r13).
+    # The ceiling is load-bearing: the r14 R-threshold sweep (SCALE.md
+    # "Iterative lineage") shows the barrier-free form collapsing at
+    # R=6 (12.7-19.8 s vs 2.5-3.3 s barriered), so any growth past
+    # this reviewed count — i.e. anyone raising _KCORE_ROUNDS — must
+    # re-add barriers every <= 2 rounds, and this flag fires to say so.
+    "graph_kcore": 81,
     # Same oriented edge-set subtree family as graph_triangle_count:
     # the pairs frame feeds 2-path both sides, the anti-join, and the
     # degree rollup; AQE reuses the identical subtrees at runtime.
