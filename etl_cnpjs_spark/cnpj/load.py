@@ -42,19 +42,35 @@ def read_raw(spark: SparkSession, paths: list[str] | str, table: str) -> DataFra
 
 
 def load_raw_parquet(spark: SparkSession, routed: dict[str, list[str]], out_dir: str, partition_estab_by_uf: bool = False) -> dict[str, str]:
-    """Load every discovered table to raw parquet; returns {table: path}."""
-    out: dict[str, str] = {}
-    for table, paths in routed.items():
-        if not paths or table not in TABLE_COLUMNS:
-            continue
+    """Load every discovered table to raw parquet; returns {table: path}.
+
+    Per-table loads are INDEPENDENT jobs (separate sources, separate
+    destinations), so they run from a small driver thread pool (guide
+    §2.6 "overlap independent jobs"): the big estabelecimentos
+    read+write no longer serializes behind six small dimension loads —
+    its tail tasks back-fill with the next table's scan. 3 in flight is
+    the guide's "enough to fill the tail" sizing; results and
+    idempotence are unchanged (each job touches only its own dest)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    todo = [
+        (table, paths)
+        for table, paths in routed.items()
+        if paths and table in TABLE_COLUMNS
+    ]
+
+    def load_one(item: tuple[str, list[str]]) -> tuple[str, str]:
+        table, paths = item
         dest = os.path.join(out_dir, f"{table}.parquet")
         df = read_raw(spark, paths, table)
         writer = df.write.mode("overwrite")
         if table == "estabelecimentos" and partition_estab_by_uf:
             writer = writer.partitionBy("uf")
         writer.parquet(dest)
-        out[table] = dest
-    return out
+        return table, dest
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        return dict(pool.map(load_one, todo))
 
 
 def register_raw(spark: SparkSession, table_paths: dict[str, str]) -> None:

@@ -68,22 +68,69 @@ def _feed_dir(sizes: tuple[int, int]) -> str:
 
 
 # Generated fixture SOURCE (the CSV/zip drop), memoized per size and
-# process: the Spark env and the DuckDB feed each ingest it with their
-# own independent stack, but the deterministic generator (seed 42) need
-# only run once — it produces byte-identical shards either way, and at
-# sf0.1 volume it costs ~5 s of the staging budget.
+# process — and, since r14, staged IDEMPOTENTLY ACROSS PROCESSES at a
+# deterministic size-keyed path with a _DONE manifest, exactly the
+# stage_oracle_feed discipline below: the generator is deterministic
+# (seed 42, byte-identical shards every run) and produces INPUT data,
+# so re-running it per process was ~6.5 s of the sf0.1 staging budget
+# spent recreating bytes that already exist. The marker carries a
+# digest of the generator source, so editing fixtures.py invalidates
+# the staged drop; generation lands in a unique temp dir and is
+# atomically renamed into place (a concurrent loser just rereads the
+# winner's identical bytes).
 _fixture_src_cache: dict[tuple[int, int], tuple[str, dict]] = {}
+
+_FIXTURE_SRC_ROOT = os.path.join(tempfile.gettempdir(), "cnpj_fixture_src")
+
+
+def _generator_digest() -> str:
+    import hashlib
+
+    with open(fixtures.__file__, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]
 
 
 def _generated_fixtures(sizes: tuple[int, int]) -> tuple[str, dict]:
     hit = _fixture_src_cache.get(sizes)
     if hit is not None:
         return hit
-    src = tempfile.mkdtemp(prefix="cnpj_fixtures_")
-    atexit.register(shutil.rmtree, src, ignore_errors=True)
-    paths = fixtures.generate(
-        src, seed=42, n_empresas=sizes[0], n_estab=sizes[1]
+    import json
+
+    src = os.path.join(
+        _FIXTURE_SRC_ROOT, f"{sizes[0]}x{sizes[1]}-{_generator_digest()}"
     )
+    manifest = os.path.join(src, "_DONE")
+    try:
+        with open(manifest) as f:
+            rel = json.load(f)
+        paths = {
+            t: [os.path.join(src, p) for p in ps] for t, ps in rel.items()
+        }
+        _fixture_src_cache[sizes] = (src, paths)
+        return src, paths
+    except (OSError, ValueError):
+        pass
+    work = tempfile.mkdtemp(prefix="cnpj_fixtures_")
+    paths = fixtures.generate(
+        work, seed=42, n_empresas=sizes[0], n_estab=sizes[1]
+    )
+    rel = {
+        t: [os.path.relpath(p, work) for p in ps] for t, ps in paths.items()
+    }
+    os.makedirs(_FIXTURE_SRC_ROOT, exist_ok=True)
+    tmp_manifest = os.path.join(work, f"._DONE.tmp{os.getpid()}")
+    with open(tmp_manifest, "w") as f:
+        json.dump(rel, f)
+    os.replace(tmp_manifest, os.path.join(work, "_DONE"))
+    try:
+        os.rename(work, src)  # atomic publish; loser keeps the winner's
+    except OSError:
+        if os.path.exists(os.path.join(src, "_DONE")):
+            shutil.rmtree(work, ignore_errors=True)  # someone else won
+        else:  # rename failed for another reason: serve this process
+            atexit.register(shutil.rmtree, work, ignore_errors=True)
+            src = work
+    paths = {t: [os.path.join(src, p) for p in ps] for t, ps in rel.items()}
     _fixture_src_cache[sizes] = (src, paths)
     return src, paths
 
